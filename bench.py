@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, see repo instructions).
+
+Runs the headline queries (QuerySpec.bench=True) at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hhs_and_cms_data_pipeline_spark.registry import all_specs  # noqa: E402
+from hhs_and_cms_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark("engine-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+    # Warm the JVM/codegen path once on the smallest query so per-query times
+    # measure the plan, not session startup.
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        spec = specs[name]
+        df = spec.builder(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_pack_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

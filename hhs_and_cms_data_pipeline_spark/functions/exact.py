@@ -1,0 +1,87 @@
+"""Exact-numeric aggregation helpers.
+
+Floating-point SUM/AVG are order-dependent; Spark's partial/final hash
+aggregation over 32 shuffle partitions will not, in general, reproduce the
+bit pattern of a single-threaded DuckDB SUM over the same doubles. The driver
+compares results by value-hash (BASELINE.md), so every aggregate over a DOUBLE
+column is routed through DECIMAL(38,6):
+
+    double --cast--> decimal(38,6)  (deterministic: binary doubles are never
+                                     exact midpoints at 1e-6, so no tie-break
+                                     divergence between engines)
+    SUM(decimal)                    (exact integer arithmetic, associative and
+                                     commutative -> partition order irrelevant)
+    --cast--> double                (round-to-nearest of the same decimal on
+                                     both engines -> identical bits)
+
+This also makes the results *reproducible across cluster sizes*, which
+matters more than the oracle: a 1000-executor run and a local[32] run give
+identical answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,6)"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dsum(c: Column | str, alias: str | None = None) -> Column:
+    out = F.sum(_col(c).cast(DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(c: Column | str, alias: str | None = None) -> Column:
+    # avg = exact decimal sum / count, divided in DOUBLE on both engines.
+    col = _col(c)
+    out = (
+        F.sum(col.cast(DEC)).cast("double")
+        / F.count(F.when(col.isNotNull(), 1)).cast("double")
+    )
+    return out.alias(alias) if alias else out
+
+
+def sql_dsum(expr: str) -> str:
+    """Oracle-side rendering of :func:`dsum` for a DuckDB SQL expression."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / CAST(COUNT({expr}) AS DOUBLE)"
+    )
+
+
+def ratio_pct(num: Column, den: Column, alias: str | None = None) -> Column:
+    """SURVEY A4: ratio-of-sums with div-by-zero guard.
+
+    Reference: ``SUM(occ)*100.0 / NULLIF(SUM(avail),0)``
+    (weekly-report.py:313-316,391-393).
+    """
+    out = num * F.lit(100.0) / F.nullif(den, F.lit(0.0))
+    return out.alias(alias) if alias else out
+
+
+def sql_ratio_pct(num: str, den: str) -> str:
+    return f"({num}) * 100.0 / NULLIF(({den}), 0.0)"
+
+
+def round1(c: Column, alias: str | None = None) -> Column:
+    """SURVEY F9: ROUND(CAST(x AS NUMERIC), 1) (weekly-report.py:311-318).
+
+    Rounding happens in DECIMAL space: double->decimal(38,1) cast is
+    round-half-up on both engines and doubles are never exact .05 midpoints,
+    so results are bit-identical.
+    """
+    out = _col(c).cast("decimal(38,1)").cast("double")
+    return out.alias(alias) if alias else out
+
+
+def sql_round1(expr: str) -> str:
+    return f"CAST(CAST(({expr}) AS DECIMAL(38,1)) AS DOUBLE)"

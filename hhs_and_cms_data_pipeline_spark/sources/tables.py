@@ -1,0 +1,43 @@
+"""Parquet table sources over the driver testdata layout (TESTDATA.md).
+
+SURVEY §2.1 S3: the reference's table scans go through PostgreSQL
+(`weekly-report.py:31-51`); here a scan is a vectorized Parquet read with
+column pruning + predicate pushdown supplied by Catalyst. Always `select`
+only needed columns in operators so `ReadSchema` stays narrow.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) read as int64 via nanosAsLong; truncate to micros —
+        # identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP cast semantics.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
+    return SimpleNamespace(**{t: table(spark, sf_dir, t) for t in TABLES})

@@ -1,0 +1,42 @@
+"""Differential tests: every registered query vs its DuckDB oracle.
+
+Mirrors the driver's t2 correctness gate (BASELINE.md) at a smaller SF so it
+stays fast enough to run on every change. Queries without an oracle get a
+rows-materialize smoke check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hhs_and_cms_data_pipeline_spark.registry import all_specs
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import compare_spark_duckdb, duckdb_connection
+
+SPECS = all_specs()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF_ORACLE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(name, spark, con):
+    spec = SPECS[name]
+    df = spec.builder(spark, SF_ORACLE)
+    if spec.oracle is None:
+        assert df.count() >= 0  # rows-only smoke: plan executes
+    else:
+        compare_spark_duckdb(df, con, spec.oracle)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
