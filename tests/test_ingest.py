@@ -1,0 +1,171 @@
+"""Ingest-equivalence tests (SURVEY §5.3): HHS/CMS-shaped fixtures through the
+Spark load path, asserting the semantics encoded at helper_load_hhs.py:55-67
+and load-quality.py:158-189.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hhs_and_cms_data_pipeline_spark.operators.ingest import (
+    cms_location_lookup,
+    normalize_cms,
+    prep_hhs,
+    split_hospital,
+    split_location,
+    split_weekly_report,
+)
+from hhs_and_cms_data_pipeline_spark.sources.csvsrc import (
+    read_cms_quality,
+    read_hhs_weekly,
+)
+
+HHS_HEADER = (
+    "hospital_pk,state,hospital_name,address,city,zip,fips_code,"
+    "geocoded_hospital_address,collection_week,"
+    "all_adult_hospital_beds_7_day_avg,all_pediatric_inpatient_beds_7_day_avg,"
+    "all_adult_hospital_inpatient_bed_occupied_7_day_avg,"
+    "all_pediatric_inpatient_bed_occupied_7_day_avg,total_icu_beds_7_day_avg,"
+    "icu_beds_used_7_day_avg,inpatient_beds_used_covid_7_day_avg,"
+    "staffed_icu_adult_patients_confirmed_covid_7_day_avg"
+)
+
+HHS_ROWS = [
+    # duplicate pk (H1) -> dedup keeps earliest week; sentinel + empty metrics
+    'H1,CA,Alpha Hosp,1 Main St,LA,90001,06037,"POINT (-118.25 34.05)",2023-01-06,'
+    "100.0,-999999,20.0,1.0,30.0,10.0,5.0,2.0",
+    'H1,CA,Alpha Hosp,1 Main St,LA,90001,06037,"POINT (-118.25 34.05)",2023-01-13,'
+    "101.0,11.0,21.0,2.0,31.0,11.0,6.0,3.0",
+    "H2,TX,Beta Hosp,2 Oak Ave,Houston,77001,48201,,2023-01-06,"
+    "50.0,5.0,-999999,0.0,15.0,5.0,1.0,0.0",
+    'H3,CA,Gamma Hosp,3 Pine Rd,LA,90002,06037,"POINT (-118.3 34.1)",2023-01-06,'
+    ",,,,,,,",
+]
+
+CMS_HEADER = (
+    '"Facility ID","Facility Name","City","State","ZIP Code",'
+    '"Hospital Ownership","Emergency Services","Hospital Type",'
+    '"Hospital overall rating"'
+)
+
+CMS_ROWS = [
+    '"H1","Alpha Hosp","LA","CA","90001","Proprietary","Yes","Acute Care","4"',
+    '"H2","Beta Hosp","Houston","TX","77001","Government - Federal","yes ","Acute Care","Not Available"',
+    '"H3","Gamma Hosp","LA","CA","90002","Proprietary","NO","Acute Care","6"',
+    '"H9","Absent Hosp","Miami","FL","33101","Proprietary","","Acute Care","abc"',
+]
+
+
+@pytest.fixture(scope="module")
+def hhs_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("hhs") / "weekly.csv"
+    p.write_text(HHS_HEADER + "\n" + "\n".join(HHS_ROWS) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def cms_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cms") / "quality.csv"
+    p.write_text(CMS_HEADER + "\n" + "\n".join(CMS_ROWS) + "\n")
+    return str(p)
+
+
+def test_prep_hhs_semantics(spark, hhs_csv):
+    prepped = prep_hhs(read_hhs_weekly(spark, hhs_csv))
+    rows = {r["hospital_pk"]: r for r in prepped.collect()}
+
+    # dedup first-wins: H1 keeps the 2023-01-06 row (helper_load_hhs.py:65)
+    assert len(rows) == 3
+    assert str(rows["H1"]["collection_week"]) == "2023-01-06"
+    # sentinel scrub (helper:58)
+    assert rows["H1"]["all_pediatric_inpatient_beds_7_day_avg"] is None
+    assert rows["H2"]["all_adult_hospital_inpatient_bed_occupied_7_day_avg"] is None
+    # WKT parse, correct lon/lat order (fixes reference swap bug, SURVEY §7.6)
+    assert rows["H1"]["longitude"] == pytest.approx(-118.25)
+    assert rows["H1"]["latitude"] == pytest.approx(34.05)
+    assert rows["H2"]["longitude"] is None  # null geocode passes through
+    # empty numeric fields -> NULL (pandas NaN -> None, helper:85-89)
+    assert rows["H3"]["total_icu_beds_7_day_avg"] is None
+
+
+def test_hhs_split_tables(spark, hhs_csv):
+    prepped = prep_hhs(read_hhs_weekly(spark, hhs_csv))
+    loc = split_location(prepped)
+    hosp = split_hospital(prepped, loc)
+    weekly = split_weekly_report(prepped)
+
+    assert loc.count() == 3  # three distinct natural keys
+    # surrogate keys deterministic + unique
+    ids = [r["id"] for r in loc.collect()]
+    assert len(set(ids)) == 3
+    ids2 = [r["id"] for r in split_location(prepped).collect()]
+    assert sorted(ids) == sorted(ids2)
+
+    h = {r["hospital_pk"]: r for r in hosp.collect()}
+    assert set(h) == {"H1", "H2", "H3"}
+    assert all(r["location_id"] is not None for r in h.values())
+
+    assert weekly.count() == 3
+    assert "hospital_weekly_id" in weekly.columns
+
+
+def test_cms_normalize_semantics(spark, cms_csv):
+    norm = normalize_cms(read_cms_quality(spark, cms_csv), "2023-02-01")
+    rows = {r["facility_id"]: r for r in norm.collect()}
+
+    # rating parse (load-quality.py:158-174)
+    assert rows["H1"]["quality_rating"] == 4
+    assert rows["H2"]["quality_rating"] is None  # 'Not Available'
+    assert rows["H3"]["quality_rating"] is None  # out of range '6'
+    assert rows["H9"]["quality_rating"] is None  # 'abc'
+    # boolean parse (load-quality.py:177-189)
+    assert rows["H1"]["provides_emergency_services"] is True
+    assert rows["H2"]["provides_emergency_services"] is True  # 'yes ' trims
+    assert rows["H3"]["provides_emergency_services"] is False  # 'NO'
+    assert str(rows["H1"]["rating_date"]) == "2023-02-01"
+
+
+def test_cms_location_lookup(spark, hhs_csv, cms_csv):
+    prepped = prep_hhs(read_hhs_weekly(spark, hhs_csv))
+    loc = split_location(prepped)
+    norm = normalize_cms(read_cms_quality(spark, cms_csv), "2023-02-01")
+    looked = cms_location_lookup(norm, loc)
+    rows = {r["facility_id"]: r for r in looked.collect()}
+    assert rows["H1"]["location_id"] is not None
+    assert rows["H9"]["location_id"] is None  # no matching (city,state,zip)
+
+
+def test_idempotent_reload(spark, hhs_csv, tmp_path):
+    from hhs_and_cms_data_pipeline_spark.sinks import append_new_keys
+
+    prepped = prep_hhs(read_hhs_weekly(spark, hhs_csv))
+    weekly = split_weekly_report(prepped)
+    path = str(tmp_path / "weekly_report")
+
+    n1 = append_new_keys(
+        spark, weekly, path, ["hospital_weekly_id", "collection_week"],
+        partition_by=["collection_week"],
+    )
+    n2 = append_new_keys(
+        spark, weekly, path, ["hospital_weekly_id", "collection_week"],
+        partition_by=["collection_week"],
+    )
+    assert n1 == 3 and n2 == 0  # re-load is a no-op (K3)
+    assert spark.read.parquet(path).count() == 3
+    # partition layout: one dir per collection_week (pruning at read)
+    assert any(d.startswith("collection_week=") for d in os.listdir(path))
+
+
+def test_atomic_write(spark, tmp_path):
+    from hhs_and_cms_data_pipeline_spark.sinks import write_parquet_atomic
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    path = str(tmp_path / "tbl")
+    write_parquet_atomic(df, path)
+    assert spark.read.parquet(path).count() == 10
+    # overwrite leaves no temp junk and fully replaces
+    write_parquet_atomic(spark.range(5).withColumnRenamed("id", "k"), path)
+    assert spark.read.parquet(path).count() == 5
+    assert not [d for d in os.listdir(os.path.dirname(path)) if "__tmp__" in d]
