@@ -1,1 +1,149 @@
-"""Populated in a later build wave."""
+"""Batch-semantics equivalents of the streaming surface, oracle-checked.
+
+Structured Streaming with trigger(availableNow) over a static table produces
+exactly these results (asserted in tests/test_streaming.py); registering the
+batch form gives the driver a DuckDB oracle for the windowing semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, sql_dsum
+from ..registry import register
+from ..session import ensure_session_conf
+from ..sources import table
+
+# --------------------------------------------------------------------------
+# Tumbling 1-hour window (SURVEY §2.10: F.window on event time).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    bench=True,
+    tags=("ST1",),
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows; identical to the streaming plan in
+    streaming/events.py:tumbling_counts (epoch-aligned windows == date_trunc)."""
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding window: 1-hour window sliding every 30 minutes.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT CAST(to_timestamp(
+               (CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) AS BIGINT) - k.k)
+               * 1800) AS TIMESTAMP) AS window_start,
+             value
+      FROM events, (SELECT UNNEST([0, 1]) AS k) k)
+    SELECT window_start, COUNT(*) AS n_events, {sql_dsum("value")} AS sum_value
+    FROM expanded
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("ST2",),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows every 30min — each event lands in 2 windows. The oracle
+    expands event->windows explicitly; Spark's F.window does it natively."""
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: 30-minute inactivity gap, gaps-and-islands form.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered)
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("ST3",),
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via gaps-and-islands (30-min inactivity gap).
+
+    The streaming form is F.session_window / applyInPandasWithState; this
+    batch form has identical results on a static table and is SQL-oracle-able.
+    Scale: both windows partition by user_id — high cardinality, no skew.
+    """
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(order)
+    is_new = (
+        lag_ts.isNull()
+        | (F.col("ts").cast("long") - lag_ts.cast("long") > 30 * 60)
+    ).cast("int")
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(running))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

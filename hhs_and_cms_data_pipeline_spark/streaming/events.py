@@ -1,0 +1,113 @@
+"""Structured Streaming surface (SURVEY §2.10).
+
+The reference has no streaming — ingestion is cron-style weekly batch
+(README:17,94-100). This module supplies the Spark-native analogues the
+extension surface needs:
+
+  weekly file arrival   -> file source + trigger(availableNow=True)
+  idempotent re-load    -> foreachBatch + anti-join append (K3 semantics)
+  late data             -> watermarks on event time
+  tumbling aggregation  -> F.window(ts, ...)
+
+At 100 TB the same code runs continuously against an object-store landing
+zone; `availableNow` gives batch-job semantics with streaming bookkeeping
+(exactly-once file tracking via the checkpoint).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS), readable only as
+# int64 under the nanosAsLong conf — same handling as sources.tables.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),  # ns since epoch
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table. The file source monitors a *directory* (the
+    landing-zone pattern at scale); the single-file testdata layout is adapted
+    via a symlink staging dir."""
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(src, os.path.join(stage, "events.parquet"))
+        src = stage
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(src)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, query_name: str, checkpoint_dir: str
+) -> DataFrame:
+    """Drain all available input in micro-batches, then stop (batch-equivalent
+    semantics with streaming bookkeeping). Returns the materialized result."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(query_name)
+
+
+def stream_upsert_sink(
+    result: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """foreachBatch idempotent sink: each micro-batch anti-joins the target on
+    `keys` before appending — re-delivered batches are no-ops, mirroring the
+    reference's ON CONFLICT DO NOTHING + UNIQUE(hospital, week)
+    (helper_load_hhs.py:96, Phase1:252). Exactly-once effect without Delta."""
+    from ..sinks import append_new_keys
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_new_keys(batch_df.sparkSession, batch_df, target_path, keys)
+
+    return (
+        result.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
