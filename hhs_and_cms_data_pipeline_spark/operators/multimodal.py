@@ -1,1 +1,144 @@
-"""Populated in a later build wave."""
+"""Multimodal column support (BASELINE.json north star): image/audio/video as
+opaque BINARY columns with typed metadata, processed by Arrow-batched
+mapInPandas pipelines.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(deterministic fake decoder + a clearly-marked NotImplementedError for real
+codecs) — but the Spark-side plumbing is real and tested: binary schema,
+metadata map, Pandas UDF signature, Arrow batch shape, partition-safe
+statelessness. Swapping the stub for PIL/ffmpeg changes one function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..session import ensure_session_conf
+from ..sources import table
+
+# --------------------------------------------------------------------------
+# Binary payload + metadata columns (oracle-checked: byte ops are portable).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_md5,
+           substr(hex(encode(text)), 1, 16) AS head_hex
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("MM1",),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat the document body as an opaque binary payload; compute the typed
+    metadata a multimodal catalog stores (size, checksum, magic-byte prefix).
+    At 100 TB this is the manifest-building scan: one pass, no shuffle."""
+    ensure_session_conf(spark)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.octet_length(payload).alias("byte_len"),
+            F.md5(payload).alias("content_md5"),
+            F.substring(F.hex(payload), 1, 16).alias("head_hex"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Decode / feature-extract via mapInPandas (rows-only check + unit tests).
+# --------------------------------------------------------------------------
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_byte", T.DoubleType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires a codec library absent from this
+    container. The plumbing around it (schema, batching, partitioning) is
+    fully implemented; swap this stub for PIL.Image.open when available."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "use fake_decode (deterministic) or install a codec and replace this stub"
+    )
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in decoder: derives plausible frame metadata and a
+    16-bin byte histogram from the raw bytes. Pure function of the payload."""
+    n = len(payload)
+    width = 16 + (payload[0] if n else 0) % 64
+    height = 16 + (payload[-1] if n else 0) % 64
+    hist = [0] * 16
+    for b in payload:
+        hist[b >> 4] += 1
+    total = float(n) if n else 1.0
+    return {
+        "width": int(width),
+        "height": int(height),
+        "mean_byte": (sum(payload) / total) if n else None,
+        "features": [h / total for h in hist],
+    }
+
+
+def extract_frame_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches in, feature rows out. Stateless and
+    partition-safe — the contract every multimodal UDF here must satisfy."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            meta = fake_decode(data)
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "modality": "image",
+                    "byte_len": len(data),
+                    "width": meta["width"],
+                    "height": meta["height"],
+                    "mean_byte": meta["mean_byte"],
+                    "features": meta["features"],
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in FRAME_FEATURE_SCHEMA.fields])
+
+
+@register(
+    "mm_frame_features",
+    oracle=None,  # python-side decode: rows-only driver check; unit-tested in tests/test_multimodal.py
+    tags=("MM2",),
+)
+def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads -> mapInPandas feature extraction (fake decoder).
+
+    Scale: Arrow-batched transfer, one python worker per core, no shuffle;
+    repartition upstream if payload sizes are skewed. This is the template
+    for resize / frame-sample / audio-feature jobs at 100 TB.
+    """
+    ensure_session_conf(spark)
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(extract_frame_features, FRAME_FEATURE_SCHEMA)

@@ -201,10 +201,14 @@ def j6_positional_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= 200)
-        .select("c_custkey", F.row_number().over(Window.orderBy("c_custkey")).alias("pos"))
+        .select(
+            "c_custkey",
+            F.row_number().over(Window.orderBy("c_custkey")).cast("long").alias("pos"),
+        )
     )
     s = table(spark, sf_dir, "supplier").select(
-        "s_suppkey", F.row_number().over(Window.orderBy("s_suppkey")).alias("pos")
+        "s_suppkey",
+        F.row_number().over(Window.orderBy("s_suppkey")).cast("long").alias("pos"),
     )
     return c.join(s, "pos").select("pos", "c_custkey", "s_suppkey").orderBy("pos")
 

@@ -104,9 +104,9 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sessions AS (
       SELECT user_id, ts, event_id,
-             SUM(is_new) OVER (
+             CAST(SUM(is_new) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS session_seq
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM ordered)
     SELECT user_id, session_seq,
            MIN(ts) AS session_start,

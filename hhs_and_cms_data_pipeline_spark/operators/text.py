@@ -1,1 +1,278 @@
-"""Populated in a later build wave."""
+"""Text-analysis operators for LLM-data-pipeline workloads over `documents`
+(BASELINE.json north star: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+All pure built-in Column expressions (whole-stage codegen; no Python in the
+hot path). Ratios divide exact integer counts in DOUBLE — bit-identical to
+the oracle. Fingerprints use md5, which is identical across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import ensure_session_conf
+from ..sources import table
+
+# Spark-side shared fragments ------------------------------------------------
+
+
+def tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def word_bigrams(docs: DataFrame) -> DataFrame:
+    """Distinct word-bigram shingles per document: (doc_id, bg)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("nxt", F.lead("w").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "nxt").alias("bg"))
+        .distinct()
+    )
+
+
+# Oracle-side shared fragments ----------------------------------------------
+
+SQL_TOKS = """
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+"""
+
+SQL_BIGRAMS = f"""
+  SELECT DISTINCT doc_id, bg FROM (
+    SELECT doc_id,
+           w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+    FROM ({SQL_TOKS}))
+  WHERE bg IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Token counting.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+           CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    bench=True,
+    tags=("TX1",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts, vocabulary ratio, average token length."""
+    ensure_session_conf(spark)
+    t = tokens()
+    n_tok = F.size(t)
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            n_tok.cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+            (F.size(F.array_distinct(t)).cast("double") / n_tok.cast("double")).alias(
+                "distinct_ratio"
+            ),
+            (
+                (F.length("text") - n_tok + F.lit(1)).cast("double")
+                / n_tok.cast("double")
+            ).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (length / stopword / repetition heuristics).
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "data", "value", "row")
+_SQL_STOPS = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ({_SQL_STOPS}))) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct
+      FROM documents)
+    SELECT doc_id,
+           n_stop / n_tokens AS stopword_ratio,
+           n_distinct / n_tokens AS distinct_ratio,
+           CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+                AS DOUBLE) AS length_ok,
+           (0.4 * (n_distinct / n_tokens)
+            + 0.3 * (1.0 - n_stop / n_tokens)
+            + 0.3 * CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+             AS quality_score
+    FROM feat
+    ORDER BY doc_id
+    """,
+    tags=("TX2",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: vocabulary diversity, stopword density,
+    length plausibility — the scalar heuristics LLM corpus filters use."""
+    ensure_session_conf(spark)
+    t = tokens()
+    n_tokens = F.size(t).cast("double")
+    n_stop = F.size(
+        F.filter(t, lambda x: x.isin(*_STOPWORDS))
+    ).cast("double")
+    n_distinct = F.size(F.array_distinct(t)).cast("double")
+    stopword_ratio = n_stop / n_tokens
+    distinct_ratio = n_distinct / n_tokens
+    length_ok = F.when(
+        F.size(t).between(20, 1000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            stopword_ratio.alias("stopword_ratio"),
+            distinct_ratio.alias("distinct_ratio"),
+            length_ok.alias("length_ok"),
+            (
+                F.lit(0.4) * distinct_ratio
+                + F.lit(0.3) * (F.lit(1.0) - stopword_ratio)
+                + F.lit(0.3) * length_ok
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Language identification (marker-word heuristic).
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "les", "une"),
+    "de": ("der", "die", "und"),
+}
+
+
+def _sql_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_sql_lang_score('en')} AS s_en,
+             {_sql_lang_score('es')} AS s_es,
+             {_sql_lang_score('fr')} AS s_fr,
+             {_sql_lang_score('de')} AS s_de
+      FROM documents)
+    SELECT doc_id, labeled_lang, s_en, s_es, s_fr, s_de,
+           CASE
+             WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+             WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+             WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+             WHEN s_de > 0 THEN 'de'
+             ELSE 'unknown'
+           END AS predicted_lang
+    FROM scores
+    ORDER BY doc_id
+    """,
+    tags=("TX3",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with a deterministic argmax tie order."""
+    ensure_session_conf(spark)
+    t = tokens()
+
+    def _score(ws: tuple[str, ...]) -> F.Column:
+        # NB: F.filter treats a 2-arg lambda as (value, index) — keep it unary.
+        return F.size(F.filter(t, lambda x: x.isin(*ws))).cast("long")
+
+    scores = {lang: _score(ws) for lang, ws in _LANG_MARKERS.items()}
+    s = {k: F.col(f"s_{k}") for k in _LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] > 0) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]),
+            F.lit("en"),
+        )
+        .when((s["es"] > 0) & (s["es"] >= s["fr"]) & (s["es"] >= s["de"]), F.lit("es"))
+        .when((s["fr"] > 0) & (s["fr"] >= s["de"]), F.lit("fr"))
+        .when(s["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            *[scores[k].alias(f"s_{k}") for k in _LANG_MARKERS],
+        )
+        .withColumn("predicted_lang", predicted)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH minhash AS (
+      SELECT doc_id, min(md5(bg)) AS content_fp
+      FROM ({SQL_BIGRAMS})
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           md5(trim(d.text)) AS exact_fp,
+           substr(md5(trim(d.text)), 1, 16) AS exact_fp16,
+           m.content_fp
+    FROM documents d LEFT JOIN minhash m ON d.doc_id = m.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("TX4",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fingerprint (md5 of trimmed text) + content fingerprint (min
+    bigram hash — a 1-permutation MinHash, robust to reordering tails)."""
+    ensure_session_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    minhash = (
+        word_bigrams(docs)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("bg"))).alias("content_fp"))
+    )
+    return (
+        docs.select("doc_id", F.md5(F.trim(F.col("text"))).alias("exact_fp"))
+        .withColumn("exact_fp16", F.substring("exact_fp", 1, 16))
+        .join(minhash, "doc_id", "left")
+        .select("doc_id", "exact_fp", "exact_fp16", "content_fp")
+        .orderBy("doc_id")
+    )

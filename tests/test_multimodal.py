@@ -1,0 +1,42 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from hhs_and_cms_data_pipeline_spark.operators.multimodal import (
+    FRAME_FEATURE_SCHEMA,
+    decode_image,
+    fake_decode,
+    mm_frame_features,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_fake_decode_deterministic():
+    a = fake_decode(b"hello world")
+    b = fake_decode(b"hello world")
+    assert a == b
+    assert len(a["features"]) == 16
+    assert abs(sum(a["features"]) - 1.0) < 1e-9
+
+
+def test_frame_features_schema_and_rows(spark):
+    df = mm_frame_features(spark, SF_SMOKE)
+    assert df.schema == FRAME_FEATURE_SCHEMA
+    rows = df.collect()
+    assert len(rows) == 500  # one feature row per document
+    r = {x["doc_id"]: x for x in rows}[0]
+    assert r["modality"] == "image"
+    assert r["byte_len"] > 0
+    assert len(r["features"]) == 16
+    # features are a distribution over byte nibbles
+    assert abs(sum(r["features"]) - 1.0) < 1e-9
+    # deterministic across runs (pure function of payload)
+    r2 = {x["doc_id"]: x for x in mm_frame_features(spark, SF_SMOKE).collect()}[0]
+    assert r["features"] == r2["features"]
