@@ -141,6 +141,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 16
 _BAND_SIZE = 4
 
+# Each of the 16 permutations is min(md5(seed || ':' || shingle)) — one md5
+# per (shingle, seed). Deriving the 16 permutations arithmetically from a
+# single md5 (h_s = a_s*x1 + b_s*x2 mod p with 64-bit-safe constants) was
+# tried and REJECTED: without full-width modular wrap-around the combos are
+# order-correlated (all-positive coefficients => the digest on the convex
+# hull minimizes every permutation), which collapses LSH into giant buckets
+# — measured 229k candidate pairs (255 real) vs 423 with independent md5s.
+# Proper scrambling needs 61-bit multipliers and int128 mulmod, which Spark
+# lacks in whole-stage codegen; 16 md5 calls cost ~1.2s at sf0.1 and are
+# embarrassingly parallel, so they win.
+
 
 @register(
     "dedup_minhash_lsh",
@@ -184,40 +195,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 md5-derived permutations) -> LSH band buckets
     (4 bands of 4) -> candidate pairs -> exact-Jaccard verification.
 
-    The scale path for fuzzy dedup: cost is linear in total shingles (16x
-    amplification), candidates come only from band-bucket collisions, and the
-    expensive exact verification runs on the tiny candidate set. This is the
-    shingle->minhash->band->bucket-join pipeline of Broder'97/MMDS ch.3, on
-    DataFrame ops only.
+    The scale path for fuzzy dedup, shaped for 100 TB:
+      * the 16 min-hashes are 16 aggregate columns of ONE groupBy over the
+        shingles (no 16x row amplification, no crossJoin, no collect_list);
+      * band signatures are per-row concats of those columns, exploded into
+        (doc_id, band, sig) for the bucket self-join;
+      * exact-Jaccard verification is DRIVEN BY the candidate set (two hash
+        joins against the shingle index) instead of scoring every
+        shingle-sharing pair and semi-filtering afterwards.
+    This is the shingle->minhash->band->bucket-join pipeline of
+    Broder'97/MMDS ch.3, on DataFrame ops only.
     """
     ensure_session_conf(spark)
     docs = table(spark, sf_dir, "documents")
     big = word_bigrams(docs)
-    seeds = spark.range(_N_HASHES).withColumnRenamed("id", "seed")
-    mh = (
-        big.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("bg"))), 1, 8
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    mh = big.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("bg"))), 1, 8)
+            ).alias(f"h{s}")
+            for s in range(_N_HASHES)
+        ]
     )
-    bands = (
-        mh.withColumn("band", F.floor(F.col("seed") / _BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"],
-                ),
-                "|",
-            ).alias("sig")
-        )
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)]
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -230,10 +243,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates
-    verified = _jaccard_pairs(docs).join(cand, ["doc_a", "doc_b"], "semi")
+    # exact-Jaccard verification restricted to candidates: shared-shingle
+    # counts come from two joins against the shingle index, sized by the
+    # candidate set, not by the corpus.
+    sizes = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ba = big.select(F.col("doc_id").alias("doc_a"), "bg")
+    bb = big.select(F.col("doc_id").alias("doc_b2"), F.col("bg").alias("bg_b"))
+    shared = (
+        cand.join(ba, "doc_a")
+        .join(bb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("bg") == F.col("bg_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        verified.filter(F.col("jaccard") >= _JACCARD_TAU).orderBy("doc_a", "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -9,7 +9,7 @@ the oracle. Fingerprints use md5, which is identical across Spark and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -24,17 +24,29 @@ def tokens(col: str = "text") -> F.Column:
 
 
 def word_bigrams(docs: DataFrame) -> DataFrame:
-    """Distinct word-bigram shingles per document: (doc_id, bg)."""
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens()).alias("pos", "w")
+    """Distinct word-bigram shingles per document: (doc_id, bg).
+
+    Built entirely per-row (array transform + array_distinct + one explode):
+    zero shuffles, unlike the naive posexplode -> window-lead -> distinct
+    formulation which costs two exchanges before any downstream work. At
+    100 TB shingling is a map-only stage, as it should be.
+    """
+    # Materialize the token array in its own projection: inlining `split`
+    # into the per-element lambda would re-evaluate it per token (quadratic
+    # per row). zip_with over the two shifted slices is one linear pass.
+    toked = docs.select("doc_id", tokens().alias("toks"))
+    n = F.size(F.col("toks"))
+    bgs = F.array_distinct(
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(F.col("toks"), 1, n - F.lit(1)),
+                F.slice(F.col("toks"), 2, n - F.lit(1)),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.withColumn("nxt", F.lead("w").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w", "nxt").alias("bg"))
-        .distinct()
-    )
+    return toked.select("doc_id", F.explode(bgs).alias("bg"))
 
 
 # Oracle-side shared fragments ----------------------------------------------
