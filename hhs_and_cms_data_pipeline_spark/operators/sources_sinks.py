@@ -1,0 +1,202 @@
+"""Driver-visible queries for the source/sink surface (SURVEY §2.1:
+S1 schema'd CSV scan, S2 all-string CSV scan, S4 JSON scan, K1 partitioned
+batch append, K2 atomic overwrite publish).
+
+Each builder materializes its input file/table EAGERLY (before returning the
+DataFrame) under ``spark-warehouse/driver_io/`` and derives everything from
+``nation`` — a fixed-size TPC-H table whose 25 rows are identical at every
+scale factor — so the oracle never races the write and never depends on
+which sf_dir produced the file.
+
+Reference sites: CSV scans helper_load_hhs.py:45 / load-quality.py:56-62;
+batched insert sink helper_load_hhs.py:92-99 (1000-row executemany);
+transactional commit load-hhs.py:28-33.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..session import ensure_session_conf
+from ..sinks import append_new_keys, write_parquet_atomic
+from ..sources import table
+
+_IO_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse", "driver_io")
+
+_NATION_CSV = os.path.join(_IO_DIR, "nation.csv")
+_NATION_JSONL = os.path.join(_IO_DIR, "nation.jsonl")
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.LongType(), False),
+        T.StructField("n_name", T.StringType(), True),
+        T.StructField("n_regionkey", T.LongType(), True),
+    ]
+)
+
+
+def _export_nation(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Collect nation (25 rows, identical at every SF) sorted by key."""
+    rows = (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    return [tuple(r) for r in rows]
+
+
+def _write_nation_csv(spark: SparkSession, sf_dir: str) -> None:
+    os.makedirs(_IO_DIR, exist_ok=True)
+    with open(_NATION_CSV, "w", newline="") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_MINIMAL)
+        w.writerow(["n_nationkey", "n_name", "n_regionkey"])
+        w.writerows(_export_nation(spark, sf_dir))
+
+
+def _write_nation_jsonl(spark: SparkSession, sf_dir: str) -> None:
+    os.makedirs(_IO_DIR, exist_ok=True)
+    with open(_NATION_JSONL, "w") as f:
+        for k, name, rk in _export_nation(spark, sf_dir):
+            f.write(
+                json.dumps({"n_nationkey": k, "n_name": name, "n_regionkey": rk})
+                + "\n"
+            )
+
+
+@register(
+    "s1_csv_scan_schema",
+    oracle=f"""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_csv('{_NATION_CSV}', header=true)
+    ORDER BY n_nationkey
+    """,
+    tags=("S1",),
+)
+def s1_csv_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: CSV scan with an explicit declared schema + column projection
+    (helper_load_hhs.py:45-52 reads ~100 raw columns, consumes 17). The
+    projection reaches the scan — Spark's CSV reader parses only selected
+    columns. Never inferSchema in a production path (SURVEY §1.3)."""
+    ensure_session_conf(spark)
+    _write_nation_csv(spark, sf_dir)
+    return (
+        spark.read.csv(_NATION_CSV, header=True, schema=NATION_SCHEMA)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "s2_csv_scan_strings",
+    oracle=f"""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_csv('{_NATION_CSV}', header=true, all_varchar=true)
+    ORDER BY n_nationkey
+    """,
+    tags=("S2",),
+)
+def s2_csv_scan_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: everything-is-a-string CSV scan — csv.DictReader semantics
+    (load-quality.py:56-62), with typed parsing deferred to downstream
+    column expressions (F11/F12). Spark streams and partitions the file
+    natively; the reference's 1000-row driver batching disappears."""
+    ensure_session_conf(spark)
+    _write_nation_csv(spark, sf_dir)
+    all_string = T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in NATION_SCHEMA.fields]
+    )
+    return (
+        spark.read.csv(_NATION_CSV, header=True, schema=all_string)
+        .orderBy(F.col("n_nationkey").cast("long"))
+    )
+
+
+@register(
+    "s4_json_scan",
+    oracle=f"""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_json('{_NATION_JSONL}', format='newline_delimited')
+    ORDER BY n_nationkey
+    """,
+    tags=("S4",),
+)
+def s4_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: newline-delimited JSON scan with explicit schema (the reference's
+    GeoJSON fetch, weekly-report.py:140-147, is presentation-side; the engine
+    capability is the JSON source itself)."""
+    ensure_session_conf(spark)
+    _write_nation_jsonl(spark, sf_dir)
+    return (
+        spark.read.schema(NATION_SCHEMA)
+        .json(_NATION_JSONL)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "k1_partitioned_append",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("K1", "K3"),
+)
+def k1_partitioned_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K3: idempotent partitioned append, read back. The same batch is
+    appended twice; the second pass anti-joins to a no-op (ON CONFLICT DO
+    NOTHING, helper_load_hhs.py:96,163), so read-back equals one copy of
+    nation. Batching is per-partition parallel Parquet writes — the
+    reference's 1000-row executemany flush has no distributed analogue to
+    hand-tune. Partitioning by n_regionkey mirrors the date-partitioned
+    fact-table layout that buys partition pruning at 100 TB."""
+    ensure_session_conf(spark)
+    path = os.path.join(_IO_DIR, "k1_nation")
+    shutil.rmtree(path, ignore_errors=True)
+    src = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    for _ in range(2):  # second append must be a no-op
+        append_new_keys(spark, src, path, keys=["n_nationkey"], partition_by=["n_regionkey"])
+    return (
+        spark.read.parquet(path)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "k2_atomic_publish",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY 1
+    ORDER BY n_regionkey
+    """,
+    tags=("K2",),
+)
+def k2_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: all-or-nothing publish (write temp dir + atomic rename), read
+    back. Mirrors the reference's single-transaction load with rollback on
+    failure (load-hhs.py:28-34): readers never observe a partial table."""
+    ensure_session_conf(spark)
+    path = os.path.join(_IO_DIR, "k2_region_counts")
+    agg = (
+        table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    write_parquet_atomic(agg, path)
+    return spark.read.parquet(path).orderBy("n_regionkey")

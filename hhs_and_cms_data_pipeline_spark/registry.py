@@ -29,6 +29,7 @@ _OPERATOR_MODULES = (
     "hhs_and_cms_data_pipeline_spark.operators.text",
     "hhs_and_cms_data_pipeline_spark.operators.multimodal",
     "hhs_and_cms_data_pipeline_spark.operators.streaming_batch",
+    "hhs_and_cms_data_pipeline_spark.operators.sources_sinks",
 )
 
 
