@@ -31,6 +31,7 @@ def main() -> None:
     specs = {n: s for n, s in all_specs().items() if s.bench}
     # Warm the JVM/codegen path once on the smallest query so per-query times
     # measure the plan, not session startup.
+    specs["text_token_stats"].builder(spark, sf_dir).collect()
     timings: dict[str, float] = {}
     for name in sorted(specs):
         spec = specs[name]

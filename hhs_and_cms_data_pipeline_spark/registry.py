@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "hhs_and_cms_data_pipeline_spark.operators.multimodal",
     "hhs_and_cms_data_pipeline_spark.operators.streaming_batch",
     "hhs_and_cms_data_pipeline_spark.operators.sources_sinks",
+    "hhs_and_cms_data_pipeline_spark.operators.relational_ext",
 )
 
 
