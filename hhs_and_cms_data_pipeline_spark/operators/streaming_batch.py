@@ -147,3 +147,61 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState), checked
+# against the same oracle as the batch sessionizer: the stateful run over
+# chronological micro-batches must reproduce the batch result exactly.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_stateful_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM ordered)
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("ST4",),
+)
+def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionizer run for real: events staged as
+    time-range files, consumed one file per micro-batch, per-user open-session
+    state carried across batches, update-mode emission deduped to finals.
+    The oracle is the plain batch SQL — the stateful pipeline must agree."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..streaming.stateful import run_stateful_sessionize, stage_chronological_files
+
+    ensure_session_conf(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"stateful_sessions_{tag}")
+    ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
+    stage_chronological_files(spark, sf_dir, stage)
+    final, _ = run_stateful_sessionize(spark, stage, ckpt, f"stateful_sessions_{tag}")
+    return final

@@ -1,0 +1,168 @@
+"""Custom stateful streaming operator: sessionization with
+``applyInPandasWithState`` (SURVEY §2.10 — no reference counterpart; the
+task's streaming surface requires a hand-rolled stateful op).
+
+Semantics contract (identical to the batch gaps-and-islands form in
+operators/streaming_batch.py:stream_sessionize, 30-minute inactivity gap,
+ties broken by (ts, event_id)): the stateful run over chronological
+micro-batches must produce exactly the rows the batch query produces on the
+static table — and is differentially checked against the same SQL oracle.
+
+Scale notes: state is one tiny tuple per user (open-session bounds + seq),
+partitioned by user_id — high cardinality, no skew, bounded memory. Each
+micro-batch ships one Arrow batch per user group to Python; emission is
+"update" (closed sessions final + open-session snapshot), so downstream
+dedup is a max() per (user_id, session_seq) — sessions only grow.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .events import EVENTS_RAW_SCHEMA
+
+_GAP_NS = 30 * 60 * 1_000_000_000  # 30 min in ns (ts is int64 ns in-flight)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_seq", T.LongType(), False),
+        T.StructField("start_ns", T.LongType(), False),
+        T.StructField("end_ns", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+# (session_seq, start_ns, last_ns, n_events) of the open session.
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_seq", T.LongType(), False),
+        T.StructField("start_ns", T.LongType(), False),
+        T.StructField("last_ns", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+
+def sessionize_with_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this user's micro-batch rows into the open-session state.
+
+    Emits every session CLOSED by this batch plus a snapshot of the one
+    still open (update semantics — later batches re-emit it grown)."""
+    (user_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+
+    if state.exists:
+        seq, start_ns, last_ns, n = state.get
+    else:
+        seq, start_ns, last_ns, n = 0, None, None, 0
+
+    out: list[tuple] = []
+    for ts, _eid in zip(rows["ts"].astype("int64"), rows["event_id"]):
+        if start_ns is None:
+            seq, start_ns, last_ns, n = seq + 1, ts, ts, 1
+        elif ts - last_ns > _GAP_NS:
+            out.append((user_id, seq, start_ns, last_ns, n))  # closed
+            seq, start_ns, last_ns, n = seq + 1, ts, ts, 1
+        else:
+            last_ns, n = ts, n + 1
+    state.update((seq, start_ns, last_ns, n))
+    out.append((user_id, seq, start_ns, last_ns, n))  # open-session snapshot
+    yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields])
+
+
+def stage_chronological_files(spark: SparkSession, sf_dir: str, stage_dir: str, n_files: int = 4) -> str:
+    """Split events.parquet into n time-range files with ascending mtimes so
+    the file source (maxFilesPerTrigger=1) delivers chronological
+    micro-batches — the landing-zone arrival pattern, reproduced
+    deterministically for tests and the driver."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    # ts is TIMESTAMP(NANOS); sort and slice into equal-count time ranges
+    # (ties share a ts value, hence always land in the same slice).
+    tbl = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    n = tbl.num_rows
+    cuts = [round(i * n / n_files) for i in range(n_files + 1)]
+    ts_col = tbl.column("ts").to_pylist()
+    for i in range(1, n_files):  # move cut to a ts boundary (no split ties)
+        c = cuts[i]
+        while 0 < c < n and ts_col[c] == ts_col[c - 1]:
+            c += 1
+        cuts[i] = c
+    base = 1_600_000_000
+    for i in range(n_files):
+        lo, hi = cuts[i], cuts[i + 1]
+        if lo >= hi:
+            continue
+        path = os.path.join(stage_dir, f"part-{i}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), path)
+        os.utime(path, (base + i * 60, base + i * 60))
+    return stage_dir
+
+
+def run_stateful_sessionize(
+    spark: SparkSession, stage_dir: str, checkpoint_dir: str, query_name: str
+) -> tuple[DataFrame, int]:
+    """Run the stateful sessionizer over the staged files; returns the
+    deduplicated final sessions and the number of micro-batches executed."""
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage_dir)
+        .select("user_id", "ts", "event_id")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize_with_state,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    # update-mode log: the last emission per (user, session) is the biggest —
+    # sessions only grow — so max() collapses snapshots into finals.
+    final = (
+        spark.table(query_name)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("start_ns").alias("start_ns"),
+            F.max("end_ns").alias("end_ns"),
+            F.max("n_events").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            F.timestamp_micros(F.expr("start_ns div 1000")).alias("session_start"),
+            F.timestamp_micros(F.expr("end_ns div 1000")).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_seq")
+    )
+    return final, n_batches

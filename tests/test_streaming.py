@@ -48,3 +48,23 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     n2 = spark.read.parquet(target).count()
     assert n1 == n2 > 0
     assert spark.read.parquet(target).select("event_id").distinct().count() == n1
+
+
+def test_stateful_sessionize_crosses_batches(spark, tmp_path):
+    """The stateful sessionizer must see multiple micro-batches (state is
+    really carried across them) and agree with the batch gaps-and-islands."""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.streaming.stateful import (
+        run_stateful_sessionize,
+        stage_chronological_files,
+    )
+
+    stage = stage_chronological_files(spark, SF_SMOKE, str(tmp_path / "stage"))
+    final, n_batches = run_stateful_sessionize(
+        spark, stage, str(tmp_path / "ckpt"), "t_stateful_sessions"
+    )
+    assert n_batches >= 2, "expected several chronological micro-batches"
+
+    batch = all_specs()["stream_sessionize"].builder(spark, SF_SMOKE)
+    canon = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert canon(final.collect()) == canon(batch.collect())
