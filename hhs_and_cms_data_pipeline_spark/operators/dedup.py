@@ -315,50 +315,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token votes (+1/-1 from the token hash's bit). Near-dups = pairs
     within Hamming distance 2.
 
-    All-pairs comparison is quadratic by contract here; the 100 TB version
-    blocks on bit-prefix buckets (pigeonhole: distance<=2 over 16 bits means
-    at least one 5-bit prefix of 3 disjoint chunks matches exactly).
+    Scale shape: the signature is computed PER-ROW (distinct-token array ->
+    one md5 per token -> one fold accumulating all 16 bit-counts), so the
+    whole signature stage is map-only — no explode shuffle, no 16x row
+    amplification. Pairing uses pigeonhole prefix blocking: distance<=2
+    over 3 disjoint chunks (6|5|5 bits) forces at least one chunk to match
+    exactly, so candidates come from chunk-bucket joins, and the exact
+    Hamming check runs only on them — lossless and linear-ish instead of
+    quadratic. The oracle is the independent all-pairs formulation.
     """
     ensure_session_conf(spark)
     docs = table(spark, sf_dir, "documents")
-    uni = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
-    js = spark.range(1, _SIM_BITS + 1).withColumnRenamed("id", "j")
-    vote = F.when(
-        F.expr("instr('89abcdef', substr(md5(w), CAST(j AS INT), 1)) > 0"), F.lit(1)
-    ).otherwise(F.lit(-1))
-    bits = (
-        uni.crossJoin(F.broadcast(js))
-        .select("doc_id", "j", vote.alias("v"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("v").alias("s"))
-        .select(
-            "doc_id",
-            "j",
-            F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+    js = F.sequence(F.lit(1), F.lit(_SIM_BITS))
+    # materialize one md5 per distinct token, then fold once into 16 counts
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda w: F.md5(w)
+        ).alias("hs"),
+    )
+    counts = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0), _SIM_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            js,
+            lambda a, j: a
+            + F.when(
+                F.lit("89abcdef").contains(h.substr(j, F.lit(1))), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    sig = F.array_join(
+        F.transform(
+            counts, lambda c: F.when(c >= 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
+    sigs = hashed.select("doc_id", sig.alias("sig"))
+    # pigeonhole blocking: chunks at 1-6, 7-11, 12-16
+    chunk_bounds = ((1, 6), (7, 5), (12, 5))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cid"),
+                        F.substring("sig", pos, ln).alias("ch"),
+                    )
+                    for i, (pos, ln) in enumerate(chunk_bounds)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sig", F.col("c.cid").alias("cid"), F.col("c.ch").alias("ch"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-    )
-    sigs = bits.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "bit"))), lambda x: x["bit"]
-            ),
-            "",
-        ).alias("sig")
-    )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    hamming = None
-    for j in range(1, _SIM_BITS + 1):
-        term = (
-            F.substring(F.col("a.sig"), j, 1) != F.substring(F.col("b.sig"), j, 1)
-        ).cast("int")
-        hamming = term if hamming is None else hamming + term
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
+        .distinct()
+    )
+    hamming = None
+    for j in range(1, _SIM_BITS + 1):
+        term = (
+            F.substring(F.col("sig_a"), j, 1) != F.substring(F.col("sig_b"), j, 1)
+        ).cast("int")
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )

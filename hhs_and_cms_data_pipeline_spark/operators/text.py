@@ -114,6 +114,49 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE-ish regex tokenization (GPT-2-style splitter, ASCII-safe subset so the
+# Java (Spark) and RE2 (DuckDB) regex engines agree exactly).
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+_WORD_RE = r"[A-Za-z0-9]+"
+
+
+@register(
+    "text_regex_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens,
+           len(regexp_extract_all(text, '{_WORD_RE}')) AS n_words,
+           len(regexp_extract_all(text, '{_TOKEN_RE}'))
+             - len(regexp_extract_all(text, '{_WORD_RE}')) AS n_punct,
+           len(list_distinct(regexp_extract_all(text, '{_WORD_RE}'))) AS n_vocab
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("TX5",),
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex tokenization (word runs + single punctuation marks,
+    the shape of GPT-2's pre-tokenizer restricted to ASCII classes so both
+    regex engines split identically). Pure map-only column expressions."""
+    ensure_session_conf(spark)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    words = F.regexp_extract_all(F.col("text"), F.lit(_WORD_RE), 0)
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(words).cast("long").alias("n_words"),
+            (F.size(toks) - F.size(words)).cast("long").alias("n_punct"),
+            F.size(F.array_distinct(words)).cast("long").alias("n_vocab"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Quality scoring (length / stopword / repetition heuristics).
 # --------------------------------------------------------------------------
 
@@ -255,6 +298,22 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Polynomial rolling hash: fold (acc*B + h(token)) mod P over the token
+# stream, h = first 32 md5 bits reduced mod P. Order-sensitive by design
+# (reordered docs fingerprint differently, unlike the min-hash) and exact in
+# int64: acc < 2^31, so acc*B + h < 2^52. Spark's aggregate (seed 0) and
+# DuckDB's list_reduce (seed = first element) agree because the per-element
+# transform already reduces mod P: 0*B + (h1 mod P) == h1 mod P.
+_RH_B = 1000003
+_RH_P = (1 << 31) - 1
+
+_SQL_ROLLING = f"""list_reduce(
+      list_transform(string_split(text, ' '),
+        w -> CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT)
+             % {_RH_P}),
+      (acc, x) -> (acc * {_RH_B} + x) % {_RH_P})"""
+
+
 @register(
     "text_fingerprint",
     oracle=f"""
@@ -265,15 +324,20 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            md5(trim(d.text)) AS exact_fp,
            substr(md5(trim(d.text)), 1, 16) AS exact_fp16,
-           m.content_fp
+           m.content_fp,
+           {_SQL_ROLLING} AS rolling_fp
     FROM documents d LEFT JOIN minhash m ON d.doc_id = m.doc_id
     ORDER BY d.doc_id
     """,
     tags=("TX4",),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact fingerprint (md5 of trimmed text) + content fingerprint (min
-    bigram hash — a 1-permutation MinHash, robust to reordering tails)."""
+    """Document fingerprints, three flavors: exact (md5 of trimmed text),
+    content (min bigram hash — a 1-permutation MinHash, robust to reordering
+    tails), and a polynomial rolling hash over the token stream
+    (order-sensitive, the building block of winnowing-style chunking).
+    All map-only except the bigram min, which is one partial-aggregated
+    shuffle."""
     ensure_session_conf(spark)
     docs = table(spark, sf_dir, "documents")
     minhash = (
@@ -281,10 +345,23 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min(F.md5(F.col("bg"))).alias("content_fp"))
     )
+    rolling = F.aggregate(
+        F.transform(
+            tokens(),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+            % F.lit(_RH_P),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(_RH_B) + h) % F.lit(_RH_P),
+    )
     return (
-        docs.select("doc_id", F.md5(F.trim(F.col("text"))).alias("exact_fp"))
+        docs.select(
+            "doc_id",
+            F.md5(F.trim(F.col("text"))).alias("exact_fp"),
+            rolling.alias("rolling_fp"),
+        )
         .withColumn("exact_fp16", F.substring("exact_fp", 1, 16))
         .join(minhash, "doc_id", "left")
-        .select("doc_id", "exact_fp", "exact_fp16", "content_fp")
+        .select("doc_id", "exact_fp", "exact_fp16", "content_fp", "rolling_fp")
         .orderBy("doc_id")
     )

@@ -1,0 +1,75 @@
+"""Physical-plan regression tests (SURVEY §4): the scale-critical plan
+properties — predicate pushdown, column pruning, broadcast of dims, map-only
+stages staying shuffle-free — are asserted, so a change that silently adds
+an exchange or widens a scan fails here, not on a cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from hhs_and_cms_data_pipeline_spark.plans.audit import (
+    count_broadcast_joins,
+    count_exchanges,
+    formatted_plan,
+    pushed_filters,
+    scan_columns,
+)
+from hhs_and_cms_data_pipeline_spark.registry import all_specs
+from hhs_and_cms_data_pipeline_spark.sources import table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_specs()
+
+
+def test_flagship_pushdown_pruning_broadcast(spark, specs):
+    plan = formatted_plan(specs["flagship_utilization"].builder(spark, SF_SMOKE))
+    # the shipdate cutoff must reach the lineitem Parquet scan
+    assert any("l_shipdate" in f and "LessThanOrEqual" in f for f in pushed_filters(plan))
+    # the lineitem scan must read only the 4 needed columns
+    assert scan_columns(plan, containing="l_extendedprice") == {
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+    # all three joins on the dim side are broadcast at this SF
+    assert count_broadcast_joins(plan) >= 3
+
+
+def test_projection_reaches_scan(spark, specs):
+    plan = formatted_plan(specs["p1_column_projection"].builder(spark, SF_SMOKE))
+    cols = scan_columns(plan, containing="l_orderkey")
+    assert "l_comment" not in cols and len(cols) <= 6
+
+
+def test_shingling_is_map_only(spark):
+    from hhs_and_cms_data_pipeline_spark.operators.text import word_bigrams
+
+    plan = formatted_plan(word_bigrams(table(spark, SF_SMOKE, "documents")))
+    assert count_exchanges(plan) == 0, "shingling must not shuffle"
+
+
+def test_binary_manifest_is_single_pass(spark):
+    from hhs_and_cms_data_pipeline_spark.operators.multimodal import mm_binary_meta
+
+    plan = formatted_plan(mm_binary_meta(spark, SF_SMOKE))
+    # manifest scan: one pass, the only exchange is the final orderBy sort
+    assert count_exchanges(plan) <= 1
+
+
+def test_exact_dedup_single_aggregation_shuffle(spark, specs):
+    plan = formatted_plan(specs["dedup_exact"].builder(spark, SF_SMOKE))
+    # one exchange for the hash agg + one for the output sort; partial
+    # (map-side) aggregation must be present
+    assert count_exchanges(plan) <= 2
+    assert plan.count("HashAggregate") >= 2, "expected partial+final agg"
+
+
+def test_topk_compiles_to_take_ordered(spark, specs):
+    plan = formatted_plan(specs["t6_topk_by_measure"].builder(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
+def test_semi_join_recent_weeks_broadcasts(spark, specs):
+    plan = formatted_plan(specs["r2_recent_weeks_summary"].builder(spark, SF_SMOKE))
+    assert "LeftSemi" in plan and count_broadcast_joins(plan) >= 1
