@@ -497,3 +497,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _COS_TAU)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup via random-hyperplane LSH (the blocked scale path for
+# D5's all-pairs contract).
+# --------------------------------------------------------------------------
+
+_N_PLANES = 8
+_EMB_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic +-1 hyperplanes from md5(plane:dim) — reproducible
+    everywhere, embedded as literals in both the Spark plan and the oracle
+    SQL (no RNG, no engine-side hashing in the hot loop)."""
+    import hashlib
+
+    planes = []
+    for p in range(_N_PLANES):
+        row = []
+        for i in range(_EMB_DIM):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            row.append(1.0 if h[0] in "89abcdef" else -1.0)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplanes()
+_SQL_PLANES = ", ".join(
+    "[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in _PLANES
+)
+_SQL_SIG = "||".join(
+    f"(CASE WHEN {sql_emb_dot('embedding', f'pl[{p + 1}]')} >= 0"
+    " THEN '1' ELSE '0' END)"
+    for p in range(_N_PLANES)
+)
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH pls AS (SELECT [{_SQL_PLANES}]::DOUBLE[][] AS pl),
+    sigs AS (
+      SELECT vec_id, embedding, {_SQL_SIG} AS sig
+      FROM embeddings, pls),
+    norms AS ({{norms}}),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           {sql_emb_dot('ea', 'eb')} / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+    FROM cand
+    JOIN norms na ON vec_a = na.vec_id
+    JOIN norms nb ON vec_b = nb.vec_id
+    WHERE {sql_emb_dot('ea', 'eb')} / (sqrt(na.n2) * sqrt(nb.n2)) >= {_COS_TAU}
+    ORDER BY vec_a, vec_b
+    """.format(norms=SQL_EMB_NORMS),
+    tags=("D6",),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup: 8 sign bits (one per hyperplane)
+    bucket the vectors; only same-bucket pairs get the exact cosine check.
+    Blocking is lossy by design (angle ~25.6deg at cos 0.45 => a colliding
+    bucket keeps ~1-(theta/pi)^8 of true pairs per band; add bands to raise
+    recall) and the oracle implements the SAME blocking, so the check is
+    exact. Signatures are per-row folds against literal +-1 planes
+    (constant-folded by Catalyst): the whole signature stage is map-only,
+    and buckets shard the corpus for the pair join — this is the 100 TB
+    path next to D5's quadratic contract.
+    """
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bits = []
+    for p in range(_N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _PLANES[p]])
+        dot = emb_dot(F.col("embedding"), plane)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    sigs = emb.select(
+        "vec_id", "embedding", F.concat(*bits).alias("sig"),
+        emb_norm2(F.col("embedding")).alias("n2"),
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("n2").alias("na"), "sig",
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb"), F.col("sig").alias("sig_b"),
+    )
+    pairs = a.join(b, (F.col("sig") == F.col("sig_b")) & (F.col("vec_a") < F.col("vec_b")))
+    cosine = emb_dot(F.col("ea"), F.col("eb")) / (F.sqrt("na") * F.sqrt("nb"))
+    return (
+        pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _COS_TAU)
+        .orderBy("vec_a", "vec_b")
+    )
