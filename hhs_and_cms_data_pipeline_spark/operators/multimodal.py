@@ -142,3 +142,104 @@ def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return payloads.mapInPandas(extract_frame_features, FRAME_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Resize / frame-sample plumbing (stub codec, real Spark mechanics).
+# --------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("dst_width", T.IntegerType(), False),
+        T.StructField("dst_height", T.IntegerType(), False),
+        T.StructField("thumb", T.BinaryType(), True),
+    ]
+)
+
+_THUMB = 8  # target thumbnail side
+
+
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize worker: decode (stub) -> downsample the byte grid
+    to an 8x8 thumbnail by strided sampling. A real codec swaps fake_decode
+    + the sampling loop for PIL resize; schema/batching stay identical."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            meta = fake_decode(data)
+            w, h = meta["width"], meta["height"]
+            thumb = bytes(
+                data[(y * max(1, len(data) // (_THUMB * _THUMB)) + x) % len(data)]
+                for y in range(_THUMB)
+                for x in range(_THUMB)
+            ) if data else None
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "src_width": w,
+                    "src_height": h,
+                    "dst_width": _THUMB,
+                    "dst_height": _THUMB,
+                    "thumb": thumb,
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+
+@register(
+    "mm_resize",
+    oracle=None,  # python-side decode: rows-only check; unit-tested
+    tags=("MM3",),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads -> fixed-size thumbnails via Arrow-batched
+    mapInPandas. One python worker per core, no shuffle; output is a typed
+    binary column + dimension metadata — the write side of an image-derivative
+    pipeline at 100 TB (partition by size class before the write)."""
+    ensure_session_conf(spark)
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS byte_len,
+             CAST(floor(octet_length(encode(text)) / 100) AS BIGINT) AS n_frames
+      FROM documents)
+    SELECT doc_id, byte_len, n_frames,
+           CAST(CASE WHEN n_frames > 8 THEN 8 ELSE n_frames END AS BIGINT)
+             AS n_sampled
+    FROM frames
+    WHERE n_frames > 0
+    ORDER BY doc_id
+    """,
+    tags=("MM4",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan for a video-like payload: treat every 100 bytes
+    as one frame, sample uniformly capped at 8 frames. The *selection*
+    arithmetic is pure column math (oracle-checked); actual frame extraction
+    is the mapInPandas pattern of mm_resize with a codec stub."""
+    ensure_session_conf(spark)
+    byte_len = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    n_frames = F.floor(byte_len / 100).cast("long")
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            byte_len.alias("byte_len"),
+            n_frames.alias("n_frames"),
+            F.least(n_frames, F.lit(8)).cast("long").alias("n_sampled"),
+        )
+        .filter(F.col("n_frames") > 0)
+        .orderBy("doc_id")
+    )

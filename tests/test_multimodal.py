@@ -40,3 +40,20 @@ def test_frame_features_schema_and_rows(spark):
     # deterministic across runs (pure function of payload)
     r2 = {x["doc_id"]: x for x in mm_frame_features(spark, SF_SMOKE).collect()}[0]
     assert r["features"] == r2["features"]
+
+
+def test_resize_schema_and_determinism(spark):
+    from hhs_and_cms_data_pipeline_spark.operators.multimodal import (
+        RESIZE_SCHEMA,
+        mm_resize,
+    )
+
+    df = mm_resize(spark, SF_SMOKE)
+    assert df.schema == RESIZE_SCHEMA
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) == 500
+    r = rows[0]
+    assert r["dst_width"] == r["dst_height"] == 8
+    assert len(r["thumb"]) == 64
+    r2 = {x["doc_id"]: x for x in mm_resize(spark, SF_SMOKE).collect()}[0]
+    assert bytes(r["thumb"]) == bytes(r2["thumb"])
