@@ -1,0 +1,264 @@
+"""Window-frame analytics and scale-technique operators.
+
+SURVEY §2.5 notes the reference never uses explicit frames, RANK/NTILE, or
+moving averages ("Spark Window.rowsBetween covers all") — these close that
+gap. The salted-join and bucketed-join operators demonstrate the two
+standard 100 TB shuffle strategies (skew mitigation, co-located joins) as
+oracle-checked queries: the optimized plan must return byte-identical
+results to the naive formulation the oracle runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, sql_dsum
+from ..registry import register
+from ..session import ensure_session_conf
+from ..sources import table
+
+# --------------------------------------------------------------------------
+# Explicit-frame moving average over daily revenue.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w4_moving_average",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1)
+    SELECT d, revenue,
+           CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) AS ma7
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY d
+    """,
+    tags=("W4",),
+)
+def w4_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average with an explicit ROWS frame. The global-order
+    window runs on the pre-aggregated daily frame (thousands of rows even at
+    100 TB), so the single-partition window is safe by construction; the
+    in-frame sum goes through decimal so both engines agree bitwise."""
+    ensure_session_conf(spark)
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    ma7 = (
+        F.sum(F.col("revenue").cast("decimal(38,6)")).over(w).cast("string").cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    return daily.withColumn("ma7", ma7).orderBy("d")
+
+
+# --------------------------------------------------------------------------
+# RANK / DENSE_RANK / NTILE.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w5_rank_ntile",
+    oracle=f"""
+    WITH by_nation AS (
+      SELECT n_name AS nation, {sql_dsum('c_acctbal')} AS total_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1)
+    SELECT nation, total_bal,
+           RANK() OVER (ORDER BY total_bal DESC, nation) AS rnk,
+           DENSE_RANK() OVER (ORDER BY total_bal DESC, nation) AS drnk,
+           NTILE(4) OVER (ORDER BY total_bal DESC, nation) AS quartile
+    FROM by_nation
+    ORDER BY rnk, nation
+    """,
+    tags=("W5",),
+)
+def w5_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking functions over per-nation balance totals (25 rows after the
+    aggregate — the window is cheap; the heavy lifting is the broadcast join
+    + hash agg that precedes it). Tiebreak on nation keeps NTILE stable."""
+    ensure_session_conf(spark)
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    by_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum("c_acctbal", "total_bal"))
+    )
+    w = Window.orderBy(F.desc("total_bal"), F.asc("nation"))
+    return (
+        by_nation.select(
+            "nation",
+            "total_bal",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("rnk", "nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE (all grouping-set combinations).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("XA3",),
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one scan — Spark expands the
+    grouping sets inside a single hash aggregate (same one-pass property as
+    ROLLUP, one extra expand factor)."""
+    ensure_session_conf(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Salted join: skew-mitigation technique, result-identical to a plain join.
+# --------------------------------------------------------------------------
+
+_N_SALTS = 8
+
+
+@register(
+    "salted_skew_join",
+    oracle=f"""
+    WITH user_dim AS (
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events GROUP BY 1)
+    SELECT e.event_type, COUNT(*) AS n,
+           {sql_dsum('e.value')} AS sum_value,
+           MAX(d.n_events) AS max_user_events
+    FROM events e JOIN user_dim d ON e.user_id = d.user_id
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("XS1",),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: the fact side gets a random-ish salt (hash of the
+    row id mod 8), the dim side is replicated once per salt value, and the
+    join key becomes (user_id, salt) — a hot user's rows now spread over 8
+    reducers instead of one. The oracle runs the UNSALTED join: salting must
+    be result-invariant. At 100 TB this is the manual fallback when AQE's
+    skew split can't help (e.g. a skewed broadcast-ineligible dim)."""
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    salts = spark.range(_N_SALTS).withColumnRenamed("id", "salt")
+    fact = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(_N_SALTS)).cast("long"))
+    dim_rep = dim.crossJoin(F.broadcast(salts))
+    return (
+        fact.join(dim_rep, ["user_id", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+            F.max("n_events").alias("max_user_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join: shuffle-free fact join via bucketBy.
+# --------------------------------------------------------------------------
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregation bucketed join (shared with the plan test): both
+    sides read from bucketed tables and a merge hint forces sort-merge (at
+    test SFs the dim would otherwise broadcast) — the plan must contain NO
+    shuffle exchange before the join."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o_name, c_name = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    o = spark.table(o_name).hint("merge")
+    c = (
+        spark.table(c_name)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .hint("merge")
+    )
+    return o.join(c, o.o_custkey == c.c_custkey)
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("XS2",),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two tables bucketed on the join key: both sides are pre-hashed
+    into the same bucket layout at write time, so the join needs NO shuffle
+    exchange (asserted in tests/test_plans.py). This is the 100 TB answer
+    for repeated fact⋈fact joins on a stable key — pay the partitioning once
+    at write, never again at read. The oracle joins the raw parquet."""
+    ensure_session_conf(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o_name, c_name = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    catalog = spark.catalog
+    # the catalog is in-memory per session but the warehouse dir persists:
+    # drop orphaned table locations left by previous sessions
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for name in (o_name, c_name):
+        if not catalog.tableExists(name):
+            loc = os.path.join(warehouse.removeprefix("file:"), name)
+            shutil.rmtree(loc, ignore_errors=True)
+    if not catalog.tableExists(o_name):
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(o_name)
+        )
+    if not catalog.tableExists(c_name):
+        (
+            table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(c_name)
+        )
+    return (
+        bucketed_join(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderpriority")
+    )

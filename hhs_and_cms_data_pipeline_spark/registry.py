@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "hhs_and_cms_data_pipeline_spark.operators.streaming_batch",
     "hhs_and_cms_data_pipeline_spark.operators.sources_sinks",
     "hhs_and_cms_data_pipeline_spark.operators.relational_ext",
+    "hhs_and_cms_data_pipeline_spark.operators.windows_scale",
 )
 
 

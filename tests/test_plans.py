@@ -73,3 +73,13 @@ def test_topk_compiles_to_take_ordered(spark, specs):
 def test_semi_join_recent_weeks_broadcasts(spark, specs):
     plan = formatted_plan(specs["r2_recent_weeks_summary"].builder(spark, SF_SMOKE))
     assert "LeftSemi" in plan and count_broadcast_joins(plan) >= 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, specs):
+    from hhs_and_cms_data_pipeline_spark.operators.windows_scale import bucketed_join
+
+    # materialize the bucketed tables first
+    specs["bucketed_colocated_join"].builder(spark, SF_SMOKE).collect()
+    plan = formatted_plan(bucketed_join(spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan, "merge hint must force SMJ over broadcast"
+    assert count_exchanges(plan) == 0, "bucketed join must be shuffle-free"
