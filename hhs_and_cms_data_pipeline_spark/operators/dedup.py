@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import ensure_session_conf
-from ..sources import table
+from ..sources import spread, table
 from .text import SQL_BIGRAMS, word_bigrams
 
 # --------------------------------------------------------------------------
@@ -126,7 +126,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rest.
     """
     ensure_session_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     return (
         _jaccard_pairs(docs)
         .filter(F.col("jaccard") >= _JACCARD_TAU)
@@ -207,7 +207,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broder'97/MMDS ch.3, on DataFrame ops only.
     """
     ensure_session_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     big = word_bigrams(docs)
     mh = big.groupBy("doc_id").agg(
         *[
@@ -325,7 +325,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic. The oracle is the independent all-pairs formulation.
     """
     ensure_session_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     js = F.sequence(F.lit(1), F.lit(_SIM_BITS))
     # materialize one md5 per distinct token, then fold once into 16 counts
     hashed = docs.select(

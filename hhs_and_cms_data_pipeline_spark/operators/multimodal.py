@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from ..registry import register
 from ..session import ensure_session_conf
-from ..sources import table
+from ..sources import spread, table
 
 # --------------------------------------------------------------------------
 # Binary payload + metadata columns (oracle-checked: byte ops are portable).
@@ -138,7 +138,7 @@ def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     for resize / frame-sample / audio-feature jobs at 100 TB.
     """
     ensure_session_conf(spark)
-    payloads = table(spark, sf_dir, "documents").select(
+    payloads = spread(table(spark, sf_dir, "documents")).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return payloads.mapInPandas(extract_frame_features, FRAME_FEATURE_SCHEMA)
@@ -201,7 +201,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary column + dimension metadata — the write side of an image-derivative
     pipeline at 100 TB (partition by size class before the write)."""
     ensure_session_conf(spark)
-    payloads = table(spark, sf_dir, "documents").select(
+    payloads = spread(table(spark, sf_dir, "documents")).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return payloads.mapInPandas(resize_batches, RESIZE_SCHEMA)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import ensure_session_conf
-from ..sources import table
+from ..sources import spread, table
 
 # Spark-side shared fragments ------------------------------------------------
 
@@ -341,7 +341,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     docs = table(spark, sf_dir, "documents")
     minhash = (
-        word_bigrams(docs)
+        word_bigrams(spread(docs))
         .groupBy("doc_id")
         .agg(F.min(F.md5(F.col("bg"))).alias("content_fp"))
     )

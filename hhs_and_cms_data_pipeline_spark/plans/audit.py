@@ -38,6 +38,12 @@ def count_exchanges(plan: str) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
+def count_data_shuffles(plan: str) -> int:
+    """Exchanges that move data BY KEY (hash/range) — excludes the deliberate
+    round-robin rebalance `sources.spread` adds for single-file inputs."""
+    return count_exchanges(plan) - len(re.findall(r"RoundRobinPartitioning", plan))
+
+
 def count_broadcast_joins(plan: str) -> int:
     return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
 

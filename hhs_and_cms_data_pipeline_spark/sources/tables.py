@@ -39,5 +39,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a single-file table to the session's full parallelism.
+
+    The testdata tables are one Parquet file (= one row group = ONE input
+    partition), which serializes every downstream map stage onto one core —
+    measured 3x on shingling at sf0.1. Use on tables feeding CPU-heavy
+    per-row work (hashing, Python workers). At 100 TB inputs arrive as many
+    files and this round-robin shuffle of a small table is negligible."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     return SimpleNamespace(**{t: table(spark, sf_dir, t) for t in TABLES})

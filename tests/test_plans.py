@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from hhs_and_cms_data_pipeline_spark.plans.audit import (
+    count_data_shuffles,
     count_broadcast_joins,
     count_exchanges,
     formatted_plan,
@@ -59,9 +60,10 @@ def test_binary_manifest_is_single_pass(spark):
 
 def test_exact_dedup_single_aggregation_shuffle(spark, specs):
     plan = formatted_plan(specs["dedup_exact"].builder(spark, SF_SMOKE))
-    # one exchange for the hash agg + one for the output sort; partial
+    # one keyed exchange for the hash agg + one for the output sort (the
+    # spread() round-robin rebalance is not a data shuffle); partial
     # (map-side) aggregation must be present
-    assert count_exchanges(plan) <= 2
+    assert count_data_shuffles(plan) <= 2
     assert plan.count("HashAggregate") >= 2, "expected partial+final agg"
 
 
