@@ -262,3 +262,117 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Date-partitioned fact layout: writes prune at the directory level.
+# --------------------------------------------------------------------------
+
+
+def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders partitioned by order year (once per sf_dir) —
+    the layout SURVEY §4 prescribes for every date-filtered report query."""
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"orders_by_year_{tag}",
+    )
+    if not os.path.exists(path):
+        (
+            table(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate").cast("int"))
+            .write.partitionBy("o_year")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def pruned_year_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-pruned read (shared with the plan test)."""
+    path = partitioned_orders_path(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_year") == 1995)
+        .select("o_orderpriority", "o_totalprice")
+    )
+
+
+@register(
+    "partition_pruned_scan",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    WHERE CAST(year(o_orderdate) AS INT) = 1995
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("XS3",),
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query over the year-partitioned fact: the o_year=1995 predicate prunes
+    at the DIRECTORY level (asserted via PartitionFilters in the plan test) —
+    the scan never opens the other years' files. This is what makes
+    `WHERE collection_week <= X` affordable on a 100 TB fact."""
+    ensure_session_conf(spark)
+    return (
+        pruned_year_scan(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 (pricing summary report) — the canonical wide-aggregate scan.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_dsum('l_quantity')} / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+           {sql_dsum('l_extendedprice')} / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+           {sql_dsum('l_discount')} / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    tags=("TPCH1",),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: one wide hash aggregate over the pushed-down shipdate scan —
+    the canonical map-side-partial aggregation benchmark. All sums/avgs go
+    through the exact decimal route so the oracle hash matches bitwise."""
+    ensure_session_conf(spark)
+    from ..functions.exact import davg
+
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = net * (F.lit(1) + F.col("l_tax"))
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(net, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -85,3 +85,15 @@ def test_bucketed_join_has_no_shuffle(spark, specs):
     plan = formatted_plan(bucketed_join(spark, SF_SMOKE))
     assert "SortMergeJoin" in plan, "merge hint must force SMJ over broadcast"
     assert count_exchanges(plan) == 0, "bucketed join must be shuffle-free"
+
+
+def test_partitioned_fact_prunes_directories(spark, specs):
+    from hhs_and_cms_data_pipeline_spark.operators.windows_scale import (
+        pruned_year_scan,
+    )
+
+    specs["partition_pruned_scan"].builder(spark, SF_SMOKE)  # materialize
+    plan = formatted_plan(pruned_year_scan(spark, SF_SMOKE))
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1][:200], (
+        "year predicate must prune at the partition level"
+    )
