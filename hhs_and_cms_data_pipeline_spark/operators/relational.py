@@ -619,8 +619,8 @@ def f11_boolean_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders)
     SELECT o_orderkey, rating_raw,
            CASE WHEN regexp_matches(rating_raw, '^[0-9]+$')
-                     AND CAST(rating_raw AS INTEGER) BETWEEN 1 AND 5
-                THEN CAST(rating_raw AS INTEGER) END AS quality_rating
+                     AND TRY_CAST(rating_raw AS INTEGER) BETWEEN 1 AND 5
+                THEN TRY_CAST(rating_raw AS INTEGER) END AS quality_rating
     FROM src
     ORDER BY o_orderkey
     """,
