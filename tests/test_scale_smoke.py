@@ -1,0 +1,49 @@
+"""Scale-up sanity: the flagship plan must survive a 10x bigger fact.
+
+Synthesizes a 10x lineitem (union of shifted copies — ~6M rows at sf0.1's
+shape using sf0.01 input => 600k, cheap enough for CI) and runs the
+flagship-shaped aggregation. Catches anything that silently depends on the
+small input: broadcast of a fact side, collect-based loops, single-partition
+bottlenecks in the aggregation path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hhs_and_cms_data_pipeline_spark.functions.exact import dsum
+from hhs_and_cms_data_pipeline_spark.sources import table
+from tests.conftest import SF_SMOKE
+
+
+def test_flagship_shape_at_10x(spark):
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    big = li
+    for i in range(1, 10):
+        big = big.unionAll(
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * 10_000_000)).alias("l_orderkey"),
+                "l_extendedprice",
+                "l_discount",
+            )
+        )
+    o = table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    out = (
+        big.join(o, big.l_orderkey == o.o_orderkey)  # only the 1x slice matches
+        .groupBy("o_custkey")
+        .agg(dsum(net, "net"), F.count(F.lit(1)).alias("n"))
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # the 10x union must not change per-key results vs the 1x join
+    base = {
+        r["o_custkey"]: (r["net"], r["n"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(dsum(net, "net"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["o_custkey"]: (r["net"], r["n"]) for r in rows}
+    assert got == base
