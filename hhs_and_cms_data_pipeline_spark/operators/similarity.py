@@ -17,6 +17,8 @@ engines agree bitwise (verified over all pairs at sf0.001/sf0.01).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -178,6 +180,53 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         in_cell.select("vec_id", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Arrow-vectorized Pandas-UDF variant of the brute-force search.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_pandas_udf",
+    oracle=None,  # BLAS pairwise summation differs from the sequential fold
+    # by ulps, so no hash oracle; a unit test asserts the top-k ID set
+    # matches sim_topk_bruteforce exactly.
+    tags=("SIM3",),
+)
+def sim_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 via a scalar Pandas UDF: Arrow ships embedding batches
+    to Python, numpy does one matrix-vector product per batch. This is the
+    pattern for similarity math Spark's built-ins can't express (learned
+    metrics, quantized dots): ~batch-sized BLAS calls instead of per-row
+    Python. The built-in zip_with fold (sim_topk_bruteforce) stays the
+    default — JVM-side, oracle-exact; this variant documents the escape
+    hatch and is checked for rank-identical results."""
+    import numpy as np
+
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # the query vector is a parameter (like the reference's date picker):
+    # a 1-row driver-side fetch, then closed over by the UDF
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head()["embedding"],
+        dtype=np.float64,
+    )
+    q_norm = float(np.sqrt((q * q).sum()))
+
+    @F.pandas_udf("double")
+    def cosine_to_q(batch: pd.Series) -> pd.Series:
+        m = np.stack(batch.to_numpy()).astype(np.float64)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * q_norm))
+
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", cosine_to_q("embedding").alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(_TOP_K)
     )

@@ -1,0 +1,31 @@
+"""Similarity-search invariants across implementations."""
+
+from __future__ import annotations
+
+from hhs_and_cms_data_pipeline_spark.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+
+def test_pandas_udf_topk_matches_builtin_ranks(spark):
+    specs = all_specs()
+    builtin = specs["sim_topk_bruteforce"].builder(spark, SF_SMOKE).collect()
+    arrow = specs["sim_topk_pandas_udf"].builder(spark, SF_SMOKE).collect()
+    assert [r["vec_id"] for r in builtin] == [r["vec_id"] for r in arrow]
+    for b, a in zip(builtin, arrow):
+        assert abs(b["cosine"] - a["cosine"]) < 1e-12
+
+
+def test_ivf_topk_is_subset_of_bruteforce_order(spark):
+    """IVF probes one cell: its results must be correctly ordered and each
+    cosine must equal the brute-force cosine for that vec."""
+    specs = all_specs()
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in specs["sim_topk_bruteforce"].builder(spark, SF_SMOKE).collect()
+    }
+    ivf = specs["sim_ivf_topk"].builder(spark, SF_SMOKE).collect()
+    cosines = [r["cosine"] for r in ivf]
+    assert cosines == sorted(cosines, reverse=True)
+    for r in ivf:
+        if r["vec_id"] in brute:
+            assert r["cosine"] == brute[r["vec_id"]]
