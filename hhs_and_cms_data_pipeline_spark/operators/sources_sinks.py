@@ -171,7 +171,9 @@ def k1_partitioned_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_nationkey",
             "n_name",
-            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+            # partition-column read-back infers int; pin to the source dtype
+            # so the schema matches the oracle's nation view exactly
+            F.col("n_regionkey").cast("int").alias("n_regionkey"),
         )
         .orderBy("n_nationkey")
     )
