@@ -50,7 +50,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.octet_length(payload).alias("byte_len"),
+            F.octet_length(payload).cast("long").alias("byte_len"),
             F.md5(payload).alias("content_md5"),
             F.substring(F.hex(payload), 1, 16).alias("head_hex"),
         )
@@ -236,7 +236,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            byte_len.alias("byte_len"),
+            byte_len.cast("long").alias("byte_len"),
             n_frames.alias("n_frames"),
             F.least(n_frames, F.lit(8)).cast("long").alias("n_sampled"),
         )
