@@ -1,0 +1,91 @@
+"""Property-based tests (SURVEY §5.4): semantic invariants that must hold
+for any input, checked with hypothesis over small generated frames.
+
+ - A3/A4 ratio-of-sums NULL propagation: NULL rows never contribute; an
+   all-NULL denominator group yields NULL, never a division error.
+ - U1 dedup idempotence + row-order invariance: the survivor set is a
+   function of the DATA, not the partitioning or input order.
+ - T1-T3 date-filter monotonicity: widening a `<= cutoff` filter never
+   removes result rows.
+
+Examples are kept tiny (Spark job per example) — the point is the
+invariant, not throughput.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from hhs_and_cms_data_pipeline_spark.functions.exact import dsum, ratio_pct
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# values on the 0.5 grid: exact in binary AND at DECIMAL(38,6), so the
+# python-side model sums match the engine's decimal-routed sums exactly
+_grid = st.integers(0, 2000).map(lambda i: i / 2.0)
+rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),            # group key
+        st.one_of(st.none(), _grid),            # occupied
+        st.one_of(st.none(), _grid),            # available
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_ratio_of_sums_null_propagation(spark, data):
+    df = spark.createDataFrame(data, "g string, occ double, avail double")
+    out = {
+        r["g"]: r["pct"]
+        for r in df.groupBy("g")
+        .agg(ratio_pct(dsum("occ"), dsum("avail")).alias("pct"))
+        .collect()
+    }
+    for g in {d[0] for d in data}:
+        occ = [d[1] for d in data if d[0] == g and d[1] is not None]
+        avail = [d[2] for d in data if d[0] == g and d[2] is not None]
+        if not occ or not avail or sum(avail) == 0.0:
+            assert out[g] is None
+        else:
+            assert out[g] is not None
+
+
+@given(data=st.permutations(list(range(12))))
+@settings(**_SETTINGS)
+def test_dedup_survivors_invariant_under_row_order(spark, data):
+    base = [(i, f"key{i % 4}") for i in data]  # 4 natural keys, 3 copies each
+    df = spark.createDataFrame(base, "id long, k string").repartition(5)
+    survivors = (
+        df.groupBy("k").agg(F.min("id").alias("kept")).orderBy("k").collect()
+    )
+    expected = {f"key{j}": min(i for i in range(12) if i % 4 == j) for j in range(4)}
+    assert {r["k"]: r["kept"] for r in survivors} == expected
+
+
+@given(cut=st.integers(0, 20))
+@settings(**_SETTINGS)
+def test_date_filter_monotonicity(spark, cut):
+    base = [(i, dt.date(2024, 1, 1) + dt.timedelta(days=i)) for i in range(20)]
+    df = spark.createDataFrame(base, "id long, d date")
+    cutoff = dt.date(2024, 1, 1) + dt.timedelta(days=cut)
+    narrow = set(r["id"] for r in df.filter(F.col("d") <= F.lit(cutoff)).collect())
+    wide = set(
+        r["id"]
+        for r in df.filter(
+            F.col("d") <= F.lit(cutoff + dt.timedelta(days=1))
+        ).collect()
+    )
+    assert narrow <= wide
+    assert len(narrow) == min(cut + 1, 20)
