@@ -153,10 +153,49 @@ _BAND_SIZE = 4
 # embarrassingly parallel, so they win.
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH big AS ({SQL_BIGRAMS}),
+def minhash_candidates(big: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs from a (doc_id, bg) shingle frame:
+    16 min-hash aggregate columns in one groupBy, band signatures as per-row
+    concats exploded to (doc_id, band, sig), bucket self-join."""
+    mh = big.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("bg"))), 1, 8)
+            ).alias(f"h{s}")
+            for s in range(_N_HASHES)
+        ]
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)]
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# Shared CTE text: shingles -> minhash signatures -> band buckets ->
+# candidate pairs. Used by both the Jaccard and Levenshtein verifiers.
+_SQL_CAND_CTES = f"""big AS ({SQL_BIGRAMS}),
     mh AS (
       SELECT doc_id, seed,
              MIN(substr(md5(CAST(seed AS VARCHAR) || ':' || bg), 1, 8)) AS mh
@@ -170,7 +209,13 @@ _BAND_SIZE = 4
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a
       JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                  AND a.doc_id < b.doc_id),
+                  AND a.doc_id < b.doc_id)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_CAND_CTES},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM big GROUP BY 1),
     shared AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
@@ -209,40 +254,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     docs = spread(table(spark, sf_dir, "documents"))
     big = word_bigrams(docs)
-    mh = big.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("bg"))), 1, 8)
-            ).alias(f"h{s}")
-            for s in range(_N_HASHES)
-        ]
-    )
-    n_bands = _N_HASHES // _BAND_SIZE
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"h{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)]
-                ).alias("sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = minhash_candidates(big)
     # exact-Jaccard verification restricted to candidates: shared-shingle
     # counts come from two joins against the shingle index, sized by the
     # candidate set, not by the corpus.
@@ -593,4 +605,64 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _COS_TAU)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Levenshtein near-dup: LSH blocking + edit-distance verification.
+# --------------------------------------------------------------------------
+
+_LEV_REL_MAX = 0.2  # edit distance <= 20% of the longer doc
+
+
+@register(
+    "dedup_levenshtein",
+    oracle=f"""
+    WITH {_SQL_CAND_CTES}
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+             AS rel_dist
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
+            / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+          <= {_LEV_REL_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("D7",),
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: MinHash-LSH blocking, then exact Levenshtein
+    on the candidate pairs (distance <= 20% of the longer document). The
+    O(n*m) distance runs ONLY on LSH candidates — never all pairs — which is
+    the standard shape for character-level dedup at corpus scale (SURVEY §7
+    step 5: "F.levenshtein blocking").
+
+    Cross-engine caveat, verified before shipping: DuckDB's levenshtein
+    counts BYTES where Spark counts CHARACTERS — identical on this corpus
+    (asserted ASCII-only at all SFs), divergent on multibyte text.
+    """
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    cand = minhash_candidates(word_bigrams(docs))
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    rel = dist.cast("double") / F.greatest(
+        F.length("text_a"), F.length("text_b")
+    ).cast("double")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            rel.alias("rel_dist"),
+        )
+        .filter(F.col("rel_dist") <= _LEV_REL_MAX)
+        .orderBy("doc_a", "doc_b")
     )
