@@ -302,3 +302,52 @@ def sql_api_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Identical SQL text modulo the string type spelling (Spark: STRING).
     spark_sum = sql_dsum("o_totalprice").replace("VARCHAR", "STRING")
     return spark.sql(_SQL_TEXT.format(orders="orders_v", sum_price=spark_sum))
+
+
+# --------------------------------------------------------------------------
+# Discrete percentiles (inverted-CDF): element-picking, so cross-engine
+# exact — no interpolation arithmetic to diverge.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "percentile_disc_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.25) AS p25,
+           quantile_disc(l_extendedprice, 0.50) AS p50,
+           quantile_disc(l_extendedprice, 0.90) AS p90,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("XA4",),
+)
+def percentile_disc_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles per group (inverted CDF picks an actual element,
+    so Spark's percentile_disc and DuckDB's quantile_disc agree exactly —
+    interpolating variants would diverge in float arithmetic). Exact
+    percentiles sort within each group; at dashboard scale prefer
+    approx_percentile's mergeable t-digest sketch."""
+    ensure_session_conf(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p25"),
+            F.expr(
+                "percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p50"),
+            F.expr(
+                "percentile_disc(0.90) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p90"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("l_returnflag")
+    )
