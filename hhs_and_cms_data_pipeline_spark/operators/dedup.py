@@ -60,12 +60,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_TAU = 0.5
 
+# Stop-shingle cap: shingles occurring in more than this many documents are
+# excluded from CANDIDATE GENERATION (they would pair everything with
+# everything — the classic inverted-index skew bomb); verification still
+# counts them, so any pair sharing at least one sub-cap shingle gets its
+# EXACT jaccard. Only pairs whose entire overlap is ultra-hot shingles are
+# missed — and those are boilerplate matches, not near-dups.
+_STOP_SHINGLE_DF = 100
+
 _SQL_JACCARD_CORE = f"""
     big AS ({SQL_BIGRAMS}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM big GROUP BY 1),
+    rare AS (
+      SELECT bg FROM big GROUP BY 1 HAVING COUNT(*) <= {_STOP_SHINGLE_DF}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM big a
+      JOIN rare r ON a.bg = r.bg
+      JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id),
     shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM big a JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN big a ON a.doc_id = c.doc_a
+      JOIN big b ON b.doc_id = c.doc_b AND a.bg = b.bg
       GROUP BY 1, 2),
     jac AS (
       SELECT doc_a, doc_b,
@@ -78,15 +95,34 @@ _SQL_JACCARD_CORE = f"""
 
 
 def _jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for every pair sharing >= 1 bigram shingle."""
+    """(doc_a, doc_b, jaccard) for every pair sharing >= 1 sub-cap shingle.
+
+    Candidates come from the inverted index restricted to rare shingles
+    (doc frequency <= _STOP_SHINGLE_DF); the jaccard itself is computed
+    over ALL shared shingles of each candidate pair, so the score is exact.
+    """
     big = word_bigrams(docs)
     sizes = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _STOP_SHINGLE_DF)
+        .select("bg")
+    )
     a, b = big.alias("a"), big.alias("b")
+    cand = (
+        a.join(rare, "bg", "semi")
+        .alias("a")
+        .join(b, (F.col("a.bg") == F.col("b.bg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ba = big.select(F.col("doc_id").alias("doc_a"), "bg")
+    bb = big.select(F.col("doc_id").alias("doc_b2"), F.col("bg").alias("bg_b"))
     shared = (
-        a.join(b, (F.col("a.bg") == F.col("b.bg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        cand.join(ba, "doc_a")
+        .join(bb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("bg") == F.col("bg_b")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
@@ -120,10 +156,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with word-bigram Jaccard >= 0.5.
 
     Candidate generation is an inverted-index self-join on shingles (only
-    pairs sharing a shingle are scored) — never an all-pairs cross join. At
-    100 TB the hot-shingle skew is handled by dropping ultra-frequent
-    shingles (stop-shingle cap) before the self-join; AQE skew-split covers
-    the rest.
+    pairs sharing a shingle are scored) — never an all-pairs cross join —
+    restricted to shingles with document frequency <= 100 (the stop-shingle
+    cap: ultra-frequent shingles are the inverted-index skew bomb; the
+    jaccard of each surviving candidate pair still counts ALL its shared
+    shingles, so scores stay exact). AQE skew-split covers residual skew.
+    The oracle implements the identical cap.
     """
     ensure_session_conf(spark)
     docs = spread(table(spark, sf_dir, "documents"))
