@@ -1,16 +1,19 @@
 """Deduplication operators for LLM-corpus curation over `documents` /
-`embeddings` (BASELINE.json north star): exact, MinHash+LSH, SimHash,
-n-gram Jaccard, embedding-cosine near-dup.
+`embeddings` (BASELINE.json north star): exact, n-gram Jaccard (stop-shingle
+capped), MinHash+LSH, SimHash (prefix-blocked), embedding cosine,
+hyperplane-LSH cosine, and Levenshtein with LSH blocking.
 
 Everything is deterministic and portable across engines: hash functions are
 md5 (identical in Spark and DuckDB — lexicographic min over fixed-width hex
-equals numeric min), similarity sums go through DECIMAL so partitioning
-cannot perturb results.
+equals numeric min); per-row vector folds use sequential double arithmetic
+(deterministic under any partitioning, same fold order as the oracle's
+list_reduce — see the note above SQL_EMB_NORMS).
 
 Scale posture (100 TB): all candidate generation is index-based (inverted
-shingle index / LSH band buckets), never all-pairs; the only all-pairs
-operators (simhash hamming, cosine threshold) are quadratic *by contract*
-and documented as such — at scale they run banded/blocked instead.
+shingle index with a hot-shingle cap / LSH band buckets / sign-bit buckets /
+bit-prefix blocks), never all-pairs; the one remaining all-pairs operator
+(embedding cosine threshold, D5) is quadratic *by contract* and documented
+as such — its blocked scale path is dedup_embedding_lsh (D6).
 """
 
 from __future__ import annotations
