@@ -182,8 +182,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 16
 _BAND_SIZE = 4
 
-# Each of the 16 permutations is min(md5(seed || ':' || shingle)) — one md5
-# per (shingle, seed). Deriving the 16 permutations arithmetically from a
+# The 16 permutations come from FOUR md5 digests per shingle (seed group
+# g = s div 4), each split into four disjoint 8-hex-char substrings
+# (s mod 4): substrings of a cryptographic digest are independent hash
+# values (avalanche), so LSH bucket quality is preserved while md5 calls
+# drop 4x vs one-md5-per-seed. Deriving the 16 permutations arithmetically from a
 # single md5 (h_s = a_s*x1 + b_s*x2 mod p with 64-bit-safe constants) was
 # tried and REJECTED: without full-width modular wrap-around the combos are
 # order-correlated (all-positive coefficients => the digest on the convex
@@ -198,10 +201,17 @@ def minhash_candidates(big: DataFrame) -> DataFrame:
     """(doc_a, doc_b) LSH candidate pairs from a (doc_id, bg) shingle frame:
     16 min-hash aggregate columns in one groupBy, band signatures as per-row
     concats exploded to (doc_id, band, sig), bucket self-join."""
-    mh = big.groupBy("doc_id").agg(
+    digs = big.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(g)), F.col("bg"))).alias(f"d{g}")
+            for g in range(_N_HASHES // 4)
+        ],
+    )
+    mh = digs.groupBy("doc_id").agg(
         *[
             F.min(
-                F.substring(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("bg"))), 1, 8)
+                F.substring(F.col(f"d{s // 4}"), (s % 4) * 8 + 1, 8)
             ).alias(f"h{s}")
             for s in range(_N_HASHES)
         ]
@@ -239,7 +249,8 @@ def minhash_candidates(big: DataFrame) -> DataFrame:
 _SQL_CAND_CTES = f"""big AS ({SQL_BIGRAMS}),
     mh AS (
       SELECT doc_id, seed,
-             MIN(substr(md5(CAST(seed AS VARCHAR) || ':' || bg), 1, 8)) AS mh
+             MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || ':' || bg),
+                        CAST((seed % 4) * 8 + 1 AS INT), 8)) AS mh
       FROM big, (SELECT unnest(range({_N_HASHES})) AS seed)
       GROUP BY 1, 2),
     bands AS (
