@@ -1,0 +1,167 @@
+"""Driver-visible queries for the ingest lifecycle (SURVEY §3.1/§3.2): the
+HHS prep pipeline and CMS normalization run end-to-end from fixture CSVs,
+with DuckDB oracles that re-implement the reference semantics independently
+(helper_load_hhs.py:45-67, load-quality.py:158-189).
+
+The fixture files materialize at import (no Spark needed) so the oracle SQL
+can never race the builders — same pattern as operators/sources_sinks.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import ensure_session_conf
+from ..sources.csvsrc import read_cms_quality, read_hhs_weekly
+from .ingest import normalize_cms, prep_hhs
+from .sources_sinks import _IO_DIR
+
+_HHS_CSV = os.path.join(_IO_DIR, "hhs_fixture.csv")
+_CMS_CSV = os.path.join(_IO_DIR, "cms_fixture.csv")
+
+_HHS_TEXT = """hospital_pk,state,hospital_name,address,city,zip,fips_code,geocoded_hospital_address,collection_week,all_adult_hospital_beds_7_day_avg,all_pediatric_inpatient_beds_7_day_avg,all_adult_hospital_inpatient_bed_occupied_7_day_avg,all_pediatric_inpatient_bed_occupied_7_day_avg,total_icu_beds_7_day_avg,icu_beds_used_7_day_avg,inpatient_beds_used_covid_7_day_avg,staffed_icu_adult_patients_confirmed_covid_7_day_avg
+H1,CA,Alpha Hosp,1 Main St,LA,90001,06037,"POINT (-118.25 34.05)",2023-01-06,100.0,-999999,20.0,1.0,30.0,10.0,5.0,2.0
+H1,CA,Alpha Hosp,1 Main St,LA,90001,06037,"POINT (-118.25 34.05)",2023-01-13,101.0,11.0,21.0,2.0,31.0,11.0,6.0,3.0
+H2,TX,Beta Hosp,2 Oak Ave,Houston,77001,48201,,2023-01-06,50.0,5.0,-999999,0.0,15.0,5.0,1.0,0.0
+H3,CA,Gamma Hosp,3 Pine Rd,LA,90002,06037,"POINT (-118.3 34.1)",2023-01-06,,,,,,,,
+H4,NY,Delta Hosp,4 Elm Blvd,NYC,10001,36061,"POINT (-73.98 40.75)",2023-01-13,80.0,8.0,40.0,4.0,20.0,18.0,9.0,7.0
+"""
+
+_CMS_TEXT = '''"Facility ID","Facility Name","City","State","ZIP Code","Hospital Ownership","Emergency Services","Hospital Type","Hospital overall rating"
+"H1","Alpha Hosp","LA","CA","90001","Proprietary","Yes","Acute Care","4"
+"H2","Beta Hosp","Houston","TX","77001","Government - Federal","yes ","Acute Care","Not Available"
+"H3","Gamma Hosp","LA","CA","90002","Proprietary","NO","Acute Care","6"
+"H9","Absent Hosp","Miami","FL","33101","Proprietary","","Acute Care","abc"
+"H8","Edge Hosp","LA","CA","90001","Proprietary","YES","Acute Care","0"
+'''
+
+_RATING_DATE = "2023-02-01"
+
+_METRICS = (
+    "all_adult_hospital_beds_7_day_avg",
+    "all_pediatric_inpatient_beds_7_day_avg",
+    "all_adult_hospital_inpatient_bed_occupied_7_day_avg",
+    "all_pediatric_inpatient_bed_occupied_7_day_avg",
+    "total_icu_beds_7_day_avg",
+    "icu_beds_used_7_day_avg",
+    "inpatient_beds_used_covid_7_day_avg",
+    "staffed_icu_adult_patients_confirmed_covid_7_day_avg",
+)
+
+
+def _materialize() -> None:
+    os.makedirs(_IO_DIR, exist_ok=True)
+    for path, text in ((_HHS_CSV, _HHS_TEXT), (_CMS_CSV, _CMS_TEXT)):
+        with open(path, "w") as f:
+            f.write(text)
+
+
+_materialize()
+
+_SQL_METRIC_COLS = ", ".join(f"'{m}': 'DOUBLE'" for m in _METRICS)
+_SQL_SCRUB = ",\n           ".join(
+    f"CASE WHEN {m} = -999999 OR isnan({m}) THEN NULL ELSE {m} END AS {m}"
+    for m in _METRICS
+)
+
+
+@register(
+    "ingest_hhs_prep",
+    oracle=f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{_HHS_CSV}', header=true,
+        columns={{'hospital_pk':'VARCHAR','state':'VARCHAR','hospital_name':'VARCHAR',
+                 'address':'VARCHAR','city':'VARCHAR','zip':'VARCHAR',
+                 'fips_code':'VARCHAR','geocoded_hospital_address':'VARCHAR',
+                 'collection_week':'VARCHAR',{_SQL_METRIC_COLS}}})),
+    parsed AS (
+      SELECT hospital_pk, state, hospital_name, address, city,
+             zip AS zip_code, fips_code,
+             CAST(string_split(substr(geocoded_hospital_address, 8,
+                    length(geocoded_hospital_address) - 8), ' ')[1] AS DOUBLE)
+               AS longitude,
+             CAST(string_split(substr(geocoded_hospital_address, 8,
+                    length(geocoded_hospital_address) - 8), ' ')[2] AS DOUBLE)
+               AS latitude,
+             CAST(collection_week AS DATE) AS collection_week,
+             {_SQL_SCRUB}
+      FROM raw),
+    deduped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hospital_pk
+                  ORDER BY collection_week NULLS LAST,
+                           hospital_name NULLS LAST) AS rn
+      FROM parsed)
+    SELECT hospital_pk, state, hospital_name, city, zip_code,
+           longitude, latitude, collection_week,
+           {", ".join(_METRICS)}
+    FROM deduped WHERE rn = 1
+    ORDER BY hospital_pk
+    """,
+    tags=("ING1",),
+)
+def ingest_hhs_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full HHS prep pipeline (SURVEY §3.1) as one driver-checked query:
+    schema'd CSV scan -> sentinel/NaN scrub -> WKT lon/lat parse (correct
+    order; the reference's lat/lon swap at helper:61-63 is a documented
+    upstream bug we fix) -> deterministic first-wins dedup per hospital_pk
+    -> date cast. The oracle re-implements the same semantics in SQL from
+    the raw fixture CSV."""
+    ensure_session_conf(spark)
+    _materialize()
+    prepped = prep_hhs(read_hhs_weekly(spark, _HHS_CSV))
+    return prepped.select(
+        "hospital_pk",
+        "state",
+        "hospital_name",
+        "city",
+        "zip_code",
+        "longitude",
+        "latitude",
+        "collection_week",
+        *_METRICS,
+    ).orderBy("hospital_pk")
+
+
+@register(
+    "ingest_cms_normalize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{_CMS_CSV}', header=true, all_varchar=true)),
+    norm AS (
+      SELECT "Facility ID" AS facility_id,
+             "Facility Name" AS facility_name,
+             "City" AS city, "State" AS state, "ZIP Code" AS zip_code,
+             "Hospital Ownership" AS ownership,
+             "Hospital Type" AS hospital_type,
+             CASE WHEN regexp_matches(trim("Hospital overall rating"), '^[0-9]+$')
+                       AND TRY_CAST(trim("Hospital overall rating") AS INTEGER)
+                           BETWEEN 1 AND 5
+                  THEN TRY_CAST(trim("Hospital overall rating") AS INTEGER)
+             END AS quality_rating,
+             CASE WHEN "Emergency Services" IS NULL THEN NULL
+                  ELSE lower(trim("Emergency Services")) = 'yes'
+             END AS provides_emergency_services,
+             DATE '{_RATING_DATE}' AS rating_date
+      FROM raw)
+    SELECT * FROM norm ORDER BY facility_id
+    """,
+    tags=("ING2",),
+)
+def ingest_cms_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS normalization pipeline (SURVEY §3.2) as one driver-checked
+    query: all-string CSV scan -> guarded int parse with [1,5] validity
+    (F12/P6: '6', '0', 'abc', 'Not Available' -> NULL) -> trim+lower
+    boolean parse (F11: 'Yes'/'yes '/'YES' -> true, 'NO' -> false, '' ->
+    NULL via the CSV null) -> literal rating_date. No row loops, no driver
+    batching — the reference's process_row (load-quality.py:95-125) becomes
+    column expressions."""
+    ensure_session_conf(spark)
+    _materialize()
+    return (
+        normalize_cms(read_cms_quality(spark, _CMS_CSV), _RATING_DATE)
+        .orderBy("facility_id")
+    )
