@@ -29,6 +29,7 @@ from .dedup import SQL_EMB_NORMS, emb_dot, emb_norm2, sql_emb_dot
 
 _QUERY_VEC_ID = 0
 _TOP_K = 10
+_NPROBE = 2  # cells probed by the IVF search
 
 _SQL_Q = f"SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}"
 
@@ -104,7 +105,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cent JOIN qx ON cent.i = qx.i
       GROUP BY 1
       ORDER BY d2, label
-      LIMIT 1),
+      LIMIT {_NPROBE}),
     q AS ({_SQL_Q}),
     norms AS ({SQL_EMB_NORMS}),
     dots AS (
@@ -124,12 +125,13 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("SIM2",),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10: per-label centroids (coarse quantizer), probe the nearest
-    cell by L2, exact cosine search inside that cell only.
+    """IVF top-10: per-label centroids (coarse quantizer), probe the
+    _NPROBE nearest cells by L2, exact cosine search inside those cells only.
 
     The scale path: at 100 TB the corpus is hash-partitioned by cell id, the
-    centroid table (n_cells rows) broadcasts, and a query touches 1/n_cells
-    of the data (nprobe=1 here; raise nprobe by taking top-n cells).
+    centroid table (n_cells rows) broadcasts, and a query touches
+    nprobe/n_cells of the data. Cell ranking ties are broken by label so
+    both engines probe identical cells.
     """
     ensure_session_conf(spark)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
@@ -160,7 +162,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d2")
         )
         .orderBy("d2", "label")
-        .limit(1)
+        .limit(_NPROBE)
         .select("label")
     )
     q_full = (
