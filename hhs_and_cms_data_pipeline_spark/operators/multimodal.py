@@ -125,9 +125,48 @@ def extract_frame_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         yield pd.DataFrame(out, columns=[f.name for f in FRAME_FEATURE_SCHEMA.fields])
 
 
+def frame_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw mapInPandas feature extraction (features as array<double>) —
+    the form downstream jobs consume; unit-tested in tests/test_multimodal.py."""
+    ensure_session_conf(spark)
+    payloads = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(extract_frame_features, FRAME_FEATURE_SCHEMA)
+
+
+# The fake decoder is pure byte arithmetic, so the oracle re-derives it in SQL
+# from the hex dump: byte i = hex pair i, nibble histogram = high-hex-digit
+# counts, width/height = first/last byte mod 64. Bit-identical divisions
+# (exact int / exact int) on both engines — verified over every document.
+_SQL_FEATURE_COLS = ",\n           ".join(
+    f"CAST(len(list_filter(bs, x -> x // 16 = {k})) AS DOUBLE)"
+    f" / CAST(n AS DOUBLE) AS f{k:02d}"
+    for k in range(16)
+)
+
+
 @register(
     "mm_frame_features",
-    oracle=None,  # python-side decode: rows-only driver check; unit-tested in tests/test_multimodal.py
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents),
+    bytes AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> (('0x' || substr(hx, 2*i+1, 2))::UBIGINT)::BIGINT) AS bs
+      FROM b)
+    SELECT doc_id,
+           'image' AS modality,
+           n AS byte_len,
+           CAST(16 + (bs[1] % 64) AS INTEGER) AS width,
+           CAST(16 + (bs[n] % 64) AS INTEGER) AS height,
+           CAST(list_sum(bs) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_byte,
+           {_SQL_FEATURE_COLS}
+    FROM bytes ORDER BY doc_id
+    """,
     tags=("MM2",),
 )
 def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,12 +175,21 @@ def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Arrow-batched transfer, one python worker per core, no shuffle;
     repartition upstream if payload sizes are skewed. This is the template
     for resize / frame-sample / audio-feature jobs at 100 TB.
+
+    Driver-facing projection flattens the 16-bin histogram into f00..f15
+    double columns (a raw array<double> breaks the driver's pandas
+    canonicalizer); the array form stays available via frame_features_df.
     """
-    ensure_session_conf(spark)
-    payloads = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return payloads.mapInPandas(extract_frame_features, FRAME_FEATURE_SCHEMA)
+    feats = frame_features_df(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "byte_len",
+        "width",
+        "height",
+        "mean_byte",
+        *[F.col("features").getItem(k).alias(f"f{k:02d}") for k in range(16)],
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -190,21 +238,56 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
 
+def resize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw mapInPandas resize (thumb as binary) — the form an image
+    derivative pipeline writes out; unit-tested in tests/test_multimodal.py."""
+    ensure_session_conf(spark)
+    payloads = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
 @register(
     "mm_resize",
-    oracle=None,  # python-side decode: rows-only check; unit-tested
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents)
+    SELECT doc_id,
+           CAST(16 + (('0x' || substr(hx, 1, 2))::UBIGINT)::BIGINT % 64
+                AS INTEGER) AS src_width,
+           CAST(16 + (('0x' || substr(hx, 2*n-1, 2))::UBIGINT)::BIGINT % 64
+                AS INTEGER) AS src_height,
+           CAST(8 AS INTEGER) AS dst_width,
+           CAST(8 AS INTEGER) AS dst_height,
+           array_to_string(list_transform(range(0, 64),
+             k -> substr(hx,
+                         2*(((k // 8) * greatest(1, n // 64) + (k % 8)) % n) + 1,
+                         2)), '') AS thumb_hex
+    FROM b ORDER BY doc_id
+    """,
     tags=("MM3",),
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> fixed-size thumbnails via Arrow-batched
     mapInPandas. One python worker per core, no shuffle; output is a typed
     binary column + dimension metadata — the write side of an image-derivative
-    pipeline at 100 TB (partition by size class before the write)."""
-    ensure_session_conf(spark)
-    payloads = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return payloads.mapInPandas(resize_batches, RESIZE_SCHEMA)
+    pipeline at 100 TB (partition by size class before the write).
+
+    Driver-facing projection hex-encodes the thumbnail so the oracle can
+    re-derive the strided byte sampling in SQL (the sampling is deterministic
+    byte arithmetic); the binary form stays available via resize_df.
+    """
+    return resize_df(spark, sf_dir).select(
+        "doc_id",
+        "src_width",
+        "src_height",
+        "dst_width",
+        "dst_height",
+        F.hex(F.col("thumb")).alias("thumb_hex"),
+    ).orderBy("doc_id")
 
 
 @register(

@@ -194,9 +194,31 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_topk_pandas_udf",
-    oracle=None,  # BLAS pairwise summation differs from the sequential fold
-    # by ulps, so no hash oracle; a unit test asserts the top-k ID set
-    # matches sim_topk_bruteforce exactly.
+    # BLAS pairwise summation differs from the sequential fold by ulps, so the
+    # cosine VALUES can't hash-match — but the top-k ID ranking can (the top-10
+    # cosines here are separated by far more than a few ulps, and ties break on
+    # vec_id). The driver-facing projection is therefore (rnk, vec_id) only;
+    # the oracle is the exact brute-force SQL projected the same way.
+    oracle=f"""
+    WITH q AS ({_SQL_Q}),
+    norms AS ({SQL_EMB_NORMS}),
+    dots AS (
+      SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}),
+    top AS (
+      SELECT d.vec_id,
+             d.dot / (sqrt(n.n2) * sqrt(qn.n2)) AS cosine
+      FROM dots d
+      JOIN norms n ON d.vec_id = n.vec_id
+      CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
+      ORDER BY cosine DESC, d.vec_id
+      LIMIT {_TOP_K})
+    SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER)
+             AS rnk,
+           vec_id
+    FROM top ORDER BY rnk
+    """,
     tags=("SIM3",),
 )
 def sim_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,9 +248,15 @@ def sim_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         norms = np.sqrt((m * m).sum(axis=1))
         return pd.Series(dots / (norms * q_norm))
 
-    return (
+    from pyspark.sql import Window
+
+    top = (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .select("vec_id", cosine_to_q("embedding").alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(_TOP_K)
     )
+    # rank the 10 surviving rows (tiny frame — the unpartitioned window is
+    # safe by construction) and project to the ulp-robust (rnk, vec_id) pair
+    rnk = F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+    return top.select(rnk.alias("rnk"), "vec_id").orderBy("rnk")

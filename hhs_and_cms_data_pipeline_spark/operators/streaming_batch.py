@@ -129,9 +129,13 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(order)
+    # full-precision gap: compare in microseconds (ts is micros after the
+    # nanos->micros source truncation), matching both the DuckDB INTERVAL
+    # comparison and the stateful sessionizer — a second-truncated cast
+    # would split a 1800.8s gap differently than the oracle.
     is_new = (
         lag_ts.isNull()
-        | (F.col("ts").cast("long") - lag_ts.cast("long") > 30 * 60)
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts) > 30 * 60 * 1_000_000)
     ).cast("int")
     running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -29,7 +29,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .events import EVENTS_RAW_SCHEMA
 
-_GAP_NS = 30 * 60 * 1_000_000_000  # 30 min in ns (ts is int64 ns in-flight)
+_GAP_US = 30 * 60 * 1_000_000  # 30 min in us; ts is int64 ns in-flight but
+# gaps compare at MICROsecond precision: the batch sessionizer and the DuckDB
+# oracle both see micros-truncated timestamps (nanosAsLong div 1000 /
+# TIMESTAMP_NS -> TIMESTAMP), so comparing raw ns here could split a session
+# they merge when a gap straddles the 30-min boundary within 1000 ns.
 
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
@@ -72,7 +76,7 @@ def sessionize_with_state(
     for ts, _eid in zip(rows["ts"].astype("int64"), rows["event_id"]):
         if start_ns is None:
             seq, start_ns, last_ns, n = seq + 1, ts, ts, 1
-        elif ts - last_ns > _GAP_NS:
+        elif ts // 1000 - last_ns // 1000 > _GAP_US:
             out.append((user_id, seq, start_ns, last_ns, n))  # closed
             seq, start_ns, last_ns, n = seq + 1, ts, ts, 1
         else:

