@@ -60,7 +60,10 @@ def _materialize() -> None:
             f.write(text)
 
 
-_materialize()
+try:  # builders re-materialize on call; import must never fail (e.g. RO fs)
+    _materialize()
+except OSError:
+    pass
 
 _SQL_METRIC_COLS = ", ".join(f"'{m}': 'DOUBLE'" for m in _METRICS)
 _SQL_SCRUB = ",\n           ".join(

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from ..registry import register
 from ..session import ensure_session_conf
-from ..sinks import append_new_keys, write_parquet_atomic
+from ..sinks import append_new_keys, read_published, write_parquet_atomic
 from ..sources import table
 
 _IO_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse", "driver_io")
@@ -232,4 +232,4 @@ def k2_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nations"))
     )
     write_parquet_atomic(agg, path)
-    return spark.read.parquet(path).orderBy("n_regionkey")
+    return read_published(spark, path).orderBy("n_regionkey")

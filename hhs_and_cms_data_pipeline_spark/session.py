@@ -59,6 +59,12 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     for k, v in _SESSION_CONF.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # static conf on this build — ignore
+        except Exception as e:
+            # Only a static conf (fixed at session build) is ignorable — its
+            # runtime value can't change and retrying is pointless. Anything
+            # else (bad value, broken session) must surface, not no-op.
+            msg = str(e)
+            if "CANNOT_MODIFY_CONFIG" in msg or "Cannot modify the value" in msg:
+                continue
+            raise
     return spark

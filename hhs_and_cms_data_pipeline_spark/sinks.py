@@ -27,25 +27,75 @@ from .operators.ingest import upsert_new_keys
 
 
 def write_parquet_atomic(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    gc_grace_seconds: float = 60.0,
 ) -> None:
-    """K2: all-or-nothing publish. The job writes to a sibling temp dir; only
-    a fully-successful write is renamed into place (readers never observe a
-    partial table). On failure the temp dir is removed and the previous table
-    state is untouched — the moral equivalent of rollback (load-hhs.py:31-34).
+    """K2: all-or-nothing publish via symlink swap. The job writes a fully
+    new versioned data dir; `path` is a symlink atomically renamed onto the
+    new version (POSIX rename replaces the link in one step), so a reader
+    resolving `path` sees either the complete old table or the complete new
+    one — never a partial or missing table. On failure the half-written
+    version is removed and the published link is untouched — the moral
+    equivalent of rollback (load-hhs.py:31-34).
+
+    Concurrent writers race safely: each writes its own version dir and the
+    last rename wins whole. Old versions are garbage-collected only after
+    `gc_grace_seconds` (the retention window — VACUUM semantics): the grace
+    both protects other writers' in-progress version dirs and gives
+    snapshot readers (read_published) time to finish their scan. True
+    multi-writer ACID with snapshot history needs a table format (Delta /
+    Iceberg — unavailable in this container); this is the minimal commit
+    protocol that gives single-table atomic publish on a plain filesystem.
     """
-    tmp = f"{path}.__tmp__{uuid.uuid4().hex}"
+    import time
+
+    data_dir = f"{path}.__v__{uuid.uuid4().hex}"
     try:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(tmp)
-        if os.path.exists(path):
+        writer.parquet(data_dir)
+        if os.path.lexists(path) and not os.path.islink(path):
+            # migration from the pre-symlink layout: one-time, non-atomic
             shutil.rmtree(path)
-        os.rename(tmp, path)
+        prev = os.path.realpath(path) if os.path.islink(path) else None
+        tmp_link = f"{path}.__link__{uuid.uuid4().hex}"
+        os.symlink(data_dir, tmp_link)
+        os.rename(tmp_link, path)  # atomic publish
     except Exception:
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(data_dir, ignore_errors=True)
         raise
+    # GC: drop versions that are not current/previous AND older than the
+    # retention grace (mtime ages only after the last file lands in the dir).
+    base = os.path.basename(path)
+    parent = os.path.dirname(path) or "."
+    keep = {os.path.realpath(p) for p in (data_dir, prev) if p}
+    now = time.time()
+    for name in os.listdir(parent):
+        cand = os.path.join(parent, name)
+        stale = name.startswith((f"{base}.__v__", f"{base}.__link__"))
+        if not stale or os.path.realpath(cand) in keep:
+            continue
+        try:
+            if now - os.lstat(cand).st_mtime <= gc_grace_seconds:
+                continue
+            if os.path.islink(cand):
+                os.unlink(cand)
+            else:
+                shutil.rmtree(cand, ignore_errors=True)
+        except OSError:
+            pass  # another writer's GC got there first
+
+
+def read_published(spark: SparkSession, path: str) -> DataFrame:
+    """Snapshot read of a write_parquet_atomic table: resolve the published
+    symlink ONCE and scan the pinned version dir. Reading through the link
+    itself would re-resolve per file — a concurrent publish mid-scan would
+    mix two versions. The pinned dir survives at least `gc_grace_seconds`
+    after being replaced."""
+    return spark.read.parquet(os.path.realpath(path))
 
 
 def append_new_keys(

@@ -165,7 +165,74 @@ def test_atomic_write(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_parquet_atomic(df, path)
     assert spark.read.parquet(path).count() == 10
-    # overwrite leaves no temp junk and fully replaces
+    # overwrite fully replaces; the published path is an atomic symlink
     write_parquet_atomic(spark.range(5).withColumnRenamed("id", "k"), path)
     assert spark.read.parquet(path).count() == 5
-    assert not [d for d in os.listdir(os.path.dirname(path)) if "__tmp__" in d]
+    assert os.path.islink(path)
+    # expired-retention GC keeps current + previous version dirs only
+    write_parquet_atomic(
+        spark.range(7).withColumnRenamed("id", "k"), path, gc_grace_seconds=0
+    )
+    versions = [d for d in os.listdir(tmp_path) if "__v__" in d]
+    assert len(versions) == 2
+    assert not [d for d in os.listdir(tmp_path) if "__link__" in d]
+
+
+def test_atomic_write_failure_keeps_published(spark, tmp_path):
+    """A writer that dies mid-job must leave the published table untouched
+    and no half-written version behind (rollback semantics)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sinks import write_parquet_atomic
+
+    path = str(tmp_path / "tbl")
+    write_parquet_atomic(spark.range(10).withColumnRenamed("id", "k"), path)
+    bad = spark.range(10).select(
+        F.assert_true(F.col("id") < 5).alias("boom"), F.col("id").alias("k")
+    )
+    with pytest.raises(Exception):
+        write_parquet_atomic(bad, path)
+    assert spark.read.parquet(path).count() == 10
+    # failed version dir cleaned up; only the published one (+prev) remains
+    assert all(
+        os.path.islink(os.path.join(tmp_path, d)) or "__v__" in d
+        for d in os.listdir(tmp_path)
+    )
+
+
+def test_atomic_write_concurrent_writers_never_torn(spark, tmp_path):
+    """Two interleaved writers: every read through the published path sees a
+    COMPLETE copy of one writer's table (count 25 or 5), never a mix, never
+    a missing table. Last writer wins whole."""
+    import threading
+
+    from hhs_and_cms_data_pipeline_spark.sinks import read_published, write_parquet_atomic
+
+    path = str(tmp_path / "tbl")
+    a = spark.range(25).withColumnRenamed("id", "k")
+    b = spark.range(5).withColumnRenamed("id", "k")
+    write_parquet_atomic(a, path)
+
+    errors: list[Exception] = []
+
+    def publish(df):
+        try:
+            for _ in range(2):
+                # default retention grace protects the other writer's
+                # in-progress dir and in-flight snapshot readers
+                write_parquet_atomic(df, path)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=publish, args=(d,)) for d in (a, b)]
+    for t in threads:
+        t.start()
+    seen = set()
+    while any(t.is_alive() for t in threads):
+        seen.add(read_published(spark, path).count())
+    for t in threads:
+        t.join()
+    assert not errors
+    assert seen <= {25, 5}
+    assert read_published(spark, path).count() in (25, 5)
