@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.exact import dsum, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
-from ..sources import table
+from ..sources import spread, table
 
 # --------------------------------------------------------------------------
 # Explicit-frame moving average over daily revenue.
@@ -191,12 +191,22 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _bkt_tag(sf_dir: str) -> str:
+    """Per-(sf_dir, process) tag for the bucketed-table names: the in-memory
+    catalog forgets tables across sessions, so each process (re)builds and
+    owns its layout — concurrent sessions never rmtree each other's live
+    table dirs."""
+    import os
+
+    return hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:8]
+
+
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pre-aggregation bucketed join (shared with the plan test): both
     sides read from bucketed tables and a merge hint forces sort-merge (at
     test SFs the dim would otherwise broadcast) — the plan must contain NO
     shuffle exchange before the join."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _bkt_tag(sf_dir)
     o_name, c_name = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
     o = spark.table(o_name).hint("merge")
     c = (
@@ -223,21 +233,40 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the same bucket layout at write time, so the join needs NO shuffle
     exchange (asserted in tests/test_plans.py). This is the 100 TB answer
     for repeated fact⋈fact joins on a stable key — pay the partitioning once
-    at write, never again at read. The oracle joins the raw parquet."""
+    at write, never again at read. The oracle joins the raw parquet.
+
+    The bucketed tables are (re)built per process (see _bkt_tag)."""
     ensure_session_conf(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _bkt_tag(sf_dir)
     o_name, c_name = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
     catalog = spark.catalog
     # the catalog is in-memory per session but the warehouse dir persists:
-    # drop orphaned table locations left by previous sessions
+    # drop THIS tag's orphaned locations (a crashed same-pid run) and any
+    # foreign-tag bucketed dirs idle for >1h (dead processes); a live
+    # concurrent session's dirs are younger than that.
     import os
     import shutil
+    import time
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
     for name in (o_name, c_name):
         if not catalog.tableExists(name):
-            loc = os.path.join(warehouse.removeprefix("file:"), name)
-            shutil.rmtree(loc, ignore_errors=True)
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    if os.path.isdir(warehouse):
+        now = time.time()
+        for name in os.listdir(warehouse):
+            if (
+                name.startswith(("orders_bkt_", "customer_bkt_"))
+                and not name.endswith(tag)
+            ):
+                loc = os.path.join(warehouse, name)
+                try:
+                    if now - os.stat(loc).st_mtime > 3600:
+                        shutil.rmtree(loc, ignore_errors=True)
+                except OSError:
+                    pass
     if not catalog.tableExists(o_name):
         (
             table(spark, sf_dir, "orders")
@@ -354,15 +383,17 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: one wide hash aggregate over the pushed-down shipdate scan —
     the canonical map-side-partial aggregation benchmark. All sums/avgs go
-    through the exact decimal route so the oracle hash matches bitwise."""
+    through the exact decimal route so the oracle hash matches bitwise.
+    spread() undoes the one-row-group fixture so the 6 decimal partial-sums
+    per row run on all cores (at 100 TB many input files make it a no-op)."""
     ensure_session_conf(spark)
     from ..functions.exact import davg
 
     net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = net * (F.lit(1) + F.col("l_tax"))
     return (
-        table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        spread(table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
