@@ -512,6 +512,9 @@ def emb_norm2(a: F.Column) -> F.Column:
     return emb_dot(a, a)
 
 
+_D5_MAX_ROWS = 20_000  # all-pairs ceiling: ~2e8 candidate pairs
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -536,11 +539,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark computes the dot product vector-wise (zip_with + sequential double
     fold, no positional explode/shuffle); the oracle folds the same way via
-    list_reduce — bit-identical by construction. All-pairs by contract; the
-    scale path is `sim_ivf_topk`'s coarse quantizer as a blocking stage.
+    list_reduce — bit-identical by construction. All-pairs by contract — this
+    is the exact-recall baseline that VERIFIES the blocked paths — and
+    therefore BOUNDED by contract: corpora above _D5_MAX_ROWS are refused
+    with a pointer to dedup_embedding_lsh (D6), the blocked surface whose
+    candidate generation is bucket-local at any scale. The guard's count()
+    is a parquet-metadata read, not a data scan.
     """
     ensure_session_conf(spark)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    if n > _D5_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding_cosine is the exact all-pairs baseline, capped at "
+            f"{_D5_MAX_ROWS} vectors (got {n}); use dedup_embedding_lsh (D6) — "
+            "hyperplane-bucketed candidates — for large corpora"
+        )
     with_norm = emb.withColumn("n2", emb_norm2(F.col("embedding")))
     a = with_norm.select(
         F.col("vec_id").alias("vec_a"),

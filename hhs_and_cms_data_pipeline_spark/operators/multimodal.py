@@ -75,13 +75,57 @@ FRAME_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires a codec library absent from this
-    container. The plumbing around it (schema, batching, partitioning) is
-    fully implemented; swap this stub for PIL.Image.open when available."""
+def _parse_bmp(data: bytes) -> dict:
+    """Pure-Python decoder for uncompressed 24-bit BITMAPINFOHEADER BMPs —
+    the dependency-free real-codec path. Returns RGB pixel bytes in
+    top-down row order. Strict header validation (magic, file size, bpp,
+    compression) so arbitrary byte payloads can never false-positive."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (filesize,) = struct.unpack_from("<I", data, 2)
+    if filesize != len(data):
+        raise ValueError("BMP size field mismatch")
+    (off,) = struct.unpack_from("<I", data, 10)
+    (hsz,) = struct.unpack_from("<I", data, 14)
+    if hsz < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP variant (need 24bpp BI_RGB)")
+    bottom_up = h > 0
+    h = abs(h)
+    row_sz = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    px = bytearray(w * h * 3)
+    for r in range(h):
+        src = h - 1 - r if bottom_up else r
+        start = off + src * row_sz
+        row = data[start : start + w * 3]
+        if len(row) < w * 3:
+            raise ValueError("truncated BMP pixel data")
+        for x in range(w):  # BGR -> RGB
+            o = 3 * x
+            d = 3 * (r * w + x)
+            px[d] = row[o + 2]
+            px[d + 1] = row[o + 1]
+            px[d + 2] = row[o]
+    return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(px)}
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real image decode. BMP (24-bit uncompressed) decodes natively — a
+    pure-Python parser, no codec library needed. Other formats (PNG/JPEG)
+    require a codec absent from this container; the plumbing around this
+    function (schema, batching, partitioning) is format-agnostic, so
+    swapping in PIL.Image.open widens coverage without touching it."""
+    if payload[:2] == b"BM":
+        return _parse_bmp(payload)
     raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use fake_decode (deterministic) or install a codec and replace this stub"
+        "only BMP decodes without a codec library in this environment; "
+        "install PIL/ffmpeg and extend decode_image for other formats"
     )
 
 
@@ -103,6 +147,28 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
+def _decode_or_fake(data: bytes) -> dict:
+    """Route a payload through the real decoder when it is a supported image
+    format; anything else gets the deterministic fake decode. For decoded
+    images the stats (mean/hist) are over PIXEL bytes, not file bytes."""
+    try:
+        img = decode_image(data)
+    except (NotImplementedError, ValueError):
+        return fake_decode(data)
+    px = img["pixels"]
+    hist = [0] * 16
+    for b in px:
+        hist[b >> 4] += 1
+    total = float(len(px)) if px else 1.0
+    return {
+        "width": img["width"],
+        "height": img["height"],
+        "mean_byte": (sum(px) / total) if px else None,
+        "features": [h / total for h in hist],
+        "pixels": px,
+    }
+
+
 def extract_frame_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: Arrow batches in, feature rows out. Stateless and
     partition-safe — the contract every multimodal UDF here must satisfy."""
@@ -110,7 +176,7 @@ def extract_frame_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             data = bytes(payload)
-            meta = fake_decode(data)
+            meta = _decode_or_fake(data)
             out.append(
                 {
                     "doc_id": int(doc_id),
@@ -218,13 +284,16 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             data = bytes(payload)
-            meta = fake_decode(data)
+            meta = _decode_or_fake(data)
             w, h = meta["width"], meta["height"]
+            # decoded images sample the pixel grid; opaque payloads sample
+            # the raw byte stream (same strided arithmetic either way)
+            grid = meta.get("pixels", data)
             thumb = bytes(
-                data[(y * max(1, len(data) // (_THUMB * _THUMB)) + x) % len(data)]
+                grid[(y * max(1, len(grid) // (_THUMB * _THUMB)) + x) % len(grid)]
                 for y in range(_THUMB)
                 for x in range(_THUMB)
-            ) if data else None
+            ) if grid else None
             out.append(
                 {
                     "doc_id": int(doc_id),

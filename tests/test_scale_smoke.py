@@ -47,3 +47,15 @@ def test_flagship_shape_at_10x(spark):
     }
     got = {r["o_custkey"]: (r["net"], r["n"]) for r in rows}
     assert got == base
+
+
+def test_d5_all_pairs_guard_refuses_large_corpus(spark, monkeypatch):
+    """The exact all-pairs embedding dedup is bounded by contract: above the
+    cap it must refuse with a pointer to the blocked D6 path."""
+    import pytest
+
+    from hhs_and_cms_data_pipeline_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_D5_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        dedup.dedup_embedding_cosine(spark, SF_SMOKE)
