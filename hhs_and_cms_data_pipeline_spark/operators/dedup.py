@@ -707,9 +707,10 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard shape for character-level dedup at corpus scale (SURVEY §7
     step 5: "F.levenshtein blocking").
 
-    Cross-engine caveat, verified before shipping: DuckDB's levenshtein
-    counts BYTES where Spark counts CHARACTERS — identical on this corpus
-    (asserted ASCII-only at all SFs), divergent on multibyte text.
+    Cross-engine caveat: DuckDB's levenshtein counts BYTES where Spark
+    counts CHARACTERS — identical on this corpus (ASCII-only; asserted by
+    tests/test_properties.py::test_documents_corpus_is_ascii at the SF under
+    test), divergent on multibyte text.
     """
     ensure_session_conf(spark)
     docs = spread(table(spark, sf_dir, "documents"))

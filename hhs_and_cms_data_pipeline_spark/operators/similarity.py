@@ -89,8 +89,11 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
              generate_subscripts(embedding, 1) AS i
       FROM embeddings),
     cent AS (
+      -- float -> VARCHAR -> DECIMAL: the shortest-roundtrip string parses to
+      -- the same exact decimal on both engines (DuckDB's direct
+      -- double->DECIMAL cast is computed in double and diverges by ulps)
       SELECT label, i,
-             CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,18))) AS VARCHAR)
+             CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR)
                   AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS c
       FROM ex GROUP BY 1, 2),
@@ -99,9 +102,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
     cell AS (
       SELECT cent.label,
-             CAST(CAST(SUM(CAST((cent.c - CAST(qx.qv AS DOUBLE))
-                           * (cent.c - CAST(qx.qv AS DOUBLE))
-                           AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS d2
+             CAST(CAST(SUM(CAST(CAST((cent.c - CAST(qx.qv AS DOUBLE))
+                           * (cent.c - CAST(qx.qv AS DOUBLE)) AS VARCHAR)
+                           AS DECIMAL(38,24))) AS VARCHAR) AS DOUBLE) AS d2
       FROM cent JOIN qx ON cent.i = qx.i
       GROUP BY 1
       ORDER BY d2, label
@@ -138,9 +141,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = emb.select(
         "vec_id", "label", F.posexplode(F.col("embedding")).alias("i0", "v")
     ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "v")
+    # float -> string -> decimal on BOTH engines: cross-row sums are exact
+    # and identical (the direct double->decimal cast is imprecise in DuckDB)
     cent = ex.groupBy("label", "i").agg(
         (
-            F.sum(F.col("v").cast("double").cast("decimal(38,18)"))
+            F.sum(F.col("v").cast("string").cast("decimal(38,18)"))
             .cast("string")
             .cast("double")
             / F.count(F.lit(1)).cast("double")
@@ -155,7 +160,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     (F.col("c") - F.col("qv").cast("double"))
                     * (F.col("c") - F.col("qv").cast("double"))
-                ).cast("decimal(38,18)")
+                )
+                .cast("string")
+                .cast("decimal(38,24)")
             )
             .cast("string")
             .cast("double")

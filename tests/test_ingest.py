@@ -236,3 +236,31 @@ def test_atomic_write_concurrent_writers_never_torn(spark, tmp_path):
     assert not errors
     assert seen <= {25, 5}
     assert read_published(spark, path).count() in (25, 5)
+
+
+def test_jdbc_option_contract():
+    """JDBC source: partition options are all-or-nothing (a half-specified
+    range silently degrades to one cursor — refuse instead), bounds sane,
+    credentials pass through."""
+    from hhs_and_cms_data_pipeline_spark.sources.jdbc import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:postgresql://db/hhs",
+        "hospital_weekly",
+        user="reporter",
+        password="x",
+        partition_column="collection_week_epoch",
+        lower_bound=0,
+        upper_bound=1_700_000_000,
+        num_partitions=64,
+    )
+    assert opts["partitionColumn"] == "collection_week_epoch"
+    assert opts["numPartitions"] == "64"
+    assert opts["fetchsize"] == "10000"
+    with pytest.raises(ValueError, match="ALL of"):
+        jdbc_options("jdbc:postgresql://db/hhs", "t", partition_column="id")
+    with pytest.raises(ValueError, match="must be <"):
+        jdbc_options(
+            "jdbc:postgresql://db/hhs", "t",
+            partition_column="id", lower_bound=9, upper_bound=1, num_partitions=2,
+        )

@@ -89,3 +89,21 @@ def test_date_filter_monotonicity(spark, cut):
     )
     assert narrow <= wide
     assert len(narrow) == min(cut + 1, 20)
+
+
+def test_documents_corpus_is_ascii(spark):
+    """dedup_levenshtein's oracle counts BYTES (DuckDB) while Spark counts
+    CHARACTERS — equivalent only on ASCII text. This assertion backs the
+    docstring claim (operators/dedup.py) for the SF under test; run with
+    SPARK_GRAFT_ORACLE_SF pointed at other SFs to cover them."""
+    import os
+
+    from hhs_and_cms_data_pipeline_spark.sources import table
+    from tests.conftest import SF_SMOKE
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", SF_SMOKE)
+    docs = table(spark, sf_dir, "documents")
+    non_ascii = docs.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert non_ascii == 0
