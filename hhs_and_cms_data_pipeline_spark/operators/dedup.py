@@ -244,72 +244,12 @@ def minhash_candidates(big: DataFrame) -> DataFrame:
     )
 
 
-# Shared CTE text: shingles -> minhash signatures -> band buckets ->
-# candidate pairs. Used by both the Jaccard and Levenshtein verifiers.
-_SQL_CAND_CTES = f"""big AS ({SQL_BIGRAMS}),
-    mh AS (
-      SELECT doc_id, seed,
-             MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || ':' || bg),
-                        CAST((seed % 4) * 8 + 1 AS INT), 8)) AS mh
-      FROM big, (SELECT unnest(range({_N_HASHES})) AS seed)
-      GROUP BY 1, 2),
-    bands AS (
-      SELECT doc_id, CAST(floor(seed / {_BAND_SIZE}.0) AS INT) AS band,
-             string_agg(mh, '|' ORDER BY seed) AS sig
-      FROM mh GROUP BY 1, 2),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                  AND a.doc_id < b.doc_id)"""
-
-
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SQL_CAND_CTES},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM big GROUP BY 1),
-    shared AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
-      FROM cand c
-      JOIN big a ON a.doc_id = c.doc_a
-      JOIN big b ON b.doc_id = c.doc_b AND a.bg = b.bg
-      GROUP BY 1, 2)
-    SELECT s.doc_a, s.doc_b,
-           CAST(n_shared AS DOUBLE)
-             / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
-    FROM shared s
-    JOIN sizes sa ON s.doc_a = sa.doc_id
-    JOIN sizes sb ON s.doc_b = sb.doc_id
-    WHERE CAST(n_shared AS DOUBLE)
-            / CAST(sa.n + sb.n - n_shared AS DOUBLE) >= {_JACCARD_TAU}
-    ORDER BY doc_a, doc_b
-    """,
-    bench=True,
-    tags=("D3",),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 md5-derived permutations) -> LSH band buckets
-    (4 bands of 4) -> candidate pairs -> exact-Jaccard verification.
-
-    The scale path for fuzzy dedup, shaped for 100 TB:
-      * the 16 min-hashes are 16 aggregate columns of ONE groupBy over the
-        shingles (no 16x row amplification, no crossJoin, no collect_list);
-      * band signatures are per-row concats of those columns, exploded into
-        (doc_id, band, sig) for the bucket self-join;
-      * exact-Jaccard verification is DRIVEN BY the candidate set (two hash
-        joins against the shingle index) instead of scoring every
-        shingle-sharing pair and semi-filtering afterwards.
-    This is the shingle->minhash->band->bucket-join pipeline of
-    Broder'97/MMDS ch.3, on DataFrame ops only.
-    """
-    ensure_session_conf(spark)
-    docs = spread(table(spark, sf_dir, "documents"))
+def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard: the (doc_a, doc_b,
+    jaccard) near-dup relation. Shared by the pair query (D3) and the
+    cluster-assignment query (D8)."""
     big = word_bigrams(docs)
     cand = minhash_candidates(big)
-    # exact-Jaccard verification restricted to candidates: shared-shingle
-    # counts come from two joins against the shingle index, sized by the
-    # candidate set, not by the corpus.
     sizes = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ba = big.select(F.col("doc_id").alias("doc_a"), "bg")
     bb = big.select(F.col("doc_id").alias("doc_b2"), F.col("bg").alias("bg_b"))
@@ -333,8 +273,166 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _JACCARD_TAU)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+# Shared CTE text: shingles -> minhash signatures -> band buckets ->
+# candidate pairs. Used by both the Jaccard and Levenshtein verifiers.
+_SQL_CAND_CTES = f"""big AS ({SQL_BIGRAMS}),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || ':' || bg),
+                        CAST((seed % 4) * 8 + 1 AS INT), 8)) AS mh
+      FROM big, (SELECT unnest(range({_N_HASHES})) AS seed)
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / {_BAND_SIZE}.0) AS INT) AS band,
+             string_agg(mh, '|' ORDER BY seed) AS sig
+      FROM mh GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id)"""
+
+# Candidate CTEs extended with exact-Jaccard verification: `vpairs` is the
+# verified near-dup pair relation (doc_a, doc_b, jaccard >= tau). Shared by
+# the pair query (D3) and the cluster-assignment query (D8).
+_SQL_VERIFIED_PAIRS_CTES = f"""{_SQL_CAND_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM big GROUP BY 1),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN big a ON a.doc_id = c.doc_a
+      JOIN big b ON b.doc_id = c.doc_b AND a.bg = b.bg
+      GROUP BY 1, 2),
+    vpairs AS (
+      SELECT s.doc_a, s.doc_b,
+             CAST(n_shared AS DOUBLE)
+               / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+      FROM shared s
+      JOIN sizes sa ON s.doc_a = sa.doc_id
+      JOIN sizes sb ON s.doc_b = sb.doc_id
+      WHERE CAST(n_shared AS DOUBLE)
+              / CAST(sa.n + sb.n - n_shared AS DOUBLE) >= {_JACCARD_TAU})"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_VERIFIED_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM vpairs
+    ORDER BY doc_a, doc_b
+    """,
+    bench=True,
+    tags=("D3",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 md5-derived permutations) -> LSH band buckets
+    (4 bands of 4) -> candidate pairs -> exact-Jaccard verification.
+
+    The scale path for fuzzy dedup, shaped for 100 TB:
+      * the 16 min-hashes are 16 aggregate columns of ONE groupBy over the
+        shingles (no 16x row amplification, no crossJoin, no collect_list);
+      * band signatures are per-row concats of those columns, exploded into
+        (doc_id, band, sig) for the bucket self-join;
+      * exact-Jaccard verification is DRIVEN BY the candidate set (two hash
+        joins against the shingle index) instead of scoring every
+        shingle-sharing pair and semi-filtering afterwards.
+    This is the shingle->minhash->band->bucket-join pipeline of
+    Broder'97/MMDS ch.3, on DataFrame ops only.
+    """
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    return minhash_verified_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster assignment: connected components over verified pairs.
+# --------------------------------------------------------------------------
+
+# Min-label propagation moves a label one hop per round, so convergence takes
+# O(cluster diameter) rounds. Near-dup clusters are short chains (a doc and
+# its variants), so the cap is generous; it exists to turn a pathological
+# input into a loud error instead of an infinite loop.
+_CC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_VERIFIED_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM vpairs),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc_id, e.dst
+      FROM reach JOIN edges e ON e.src = reach.r)
+    SELECT doc_id, MIN(r) AS cluster_id
+    FROM reach
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("D8",),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup cluster assignment: connected components over the
+    MinHash-LSH verified pair graph, every document labeled with the minimum
+    doc_id reachable through near-dup edges (singletons keep their own id).
+    This is the operator a curation pipeline actually keeps: pick one
+    survivor per cluster (`cluster_id == doc_id`), drop the rest.
+
+    Spark shape: iterative min-label propagation — per round, each node
+    takes min(own label, neighbors' labels) via one join + one groupBy.min,
+    `localCheckpoint` truncating the lineage each round, and a driver-side
+    scalar convergence check (count of lowered labels; the only driver data
+    is that one long). Rounds = O(cluster diameter), tiny for near-dup
+    chains. At 100 TB the same loop holds (edges ≪ docs after LSH
+    verification); for graphs with giant components, swap the round body for
+    the large-star/small-star steps of Kiveris et al. 2014 — same loop,
+    fewer rounds. The oracle is the same fixpoint via DuckDB's recursive CTE
+    (min reachable id).
+    """
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    pairs = minhash_verified_pairs(docs).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(_CC_MAX_ITERS):
+        prop = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "old_cluster_id"), "doc_id"
+            )
+            .filter(F.col("cluster_id") < F.col("old_cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters: no fixpoint after {_CC_MAX_ITERS} rounds "
+            "(cluster diameter exceeds the cap)"
+        )
+    return labels.orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

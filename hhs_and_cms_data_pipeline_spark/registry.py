@@ -33,6 +33,7 @@ _OPERATOR_MODULES = (
     "hhs_and_cms_data_pipeline_spark.operators.relational_ext",
     "hhs_and_cms_data_pipeline_spark.operators.windows_scale",
     "hhs_and_cms_data_pipeline_spark.operators.ingest_queries",
+    "hhs_and_cms_data_pipeline_spark.operators.curation",
 )
 
 

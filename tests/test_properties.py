@@ -107,3 +107,27 @@ def test_documents_corpus_is_ascii(spark):
         F.octet_length(F.col("text")) != F.length(F.col("text"))
     ).count()
     assert non_ascii == 0
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """dedup_clusters (D8) invariants at SF_SMOKE: one row per document,
+    labels are representative doc_ids (cluster_id <= doc_id, and every
+    cluster_id is itself a doc labeled with itself), and both endpoints of
+    every verified MinHash pair land in the same cluster (transitivity is
+    then structural: connected components)."""
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_verified_pairs,
+    )
+    from hhs_and_cms_data_pipeline_spark.sources import table
+    from tests.conftest import SF_SMOKE
+
+    labels = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, SF_SMOKE).collect()}
+    docs = set(r["doc_id"] for r in table(spark, SF_SMOKE, "documents").select("doc_id").collect())
+    assert set(labels) == docs
+    assert all(cl <= d for d, cl in labels.items())
+    assert all(labels[cl] == cl for cl in set(labels.values()))
+    pairs = minhash_verified_pairs(table(spark, SF_SMOKE, "documents")).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert labels[r["doc_a"]] == labels[r["doc_b"]]
