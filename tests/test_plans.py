@@ -97,3 +97,39 @@ def test_partitioned_fact_prunes_directories(spark, specs):
     assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1][:200], (
         "year predicate must prune at the partition level"
     )
+
+
+def test_bernoulli_sample_is_map_only(spark, specs):
+    plan = formatted_plan(specs["sample_hash_bernoulli"].builder(spark, SF_SMOKE))
+    # hash-predicate filter is per-row; the only exchange is the output sort
+    assert count_exchanges(plan) <= 1
+    # sampling never reads the document body
+    assert "text" not in scan_columns(plan, containing="doc_id")
+
+
+def test_stratified_sample_single_window_shuffle(spark, specs):
+    plan = formatted_plan(specs["sample_stratified_frac"].builder(spark, SF_SMOKE))
+    # row_number + per-stratum count share one partition spec: one hash
+    # exchange for the window, one range exchange for the output sort
+    assert count_data_shuffles(plan) <= 2
+    assert "text" not in scan_columns(plan, containing="doc_id")
+
+
+def test_shard_assignment_single_window_shuffle(spark, specs):
+    plan = formatted_plan(specs["corpus_shard_assignment"].builder(spark, SF_SMOKE))
+    # per-shard ranking windows on the nibble key (never a global
+    # single-partition row_number) + the output sort
+    assert count_data_shuffles(plan) <= 2
+    assert "No Partition Defined" not in plan
+
+
+def test_curation_filter_is_map_only(spark, specs):
+    plan = formatted_plan(specs["curation_filter_pipeline"].builder(spark, SF_SMOKE))
+    assert count_exchanges(plan) <= 1  # output sort only
+    cols = scan_columns(plan, containing="doc_id")
+    assert "lang" not in cols and "source" not in cols
+
+
+def test_corpus_stats_prunes_body(spark, specs):
+    plan = formatted_plan(specs["corpus_stats_by_lang"].builder(spark, SF_SMOKE))
+    assert "text" not in scan_columns(plan, containing="lang")
