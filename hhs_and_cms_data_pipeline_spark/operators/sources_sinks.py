@@ -174,6 +174,55 @@ def s4_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEOJSON_PATH = os.path.join(_IO_DIR, "us_states_sample.geojson")
+
+
+def _write_geojson() -> None:
+    from ..sources.geojson import write_synthetic_geojson
+
+    write_synthetic_geojson(_GEOJSON_PATH)
+
+
+try:  # oracle SQL reads this file; materialize before any builder runs
+    _write_geojson()
+except Exception:
+    pass  # builder re-materializes on call; import must never fail
+
+
+@register(
+    "s4_geojson_scan",
+    oracle=f"""
+    SELECT feat.id AS state_id,
+           feat.properties.name AS state_name,
+           feat.geometry.type AS geom_type,
+           len(feat.geometry.coordinates) AS n_rings,
+           len(flatten(feat.geometry.coordinates)) AS n_vertices,
+           list_min(list_transform(flatten(feat.geometry.coordinates), p -> p[1])) AS min_lon,
+           list_max(list_transform(flatten(feat.geometry.coordinates), p -> p[1])) AS max_lon,
+           list_min(list_transform(flatten(feat.geometry.coordinates), p -> p[2])) AS min_lat,
+           list_max(list_transform(flatten(feat.geometry.coordinates), p -> p[2])) AS max_lat
+    FROM (SELECT unnest(features) AS feat
+          FROM read_json('{_GEOJSON_PATH}', format='unstructured',
+            columns={{'type': 'VARCHAR',
+                     'features': 'STRUCT(type VARCHAR, id VARCHAR, properties STRUCT(name VARCHAR), geometry STRUCT(type VARCHAR, coordinates DOUBLE[][][]))[]'}}))
+    ORDER BY state_id
+    """,
+    tags=("S4",),
+)
+def s4_geojson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 variant: GeoJSON FeatureCollection scan (the reference's HTTP
+    choropleth fetch, weekly-report.py:139-152) — typed multiLine JSON read,
+    explode(features), per-feature ring/vertex counts and bounding boxes via
+    nested-array expressions. The HTTP half is sources/geojson.py
+    `fetch_geojson` (untestable offline); this query exercises the full
+    parse/compute path on a deterministic synthetic FeatureCollection."""
+    ensure_session_conf(spark)
+    from ..sources.geojson import read_geojson_features
+
+    _write_geojson()
+    return read_geojson_features(spark, _GEOJSON_PATH).orderBy("state_id")
+
+
 @register(
     "k1_partitioned_append",
     oracle="""

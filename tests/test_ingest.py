@@ -264,3 +264,25 @@ def test_jdbc_option_contract():
             "jdbc:postgresql://db/hhs", "t",
             partition_column="id", lower_bound=9, upper_bound=1, num_partitions=2,
         )
+
+
+def test_geojson_parse_stats(spark, tmp_path):
+    """GeoJSON FeatureCollection parse (S4 variant): ring/vertex counts and
+    bounding boxes from nested-array expressions, against the synthetic
+    fixture's known geometry (unit squares at lon=-120+3i, lat=30+i; every
+    third state gains an island ring 2 degrees west)."""
+    from hhs_and_cms_data_pipeline_spark.sources.geojson import (
+        read_geojson_features,
+        write_synthetic_geojson,
+    )
+
+    path = write_synthetic_geojson(str(tmp_path / "states.geojson"))
+    rows = {r["state_id"]: r for r in read_geojson_features(spark, path).collect()}
+    assert len(rows) == 12
+    isle = rows["S00"]  # i=0: has the island ring
+    assert isle["n_rings"] == 2 and isle["n_vertices"] == 8
+    assert (isle["min_lon"], isle["max_lon"]) == (-122.0, -119.0)
+    plain = rows["S01"]  # i=1: single square at lon=-117, lat=31
+    assert plain["n_rings"] == 1 and plain["n_vertices"] == 4
+    assert (plain["min_lat"], plain["max_lat"]) == (31.0, 32.0)
+    assert all(r["geom_type"] == "Polygon" for r in rows.values())
