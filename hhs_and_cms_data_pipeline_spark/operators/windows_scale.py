@@ -553,3 +553,132 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("TPCH13",),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (adapted: the o_comment NOT LIKE filter is dropped — the
+    testdata orders table carries no comment column): order-count
+    distribution over ALL customers, zero-order customers included via the
+    left join + COUNT(o_orderkey) (counts non-null keys only). Two-level
+    aggregation: the first shuffles on c_custkey, the second on the tiny
+    c_count domain — the classic re-aggregation funnel that gets CHEAPER as
+    it goes, ideal at 100 TB."""
+    ensure_session_conf(spark)
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             * 100.0
+             / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    tags=("TPCH14",),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo-revenue share for one ship month. The month filter
+    pushes to the lineitem scan; part is the broadcast side (dim ≪ fact at
+    every SF), so the join is shuffle-free on the fact; both sums ride one
+    aggregate pass through the exact decimal route."""
+    ensure_session_conf(spark)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo_net = F.when(F.col("p_type").startswith("PROMO"), net).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (dsum(promo_net) * F.lit(100.0) / dsum(net)).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT {sql_dsum('c_acctbal')} / CAST(COUNT(c_acctbal) AS DOUBLE)
+            FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("TPCH22",),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: grouped by c_nationkey — the testdata customer
+    table has no phone column to slice country codes from): above-average-
+    balance customers with no order since 1999 (an absolute "never
+    ordered" is empty at every SF of this testdata, so the lapsed-customer
+    form keeps the anti-join observable). The scalar average is computed
+    decimal-exact and joined as a 1-row broadcast (crossJoin of a scalar,
+    never a collect), the never-ordered set via LEFT ANTI join on orders —
+    both sides shuffle-free on the customer scan at any scale."""
+    ensure_session_conf(spark)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    from ..functions.exact import davg
+
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal", "avg_bal"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, cust.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
