@@ -267,3 +267,88 @@ def sim_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # safe by construction) and project to the ulp-robust (rnk, vec_id) pair
     rnk = F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
     return top.select(rnk.alias("rnk"), "vec_id").orderBy("rnk")
+
+
+# --------------------------------------------------------------------------
+# k-NN JOIN: top-k neighbors for a whole probe batch (SIM4).
+# --------------------------------------------------------------------------
+
+_KNN_N_PROBES = 10  # probe batch: vec_id < 10
+_KNN_K = 5
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+    WITH norms AS ({SQL_EMB_NORMS}),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS p_emb
+      FROM embeddings WHERE vec_id < {_KNN_N_PROBES}),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             {sql_emb_dot('e.embedding', 'p.p_emb')}
+               / (sqrt(n.n2) * sqrt(pn.n2)) AS cosine
+      FROM probes p
+      CROSS JOIN embeddings e
+      JOIN norms n  ON e.vec_id = n.vec_id
+      JOIN norms pn ON p.probe_id = pn.vec_id
+      WHERE e.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT probe_id, rnk, vec_id, cosine
+    FROM ranked WHERE rnk <= {_KNN_K}
+    ORDER BY probe_id, rnk
+    """,
+    tags=("SIM4",),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: exact cosine top-5 neighbors for every vector in a probe
+    batch (vec_id < 10) in ONE pass over the corpus — the batch shape of
+    hard-negative mining / retrieval-eval, where per-query loops would be
+    1000x the scans.
+
+    Plan: the probe batch (with precomputed norms) broadcasts; each corpus
+    row scores against all probes map-side (explode over the broadcast
+    list); the per-probe top-k is a rank<=k window PARTITIONED BY probe_id —
+    parallel across probes, with the rank predicate enabling the window
+    group-limit pushdown (Spark 3.5+) so each partition keeps a k-row heap
+    instead of sorting the full candidate set. Scales as
+    O(corpus x probes / executors); for probe batches beyond ~1k, block
+    with the hyperplane-LSH buckets of dedup_embedding_lsh (D6) instead of
+    broadcasting.
+    """
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = (
+        emb.filter(F.col("vec_id") < _KNN_N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            emb_norm2(F.col("embedding")).alias("p_n2"),
+        )
+    )
+    scored = (
+        emb.withColumn("n2", emb_norm2(F.col("embedding")))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                emb_dot(F.col("embedding"), F.col("p_emb"))
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("p_n2")))
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("probe_id", "rnk", "vec_id", "cosine")
+        .orderBy("probe_id", "rnk")
+    )

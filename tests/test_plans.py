@@ -133,3 +133,12 @@ def test_curation_filter_is_map_only(spark, specs):
 def test_corpus_stats_prunes_body(spark, specs):
     plan = formatted_plan(specs["corpus_stats_by_lang"].builder(spark, SF_SMOKE))
     assert "text" not in scan_columns(plan, containing="lang")
+
+
+def test_knn_join_uses_window_group_limit(spark, specs):
+    plan = formatted_plan(specs["sim_knn_join"].builder(spark, SF_SMOKE))
+    # probe batch broadcasts (corpus never shuffles for the join) and the
+    # rank<=k predicate becomes a per-partition top-k heap, not a full sort
+    assert count_broadcast_joins(plan) >= 1
+    assert "WindowGroupLimit" in plan
+    assert count_data_shuffles(plan) <= 2  # window hash + output sort
