@@ -103,7 +103,7 @@ def sample_stratified_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            F.row_number().over(w).alias("sample_rank"),
+            F.row_number().over(w).cast("long").alias("sample_rank"),
             F.count(F.lit(1)).over(wn).alias("n_stratum"),
         )
         .filter(
@@ -143,7 +143,7 @@ def sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy(_hash_key(), "doc_id")
     return (
         table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .select("doc_id", "lang", F.row_number().over(w).cast("long").alias("sample_rank"))
         .filter(F.col("sample_rank") <= _FIXED_K)
         .orderBy("lang", "sample_rank")
     )
@@ -268,7 +268,7 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.instr(F.lit("0123456789abcdef"), nibble) - 1).cast("long").alias("shard"),
-            F.row_number().over(w).alias("pos_in_shard"),
+            F.row_number().over(w).cast("long").alias("pos_in_shard"),
         )
         .orderBy("shard", "pos_in_shard")
     )

@@ -221,7 +221,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
       ORDER BY cosine DESC, d.vec_id
       LIMIT {_TOP_K})
-    SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER)
+    SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
              AS rnk,
            vec_id
     FROM top ORDER BY rnk
@@ -266,7 +266,7 @@ def sim_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank the 10 surviving rows (tiny frame — the unpartitioned window is
     # safe by construction) and project to the ulp-robust (rnk, vec_id) pair
     rnk = F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
-    return top.select(rnk.alias("rnk"), "vec_id").orderBy("rnk")
+    return top.select(rnk.cast("long").alias("rnk"), "vec_id").orderBy("rnk")
 
 
 # --------------------------------------------------------------------------
@@ -347,7 +347,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _KNN_K)
         .select("probe_id", "rnk", "vec_id", "cosine")
         .orderBy("probe_id", "rnk")

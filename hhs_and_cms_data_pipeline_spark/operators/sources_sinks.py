@@ -131,7 +131,7 @@ def s1_csv_scan_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n_nationkey, n_name, n_regionkey
     FROM read_csv('{_NATION_CSV}', header=true, all_varchar=true)
-    ORDER BY n_nationkey
+    ORDER BY CAST(n_nationkey AS BIGINT)
     """,
     tags=("S2",),
 )
