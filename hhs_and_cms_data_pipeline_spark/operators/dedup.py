@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
-from .text import SQL_BIGRAMS, word_bigrams
+from .text import SQL_BIGRAMS, word_bigram_arrays, word_bigrams
 
 # --------------------------------------------------------------------------
 # Exact dedup: hash-groupBy, keep minimum doc_id (deterministic first-wins).
@@ -104,8 +104,8 @@ def _jaccard_pairs(docs: DataFrame) -> DataFrame:
     (doc frequency <= _STOP_SHINGLE_DF); the jaccard itself is computed
     over ALL shared shingles of each candidate pair, so the score is exact.
     """
-    big = word_bigrams(docs)
-    sizes = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    arrays = word_bigram_arrays(docs)
+    big = arrays.select("doc_id", F.explode("bgs").alias("bg"))
     rare = (
         big.groupBy("bg")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -120,28 +120,7 @@ def _jaccard_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ba = big.select(F.col("doc_id").alias("doc_a"), "bg")
-    bb = big.select(F.col("doc_id").alias("doc_b2"), F.col("bg").alias("bg_b"))
-    shared = (
-        cand.join(ba, "doc_a")
-        .join(bb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("bg") == F.col("bg_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
-            ).alias("jaccard"),
-        )
-    )
+    return exact_jaccard_of_pairs(cand, arrays)
 
 
 @register(
@@ -197,24 +176,38 @@ _BAND_SIZE = 4
 # embarrassingly parallel, so they win.
 
 
-def minhash_candidates(big: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) LSH candidate pairs from a (doc_id, bg) shingle frame:
-    16 min-hash aggregate columns in one groupBy, band signatures as per-row
-    concats exploded to (doc_id, band, sig), bucket self-join."""
-    digs = big.select(
+def minhash_candidates(arrays: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs from a (doc_id, bgs) shingle-set
+    frame: 16 min-hashes computed MAP-ONLY (array_min over a per-element md5
+    transform — no explode, no groupBy, no shuffle before the bucket join),
+    band signatures as per-row concats exploded to (doc_id, band, sig),
+    bucket self-join. The only exchange in candidate generation is the
+    bucket join itself — the optimal shape at 100 TB."""
+    # One digest array per seed group, materialized as its own projection so
+    # the 4 substring transforms below don't re-run md5 per extraction.
+    digs = arrays.filter(F.size("bgs") > 0).select(
         "doc_id",
         *[
-            F.md5(F.concat_ws(":", F.lit(str(g)), F.col("bg"))).alias(f"d{g}")
+            F.transform(
+                F.col("bgs"),
+                lambda bg, g=g: F.md5(F.concat_ws(":", F.lit(str(g)), bg)),
+            ).alias(f"d{g}")
             for g in range(_N_HASHES // 4)
         ],
     )
-    mh = digs.groupBy("doc_id").agg(
+    # min over hex substrings of the exploded relation == array_min over the
+    # same substrings element-wise: both are the lexicographic minimum.
+    mh = digs.select(
+        "doc_id",
         *[
-            F.min(
-                F.substring(F.col(f"d{s // 4}"), (s % 4) * 8 + 1, 8)
+            F.array_min(
+                F.transform(
+                    F.col(f"d{s // 4}"),
+                    lambda d, s=s: F.substring(d, (s % 4) * 8 + 1, 8),
+                )
             ).alias(f"h{s}")
             for s in range(_N_HASHES)
-        ]
+        ],
     )
     n_bands = _N_HASHES // _BAND_SIZE
     band_structs = F.array(
@@ -244,35 +237,34 @@ def minhash_candidates(big: DataFrame) -> DataFrame:
     )
 
 
+def exact_jaccard_of_pairs(cand: DataFrame, arrays: DataFrame) -> DataFrame:
+    """Exact word-bigram Jaccard for each (doc_a, doc_b) candidate pair,
+    computed per-pair via array_intersect over the per-doc shingle sets —
+    no shingle-index joins, no groupBy. The candidate frame is orders of
+    magnitude smaller than the corpus, so the two array joins are the only
+    exchanges and each moves |cand| + |docs| rows, never |shingles|."""
+    aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("bgs").alias("bgs_a"))
+    ab = arrays.select(F.col("doc_id").alias("doc_b"), F.col("bgs").alias("bgs_b"))
+    joined = cand.join(aa, "doc_a").join(ab, "doc_b")
+    n_shared = F.size(F.array_intersect("bgs_a", "bgs_b"))
+    na, nb = F.size("bgs_a"), F.size("bgs_b")
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        (n_shared.cast("double") / (na + nb - n_shared).cast("double")).alias(
+            "jaccard"
+        ),
+    )
+
+
 def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard: the (doc_a, doc_b,
     jaccard) near-dup relation. Shared by the pair query (D3) and the
     cluster-assignment query (D8)."""
-    big = word_bigrams(docs)
-    cand = minhash_candidates(big)
-    sizes = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ba = big.select(F.col("doc_id").alias("doc_a"), "bg")
-    bb = big.select(F.col("doc_id").alias("doc_b2"), F.col("bg").alias("bg_b"))
-    shared = (
-        cand.join(ba, "doc_a")
-        .join(bb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("bg") == F.col("bg_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= _JACCARD_TAU)
+    arrays = word_bigram_arrays(docs)
+    cand = minhash_candidates(arrays)
+    return exact_jaccard_of_pairs(cand, arrays).filter(
+        F.col("jaccard") >= _JACCARD_TAU
     )
 
 
@@ -812,7 +804,7 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     docs = spread(table(spark, sf_dir, "documents"))
-    cand = minhash_candidates(word_bigrams(docs))
+    cand = minhash_candidates(word_bigram_arrays(docs))
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     dist = F.levenshtein("text_a", "text_b")

@@ -23,13 +23,16 @@ def tokens(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
-def word_bigrams(docs: DataFrame) -> DataFrame:
-    """Distinct word-bigram shingles per document: (doc_id, bg).
+def word_bigram_arrays(docs: DataFrame) -> DataFrame:
+    """Distinct word-bigram shingle SET per document: (doc_id, bgs).
 
-    Built entirely per-row (array transform + array_distinct + one explode):
-    zero shuffles, unlike the naive posexplode -> window-lead -> distinct
-    formulation which costs two exchanges before any downstream work. At
-    100 TB shingling is a map-only stage, as it should be.
+    Built entirely per-row (array transform + array_distinct): zero shuffles,
+    unlike the naive posexplode -> window-lead -> distinct formulation which
+    costs two exchanges before any downstream work. At 100 TB shingling is a
+    map-only stage, as it should be. Keeping the set as an array (instead of
+    exploding to a (doc_id, bg) relation) lets minhash signatures be computed
+    map-only (array_min over transform — no groupBy) and lets exact-Jaccard
+    verification run as per-pair array_intersect (no shingle-index joins).
     """
     # Materialize the token array in its own projection: inlining `split`
     # into the per-element lambda would re-evaluate it per token (quadratic
@@ -46,7 +49,13 @@ def word_bigrams(docs: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    return toked.select("doc_id", F.explode(bgs).alias("bg"))
+    return toked.select("doc_id", bgs.alias("bgs"))
+
+
+def word_bigrams(docs: DataFrame) -> DataFrame:
+    """Distinct word-bigram shingles per document as a relation: (doc_id, bg).
+    The exploded view of word_bigram_arrays — for inverted-index consumers."""
+    return word_bigram_arrays(docs).select("doc_id", F.explode("bgs").alias("bg"))
 
 
 # Oracle-side shared fragments ----------------------------------------------
