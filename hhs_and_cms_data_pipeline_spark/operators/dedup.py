@@ -176,22 +176,39 @@ _BAND_SIZE = 4
 # embarrassingly parallel, so they win.
 
 
+def _md5_transform_for(g: int):
+    """Single-parameter lambda factory for F.transform.
+
+    CRITICAL: F.transform inspects the lambda's arity — a TWO-parameter
+    lambda receives (element, index), so the idiomatic default-arg capture
+    (``lambda bg, g=g: ...``) silently rebinds the captured constant to the
+    element-index Column and collapses every seed group to the same digest.
+    Constants must be closed over by a factory so the lambda stays unary.
+    """
+    return lambda bg: F.md5(F.concat_ws(":", F.lit(str(g)), bg))
+
+
+def _substring_transform_for(s: int):
+    """Unary-lambda factory extracting hex slot ``s % 4`` (8 chars) from a
+    digest array element. See _md5_transform_for for why a factory, not a
+    default-arg lambda."""
+    start = (s % 4) * 8 + 1
+    return lambda d: F.substring(d, start, 8)
+
+
 def minhash_candidates(arrays: DataFrame) -> DataFrame:
     """(doc_a, doc_b) LSH candidate pairs from a (doc_id, bgs) shingle-set
     frame: 16 min-hashes computed MAP-ONLY (array_min over a per-element md5
     transform — no explode, no groupBy, no shuffle before the bucket join),
     band signatures as per-row concats exploded to (doc_id, band, sig),
     bucket self-join. The only exchange in candidate generation is the
-    bucket join itself — the optimal shape at 100 TB."""
+    bucket join itself."""
     # One digest array per seed group, materialized as its own projection so
     # the 4 substring transforms below don't re-run md5 per extraction.
     digs = arrays.filter(F.size("bgs") > 0).select(
         "doc_id",
         *[
-            F.transform(
-                F.col("bgs"),
-                lambda bg, g=g: F.md5(F.concat_ws(":", F.lit(str(g)), bg)),
-            ).alias(f"d{g}")
+            F.transform(F.col("bgs"), _md5_transform_for(g)).alias(f"d{g}")
             for g in range(_N_HASHES // 4)
         ],
     )
@@ -201,10 +218,7 @@ def minhash_candidates(arrays: DataFrame) -> DataFrame:
         "doc_id",
         *[
             F.array_min(
-                F.transform(
-                    F.col(f"d{s // 4}"),
-                    lambda d, s=s: F.substring(d, (s % 4) * 8 + 1, 8),
-                )
+                F.transform(F.col(f"d{s // 4}"), _substring_transform_for(s))
             ).alias(f"h{s}")
             for s in range(_N_HASHES)
         ],
@@ -324,8 +338,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4 bands of 4) -> candidate pairs -> exact-Jaccard verification.
 
     The scale path for fuzzy dedup, shaped for 100 TB:
-      * the 16 min-hashes are 16 aggregate columns of ONE groupBy over the
-        shingles (no 16x row amplification, no crossJoin, no collect_list);
+      * the 16 min-hashes are MAP-ONLY: array_min over per-element md5
+        transforms of the in-row shingle array (no explode, no groupBy, no
+        shuffle before the bucket join; see minhash_candidates);
       * band signatures are per-row concats of those columns, exploded into
         (doc_id, band, sig) for the bucket self-join;
       * exact-Jaccard verification is DRIVEN BY the candidate set (two hash

@@ -109,6 +109,70 @@ def test_documents_corpus_is_ascii(spark):
     assert non_ascii == 0
 
 
+def test_minhash_lsh_candidates_are_selective(spark):
+    """LSH-sanity guard (round-2 regression): the banding scheme must keep
+    the candidate set within a small factor of the verified near-dup pairs.
+    The round-2 F.transform two-arg-lambda arity bug collapsed all 16
+    permutations into one, blowing candidates up 819x (381 -> 312,023 at
+    sf0.1) while CORRECTNESS stayed green because exact-Jaccard verification
+    filtered the superset. This test fails loudly on any such collapse."""
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        exact_jaccard_of_pairs,
+        minhash_candidates,
+    )
+    from hhs_and_cms_data_pipeline_spark.operators.text import word_bigram_arrays
+    from hhs_and_cms_data_pipeline_spark.sources import table
+    from tests.conftest import SF_SMOKE
+
+    arrays = word_bigram_arrays(table(spark, SF_SMOKE, "documents"))
+    cand = minhash_candidates(arrays)
+    n_cand = cand.count()
+    n_verified = exact_jaccard_of_pairs(cand, arrays).filter(F.col("jaccard") >= 0.5).count()
+    # Healthy banding at every tested SF keeps candidates within ~1.5x of
+    # verified pairs; a single-permutation collapse is 100-1000x. The slack
+    # absorbs corpus growth without ever admitting a collapse.
+    assert n_cand <= max(50, 10 * n_verified), (
+        f"LSH candidate blowup: {n_cand} candidates vs {n_verified} verified "
+        "pairs — MinHash permutations are likely collapsed (check F.transform "
+        "lambda arity in minhash_candidates)"
+    )
+
+
+def test_minhash_permutations_are_independent(spark):
+    """Direct symptom check for the same bug: each document's 16 min-hash
+    slots must not all be equal (16 independent md5-derived permutations
+    agreeing on one document is ~impossible; the arity bug makes them ALL
+    equal for EVERY document)."""
+    from hhs_and_cms_data_pipeline_spark.operators import dedup as dd
+    from hhs_and_cms_data_pipeline_spark.operators.text import word_bigram_arrays
+    from hhs_and_cms_data_pipeline_spark.sources import table
+    from tests.conftest import SF_SMOKE
+
+    arrays = word_bigram_arrays(table(spark, SF_SMOKE, "documents"))
+    digs = arrays.filter(F.size("bgs") > 1).limit(20).select(
+        "doc_id",
+        *[
+            F.transform(F.col("bgs"), dd._md5_transform_for(g)).alias(f"d{g}")
+            for g in range(dd._N_HASHES // 4)
+        ],
+    )
+    mh = digs.select(
+        *[
+            F.array_min(
+                F.transform(F.col(f"d{s // 4}"), dd._substring_transform_for(s))
+            ).alias(f"h{s}")
+            for s in range(dd._N_HASHES)
+        ]
+    )
+    distinct_slots = mh.select(
+        F.size(F.array_distinct(F.array(*[f"h{s}" for s in range(dd._N_HASHES)]))).alias("n")
+    ).agg(F.max("n").alias("mx")).collect()[0]["mx"]
+    assert distinct_slots > 1, (
+        "all 16 min-hash slots identical on every sampled document — "
+        "permutations have collapsed"
+    )
+
+
 def test_dedup_clusters_consistent_with_pairs(spark):
     """dedup_clusters (D8) invariants at SF_SMOKE: one row per document,
     labels are representative doc_ids (cluster_id <= doc_id, and every
