@@ -29,9 +29,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     specs = {n: s for n, s in all_specs().items() if s.bench}
-    # Warm the JVM/codegen path once on the smallest query so per-query times
-    # measure the plan, not session startup.
-    specs["text_token_stats"].builder(spark, sf_dir).collect()
+    # Warm EVERY query once (JVM/codegen/parquet-footer caches), then time a
+    # second run. Round-over-round deltas then track plan changes, not
+    # session warm-up — round-2 per-query numbers were noisy enough to mask
+    # real regressions behind warm-up jitter.
+    for name in sorted(specs):
+        specs[name].builder(spark, sf_dir).collect()
     timings: dict[str, float] = {}
     for name in sorted(specs):
         spec = specs[name]
