@@ -85,8 +85,6 @@ def _parse_bmp(data: bytes) -> dict:
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP")
     (filesize,) = struct.unpack_from("<I", data, 2)
-    if filesize != len(data):
-        raise ValueError("BMP size field mismatch")
     (off,) = struct.unpack_from("<I", data, 10)
     (hsz,) = struct.unpack_from("<I", data, 14)
     if hsz < 40:
@@ -99,6 +97,12 @@ def _parse_bmp(data: bytes) -> dict:
     bottom_up = h > 0
     h = abs(h)
     row_sz = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    # bfSize is advisory in the wild: many writers emit 0 or a padded value.
+    # Accept 0, the exact payload length, or anything covering the pixel
+    # data; reject only a nonzero size SMALLER than the declared geometry
+    # (junk-header guard). The truncation check below still protects reads.
+    if filesize not in (0, len(data)) and filesize < off + row_sz * h:
+        raise ValueError("BMP size field mismatch")
     px = bytearray(w * h * 3)
     for r in range(h):
         src = h - 1 - r if bottom_up else r
@@ -150,11 +154,15 @@ def fake_decode(payload: bytes) -> dict:
 def _decode_or_fake(data: bytes) -> dict:
     """Route a payload through the real decoder when it is a supported image
     format; anything else gets the deterministic fake decode. For decoded
-    images the stats (mean/hist) are over PIXEL bytes, not file bytes."""
+    images the stats (mean/hist) are over PIXEL bytes, not file bytes.
+
+    The returned dict carries ``decoded``: False means the fake path ran —
+    callers log a per-batch fallback count so silently faked rows are
+    observable in executor logs instead of invisible."""
     try:
         img = decode_image(data)
     except (NotImplementedError, ValueError):
-        return fake_decode(data)
+        return {**fake_decode(data), "decoded": False}
     px = img["pixels"]
     hist = [0] * 16
     for b in px:
@@ -166,7 +174,22 @@ def _decode_or_fake(data: bytes) -> dict:
         "mean_byte": (sum(px) / total) if px else None,
         "features": [h / total for h in hist],
         "pixels": px,
+        "decoded": True,
     }
+
+
+def _log_fake_decodes(n_faked: int, n_total: int) -> None:
+    """One INFO line per Arrow batch that hit the fake-decode fallback, in
+    the EXECUTOR log (this runs in the Python worker). Aggregate per batch —
+    per-row logging would flood; zero-fallback batches stay silent."""
+    import logging
+
+    logging.getLogger(__name__).info(
+        "fake_decode fallback: %d/%d payloads in this batch were not "
+        "decodable images (byte-arithmetic pseudo-features emitted)",
+        n_faked,
+        n_total,
+    )
 
 
 def extract_frame_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -174,9 +197,11 @@ def extract_frame_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
     partition-safe — the contract every multimodal UDF here must satisfy."""
     for pdf in batches:
         out = []
+        n_faked = 0
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             data = bytes(payload)
             meta = _decode_or_fake(data)
+            n_faked += not meta["decoded"]
             out.append(
                 {
                     "doc_id": int(doc_id),
@@ -188,6 +213,8 @@ def extract_frame_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                     "features": meta["features"],
                 }
             )
+        if n_faked:
+            _log_fake_decodes(n_faked, len(out))
         yield pd.DataFrame(out, columns=[f.name for f in FRAME_FEATURE_SCHEMA.fields])
 
 
@@ -282,9 +309,11 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     + the sampling loop for PIL resize; schema/batching stay identical."""
     for pdf in batches:
         out = []
+        n_faked = 0
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             data = bytes(payload)
             meta = _decode_or_fake(data)
+            n_faked += not meta["decoded"]
             w, h = meta["width"], meta["height"]
             # decoded images sample the pixel grid; opaque payloads sample
             # the raw byte stream (same strided arithmetic either way)
@@ -304,6 +333,8 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "thumb": thumb,
                 }
             )
+        if n_faked:
+            _log_fake_decodes(n_faked, len(out))
         yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
 

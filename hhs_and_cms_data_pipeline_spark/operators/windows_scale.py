@@ -195,10 +195,24 @@ def _bkt_tag(sf_dir: str) -> str:
     """Per-(sf_dir, process) tag for the bucketed-table names: the in-memory
     catalog forgets tables across sessions, so each process (re)builds and
     owns its layout — concurrent sessions never rmtree each other's live
-    table dirs."""
+    table dirs. The owner pid is embedded READABLY (``..._p<pid>``) so GC
+    can check process liveness instead of guessing from mtime (parquet
+    files age from write time, not last read — a long-lived session's
+    tables would look "stale" after an hour)."""
     import os
 
-    return hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:8]
+    return f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_p{os.getpid()}"
+
+
+def _bkt_owner_alive(dir_name: str) -> bool:
+    """True when the bucketed dir's embedded owner pid is a live process
+    (''/proc/<pid>'' exists). Dirs without a parseable pid (pre-pid-tag
+    layout) are treated as dead so they get collected."""
+    import os
+    import re
+
+    m = re.search(r"_p(\d+)$", dir_name)
+    return bool(m) and os.path.exists(f"/proc/{m.group(1)}")
 
 
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,11 +256,11 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = spark.catalog
     # the catalog is in-memory per session but the warehouse dir persists:
     # drop THIS tag's orphaned locations (a crashed same-pid run) and any
-    # foreign-tag bucketed dirs idle for >1h (dead processes); a live
-    # concurrent session's dirs are younger than that.
+    # foreign-tag bucketed dirs whose owner process is DEAD (liveness via
+    # the pid embedded in the tag — never mtime, which ages from write
+    # time and would condemn a live long-running session after an hour).
     import os
     import shutil
-    import time
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
         "file:"
@@ -255,18 +269,13 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not catalog.tableExists(name):
             shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
     if os.path.isdir(warehouse):
-        now = time.time()
         for name in os.listdir(warehouse):
             if (
                 name.startswith(("orders_bkt_", "customer_bkt_"))
                 and not name.endswith(tag)
+                and not _bkt_owner_alive(name)
             ):
-                loc = os.path.join(warehouse, name)
-                try:
-                    if now - os.stat(loc).st_mtime > 3600:
-                        shutil.rmtree(loc, ignore_errors=True)
-                except OSError:
-                    pass
+                shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
     if not catalog.tableExists(o_name):
         (
             table(spark, sf_dir, "orders")

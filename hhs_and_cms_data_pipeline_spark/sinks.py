@@ -51,6 +51,12 @@ def write_parquet_atomic(
     """
     import time
 
+    # Normalize to absolute against PYTHON's cwd before anything touches the
+    # path: a relative `path` would otherwise (a) make the symlink target
+    # resolve against the link's parent dir (out/tbl -> out/out/tbl.__v__x)
+    # and (b) be resolved by Spark's JVM against ITS working directory,
+    # which is pinned at session start and can disagree with os.getcwd().
+    path = os.path.abspath(path)
     data_dir = f"{path}.__v__{uuid.uuid4().hex}"
     try:
         writer = df.write.mode("overwrite")
@@ -62,7 +68,7 @@ def write_parquet_atomic(
             shutil.rmtree(path)
         prev = os.path.realpath(path) if os.path.islink(path) else None
         tmp_link = f"{path}.__link__{uuid.uuid4().hex}"
-        os.symlink(data_dir, tmp_link)
+        os.symlink(data_dir, tmp_link)  # absolute target (path normalized above)
         os.rename(tmp_link, path)  # atomic publish
     except Exception:
         shutil.rmtree(data_dir, ignore_errors=True)

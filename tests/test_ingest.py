@@ -178,6 +178,20 @@ def test_atomic_write(spark, tmp_path):
     assert not [d for d in os.listdir(tmp_path) if "__link__" in d]
 
 
+def test_atomic_write_relative_path(spark, tmp_path, monkeypatch):
+    """Regression (round-2 ADVICE): a RELATIVE path with a directory
+    component used to produce a symlink whose relative target resolved
+    against the link's parent ('out/out/tbl.__v__...'), breaking every
+    read. The link target must be absolute."""
+    from hhs_and_cms_data_pipeline_spark.sinks import write_parquet_atomic
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("out", exist_ok=True)
+    write_parquet_atomic(spark.range(10).withColumnRenamed("id", "k"), "out/tbl")
+    assert os.path.isdir("out/tbl")  # the symlink must resolve
+    assert spark.read.parquet(str(tmp_path / "out" / "tbl")).count() == 10
+
+
 def test_atomic_write_failure_keeps_published(spark, tmp_path):
     """A writer that dies mid-job must leave the published table untouched
     and no half-written version behind (rollback semantics)."""

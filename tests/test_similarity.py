@@ -30,3 +30,40 @@ def test_ivf_topk_is_subset_of_bruteforce_order(spark):
     for r in ivf:
         if r["vec_id"] in brute:
             assert r["cosine"] == brute[r["vec_id"]]
+
+
+def test_topk_cosine_separation_guards_rank_oracle():
+    """sim_topk_pandas_udf's oracle compares (rnk, vec_id) from BLAS
+    pairwise-summed cosines against exact sequential-fold SQL cosines —
+    valid ONLY while every adjacent pair of top-k cosines is separated by
+    far more than the few-ulp error between the two summation orders. This
+    asserts that data-dependent assumption for the SFs the driver tests, so
+    a future corpus change fails HERE, loudly, instead of as a flapping
+    oracle mismatch. Pure pyarrow/numpy — no Spark session needed."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hhs_and_cms_data_pipeline_spark.operators.similarity import (
+        _QUERY_VEC_ID,
+        _TOP_K,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        q = m[ids == _QUERY_VEC_ID][0]
+        mask = ids != _QUERY_VEC_ID
+        cos = (m[mask] @ q) / (
+            np.sqrt((m[mask] * m[mask]).sum(axis=1)) * np.sqrt(q @ q)
+        )
+        # top k+1 so a swap across the k-boundary is also covered
+        top = np.sort(cos)[::-1][: _TOP_K + 1]
+        min_gap = float(np.min(top[:-1] - top[1:]))
+        # BLAS-vs-sequential summation error is O(ulp * dim) ~ 1e-13 for
+        # unit-ish 64-dim float64 vectors; demand 6 orders of magnitude more
+        assert min_gap > 1e-7, (
+            f"{sf_dir}: adjacent top-{_TOP_K} cosines separated by only "
+            f"{min_gap:.2e} — the (rnk, vec_id) oracle for sim_topk_pandas_udf "
+            "is no longer ulp-robust; switch it to a tolerance compare"
+        )
