@@ -52,6 +52,71 @@ def has_sort_merge_join(plan: str) -> bool:
     return "SortMergeJoin" in plan
 
 
+def simple_plan(df: DataFrame) -> str:
+    """The EXPLAIN (simple) physical-plan TREE — indentation encodes the
+    operator hierarchy, which formatted output flattens away."""
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def _tree_depth(line: str) -> int:
+    """Node depth in Spark's plan tree: markers come in 3-char units
+    (':  ', '   ', '+- ', ':- '), so depth = marker-prefix length / 3."""
+    i = 0
+    while line[i : i + 3] in (":  ", "   ", "+- ", ":- "):
+        i += 3
+    return i // 3
+
+
+def single_partition_subtrees(plan: str) -> list[str]:
+    """For each `Exchange SinglePartition` in the plan tree, the subtree
+    BELOW it (the data that gets funneled into one partition). Used to
+    audit global windows/sorts: the subtree must be pre-reduced (an
+    aggregate or limit) or read only bounded dim tables — otherwise the
+    node is a scale-killer that moves a fact table onto one core."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = _tree_depth(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _tree_depth(nxt) <= d and nxt.lstrip().startswith(("+-", ":-")):
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+_REDUCING_NODES = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|AggregateInPandas"
+    r"|TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit"
+)
+
+# Tables whose size is bounded by the data model, not the corpus: safe to
+# funnel through one partition even at 100 TB.
+_DIM_TABLES = ("nation.parquet", "region.parquet")
+
+
+def unreduced_single_partition(plan: str, *, allow_tables: tuple[str, ...] = ()) -> list[str]:
+    """Subtrees of SinglePartition exchanges that are NOT pre-reduced and
+    scan something other than bounded dims / explicitly allowed tables —
+    i.e. genuine single-core funnels of unbounded data."""
+    bad = []
+    allowed = _DIM_TABLES + allow_tables
+    for sub in single_partition_subtrees(plan):
+        if _REDUCING_NODES.search(sub):
+            continue
+        scans = re.findall(r"\[file:[^\]]*?/(\w+\.parquet)", sub)
+        if scans and all(s in allowed for s in scans):
+            continue
+        bad.append(sub)
+    return bad
+
+
 def scan_columns(plan: str, *, containing: str) -> set[str]:
     """Column names of the first ReadSchema containing the given column."""
     for schema in read_schemas(plan):

@@ -142,3 +142,35 @@ def test_knn_join_uses_window_group_limit(spark, specs):
     assert count_broadcast_joins(plan) >= 1
     assert "WindowGroupLimit" in plan
     assert count_data_shuffles(plan) <= 2  # window hash + output sort
+
+
+def test_no_unreduced_global_windows_anywhere(spark, specs):
+    """Registry-wide scale audit (round-2 VERDICT item 6): every
+    `Exchange SinglePartition` in every registered query's plan must sit
+    above PRE-REDUCED data (an aggregate or limit) or a bounded dim table.
+    A global window/sort over unreduced fact data funnels the corpus onto
+    one core — the classic 100 TB job-killer. Any new query that adds one
+    must either restructure or consciously join the allowlist here.
+
+    Allowlist: j6_positional_pairing — positional zip is BY CONTRACT a
+    global-order op applied only to dim-sized frames (customer<=200 rows,
+    supplier), documented in its docstring."""
+    from hhs_and_cms_data_pipeline_spark.plans.audit import (
+        simple_plan,
+        unreduced_single_partition,
+    )
+
+    allowlist = {"j6_positional_pairing"}
+    offenders = {}
+    for name, spec in sorted(specs.items()):
+        bad = unreduced_single_partition(simple_plan(spec.builder(spark, SF_SMOKE)))
+        if bad:
+            offenders[name] = bad
+    unexpected = {n: b for n, b in offenders.items() if n not in allowlist}
+    assert not unexpected, (
+        "unreduced SinglePartition exchange over non-dim data in: "
+        f"{sorted(unexpected)} — restructure (pre-aggregate / partition the "
+        "window / limit) or allowlist with a documented contract"
+    )
+    # the allowlist must stay honest: if j6 is ever restructured, drop it
+    assert set(offenders) == allowlist
