@@ -1,8 +1,9 @@
 """Sampling, sharding, and curation-pipeline operators over `documents` —
 the selection half of a training-data pipeline (dedup.py is the removal
 half): deterministic Bernoulli sampling, stratified fractions, fixed-k per
-group, reason-coded quality filtering, corpus statistics, and training-shard
-assignment.
+group, reason-coded quality filtering, corpus statistics, training-shard
+assignment, within-document repetition filtering (C7), benchmark
+decontamination (C8), and training-sequence packing (C9).
 
 Determinism doctrine: every sampling decision is a pure function of the row
 key (md5 of the doc_id, identical in Spark and DuckDB), never of partition
@@ -28,6 +29,7 @@ from ..functions.exact import davg, sql_davg
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import table
+from .text import SQL_BIGRAMS, SQL_TOKS, tokens, word_bigram_arrays, word_bigrams
 
 # Hash key: md5 over the decimal string of doc_id — bit-identical in Spark
 # and DuckDB, uniform over the hex space, independent of row order.
@@ -271,4 +273,232 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("pos_in_shard"),
         )
         .orderBy("shard", "pos_in_shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# C7 — within-document repetition filter (Gopher-style duplicate-ngram
+# fraction; Rae et al. 2021 §A1.1 use dup 2/3/4-gram character fractions).
+# --------------------------------------------------------------------------
+
+_DUP_BIGRAM_TAU = 0.2
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH allbg AS (
+      SELECT doc_id,
+             w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      FROM ({SQL_TOKS}))
+    SELECT doc_id,
+           COUNT(bg) AS n_bigrams,
+           COUNT(DISTINCT bg) AS n_distinct,
+           CASE WHEN COUNT(bg) > 0
+                THEN CAST(COUNT(bg) - COUNT(DISTINCT bg) AS DOUBLE)
+                       / CAST(COUNT(bg) AS DOUBLE)
+                ELSE 0.0 END AS dup_frac,
+           CASE WHEN COUNT(bg) > 0
+                THEN CAST(COUNT(bg) - COUNT(DISTINCT bg) AS DOUBLE)
+                       / CAST(COUNT(bg) AS DOUBLE)
+                ELSE 0.0 END > {_DUP_BIGRAM_TAU} AS repetitive
+    FROM allbg
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("C7",),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate word-bigram fraction per document — the Gopher-style
+    within-document repetition signal (a high fraction of repeated n-grams
+    marks boilerplate/spam/looped generations). dup_frac =
+    (total - distinct) / total bigrams; docs above tau are flagged.
+
+    Spark shape: MAP-ONLY — both counts come from the in-row bigram array
+    (size vs size(array_distinct)), no explode, no shuffle; the integer->
+    double division is exact on both engines. The oracle builds the same
+    multiset via a lead() window over the token relation."""
+    ensure_session_conf(spark)
+    toked = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("toks"))
+    n = F.size(F.col("toks"))
+    all_bgs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, n - F.lit(1)),
+            F.slice(F.col("toks"), 2, n - F.lit(1)),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    withbg = toked.select("doc_id", all_bgs.alias("bgs"))
+    n_bg = F.size("bgs").cast("long")
+    n_distinct = F.size(F.array_distinct("bgs")).cast("long")
+    dup_frac = F.when(
+        n_bg > 0, (n_bg - n_distinct).cast("double") / n_bg.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        withbg.select(
+            "doc_id",
+            n_bg.alias("n_bigrams"),
+            n_distinct.alias("n_distinct"),
+            dup_frac.alias("dup_frac"),
+            (dup_frac > _DUP_BIGRAM_TAU).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# C8 — test-set decontamination: flag corpus documents whose shingles
+# overlap a benchmark/eval set (the standard n-gram decontamination pass a
+# training pipeline runs before every corpus release).
+# --------------------------------------------------------------------------
+
+# Deterministic pseudo-benchmark: every 97th doc plays the eval set. In
+# production this is the real benchmark suite — small by construction.
+_BENCH_MOD = 97
+_CONTAM_TAU = 0.8
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH bgs AS ({SQL_BIGRAMS}),
+    bench AS (SELECT DISTINCT bg FROM bgs WHERE doc_id % {_BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, bg FROM bgs WHERE doc_id % {_BENCH_MOD} <> 0),
+    counts AS (SELECT doc_id, COUNT(*) AS n_bigrams FROM corpus GROUP BY 1),
+    shared AS (
+      SELECT c.doc_id, COUNT(*) AS n_shared
+      FROM corpus c JOIN bench b USING (bg)
+      GROUP BY 1)
+    SELECT n.doc_id,
+           COALESCE(s.n_shared, 0) AS n_shared,
+           n.n_bigrams,
+           CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+             / CAST(n.n_bigrams AS DOUBLE) AS overlap_frac,
+           CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+             / CAST(n.n_bigrams AS DOUBLE) >= {_CONTAM_TAU} AS contaminated
+    FROM counts n LEFT JOIN shared s ON n.doc_id = s.doc_id
+    ORDER BY n.doc_id
+    """,
+    tags=("C8",),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document overlap with a benchmark shingle set: the fraction of a
+    doc's distinct word-bigrams that appear anywhere in the eval set; docs
+    at/above tau are contaminated (near-copies of eval items leak metrics).
+
+    Spark shape for 100 TB: the benchmark's distinct shingles are SMALL by
+    construction (eval suites, not corpora) -> built once and BROADCAST; the
+    corpus side streams through a map-side hash semi-join (no corpus
+    shuffle), then one hash-shuffle per-doc count. Corpus docs with zero
+    bigrams (<2 tokens) have no overlap denominator and are excluded on
+    both engines."""
+    ensure_session_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench_bgs = (
+        word_bigrams(docs.filter(is_bench)).select("bg").distinct()
+    )
+    corpus_arrays = word_bigram_arrays(docs.filter(~is_bench)).filter(
+        F.size("bgs") > 0
+    )
+    corpus = corpus_arrays.select("doc_id", F.explode("bgs").alias("bg"))
+    shared = (
+        corpus.join(F.broadcast(bench_bgs), "bg")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    counts = corpus_arrays.select(
+        "doc_id", F.size("bgs").cast("long").alias("n_bigrams")
+    )
+    overlap = F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / F.col(
+        "n_bigrams"
+    ).cast("double")
+    return (
+        counts.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            "n_bigrams",
+            overlap.alias("overlap_frac"),
+            (overlap >= _CONTAM_TAU).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# C9 — sequence packing: concat-and-chunk assignment of documents to
+# fixed-token training sequences (each doc gets the sequence its first
+# token lands in; sequences are cut every SEQ_LEN tokens within a shard).
+# --------------------------------------------------------------------------
+
+_SEQ_LEN = 2048
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             substr({_SQL_HASH_KEY}, 1, 1) AS nib,
+             {_SQL_HASH_KEY} AS hk,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', nib) - 1 AS shard,
+             n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY nib ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_tok
+      FROM toks)
+    SELECT doc_id, shard, n_tokens,
+           CAST(start_tok // {_SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(start_tok % {_SEQ_LEN} AS BIGINT) AS offset_in_seq
+    FROM packed
+    ORDER BY shard, seq_id, offset_in_seq, doc_id
+    """,
+    tags=("C9",),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence assignment by concatenate-and-chunk: documents are
+    laid end-to-end in deterministic hash order within each shard, and the
+    stream is cut every SEQ_LEN tokens; each doc records the sequence and
+    offset where it starts (GPT-style packing where document boundaries may
+    straddle sequence cuts). Downstream loaders materialize sequence s of
+    shard h by streaming docs with seq_id in {{s-1, s}} and slicing.
+
+    Spark shape: one exchange on the shard nibble, per-shard window
+    cumulative sum (exclusive frame), pure integer arithmetic — exact on
+    both engines. Never a global window: the 16-way sharding bounds every
+    sort, and widening the nibble prefix scales shard count with the
+    corpus exactly like corpus_shard_assignment (C6)."""
+    ensure_session_conf(spark)
+    hk = _hash_key()
+    nibble = F.substring(hk, 1, 1)
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        nibble.alias("nib"),
+        hk.alias("hk"),
+        F.size(tokens()).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("nib")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        toks.select(
+            "doc_id",
+            (F.instr(F.lit("0123456789abcdef"), F.col("nib")) - 1)
+            .cast("long")
+            .alias("shard"),
+            "n_tokens",
+            F.floor(start / _SEQ_LEN).cast("long").alias("seq_id"),
+            (start % _SEQ_LEN).cast("long").alias("offset_in_seq"),
+        )
+        .orderBy("shard", "seq_id", "offset_in_seq", "doc_id")
     )

@@ -174,3 +174,26 @@ def test_no_unreduced_global_windows_anywhere(spark, specs):
     )
     # the allowlist must stay honest: if j6 is ever restructured, drop it
     assert set(offenders) == allowlist
+
+
+def test_repetition_filter_is_map_only(spark, specs):
+    plan = formatted_plan(specs["text_repetition_filter"].builder(spark, SF_SMOKE))
+    # both counts come from the in-row bigram array: sort is the only exchange
+    assert count_exchanges(plan) <= 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark, specs):
+    plan = formatted_plan(specs["decontaminate_ngram_overlap"].builder(spark, SF_SMOKE))
+    # the benchmark shingle set must broadcast — the corpus side never
+    # shuffles for the overlap join itself
+    assert count_broadcast_joins(plan) >= 1
+    # corpus scans read only what shingling needs
+    assert scan_columns(plan, containing="text") <= {"doc_id", "text"}
+
+
+def test_pack_sequences_windows_per_shard(spark, specs):
+    plan = formatted_plan(specs["pack_sequences"].builder(spark, SF_SMOKE))
+    # one hash exchange for the per-shard window + the output sort; the
+    # cumulative sum must never collapse to a global single-partition window
+    assert count_data_shuffles(plan) <= 2
+    assert "No Partition Defined" not in plan
