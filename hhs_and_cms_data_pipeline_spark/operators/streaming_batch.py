@@ -209,3 +209,53 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_chronological_files(spark, sf_dir, stage)
     final, _ = run_stateful_sessionize(spark, stage, ckpt, f"stateful_sessions_{tag}")
     return final
+
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment join: the streaming side joins a slowly-changing
+# dimension before windowed aggregation (ST5).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_enrich_tumbling",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS window_start,
+           n.n_name AS nation,
+           COUNT(*) AS n_events,
+           {sql_dsum("e.value")} AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("ST5",),
+)
+def stream_enrich_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join + tumbling window: events are enriched against a
+    dimension (user -> nation) and aggregated per (hour, nation). In
+    Structured Streaming the identical plan is stream⋈static — the static
+    side is re-broadcast per micro-batch, no state store involved — then a
+    watermarked window agg (parity asserted in tests/test_streaming.py).
+    At 100 TB the dim side stays broadcast-sized (users, not events), and
+    the stream side never shuffles before the windowed aggregation."""
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "nation", "n_events", "sum_value")
+        .orderBy("window_start", "nation")
+    )

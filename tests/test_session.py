@@ -37,3 +37,52 @@ def test_good_confs_apply(spark):
     S.ensure_session_conf(spark)
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_registered_query_names_are_stable():
+    """Driver-row rotation accumulates correctness coverage ACROSS rounds
+    keyed by query NAME — renaming a registered query silently resets its
+    history (round-2 VERDICT item 4). Renames must be deliberate: update
+    this frozen list in the same commit and say why. Adding queries is
+    always fine."""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    frozen = {
+        "approx_distinct_check", "asof_join_last_purchase",
+        "bucketed_colocated_join", "corpus_shard_assignment",
+        "corpus_stats_by_lang", "cube_flag_status", "curation_filter_pipeline",
+        "decontaminate_ngram_overlap", "dedup_clusters",
+        "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+        "dedup_levenshtein", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "f11_boolean_parse", "f12_guarded_int_parse",
+        "f13_lenient_numeric", "f15_format_number", "f1_wkt_point_parse",
+        "f4_date_roundtrip", "f6_sentinel_to_null", "flagship_utilization",
+        "ingest_cms_normalize", "ingest_hhs_prep", "j5_multicol_semi_lookup",
+        "j6_positional_pairing", "j7_min_id_lookup", "json_extract_props",
+        "k1_partitioned_append", "k2_atomic_publish", "k3_upsert_anti_join",
+        "mm_binary_meta", "mm_frame_features", "mm_frame_sample", "mm_resize",
+        "p1_column_projection", "p4_null_rejection", "p5_membership_filter",
+        "p6_range_validity", "pack_sequences", "partition_pruned_scan",
+        "percentile_disc_by_flag", "r1_weekly_count_trend",
+        "r2_recent_weeks_summary", "r3_utilization_by_rating",
+        "r4_weekly_state_totals", "r5_sum_by_state", "r6_bottom10_states",
+        "r7_not_reporting", "r8_available_dates", "range_join_price_bands",
+        "rollup_flag_status", "s1_csv_scan_schema", "s2_csv_scan_strings",
+        "s3_table_scan", "s4_geojson_scan", "s4_json_scan", "salted_skew_join",
+        "sample_fixed_k_per_lang", "sample_hash_bernoulli",
+        "sample_stratified_frac", "setops_customers_vs_users", "sim_ivf_topk",
+        "sim_knn_join", "sim_topk_bruteforce", "sim_topk_pandas_udf",
+        "sql_api_scalar_subquery", "stream_sessionize", "stream_sliding_window",
+        "stream_stateful_sessionize", "stream_tumbling_hourly",
+        "t1_newest_week_row", "t6_topk_by_measure", "text_fingerprint",
+        "text_langid", "text_quality_score", "text_regex_tokens",
+        "text_repetition_filter", "text_token_stats",
+        "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+        "tpch_q1_pricing_summary", "tpch_q22_global_sales_opportunity",
+        "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue", "u1_dedup_first_wins",
+        "w3_last_value_per_series", "w4_moving_average", "w5_rank_ntile",
+    }
+    current = set(all_specs())
+    missing = frozen - current
+    assert not missing, f"registered queries RENAMED or removed: {sorted(missing)}"

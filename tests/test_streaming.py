@@ -68,3 +68,42 @@ def test_stateful_sessionize_crosses_batches(spark, tmp_path):
     batch = all_specs()["stream_sessionize"].builder(spark, SF_SMOKE)
     canon = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
     assert canon(final.collect()) == canon(batch.collect())
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """ST5 parity: the stream⋈static enrichment + tumbling agg drained with
+    availableNow must equal the registered batch form. The static dim is
+    re-read per micro-batch (no state store) — exactly the slowly-changing-
+    dimension enrichment pattern a landing-zone pipeline runs."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    stream = read_events_stream(spark, SF_SMOKE).select("ts", "user_id", "value")
+    dim = (
+        table(spark, SF_SMOKE, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    enriched = (
+        stream.withWatermark("ts", "2 hours")
+        .join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "nation", "n_events", "sum_value")
+    )
+    out = run_available_now(enriched, "t_stream_enrich", str(tmp_path / "ckpt"))
+    batch = all_specs()["stream_enrich_tumbling"].builder(spark, SF_SMOKE)
+    canon = lambda rows: sorted(
+        (str(r["window_start"]), r["nation"], r["n_events"], repr(r["sum_value"]))
+        for r in rows
+    )
+    assert canon(out.collect()) == canon(batch.collect())
