@@ -352,3 +352,94 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "rnk", "vec_id", "cosine")
         .orderBy("probe_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# SIM5 — int8 embedding quantization: per-vector affine codes + max
+# reconstruction error. The compression pass a vector corpus runs before
+# serving/shipping (4x smaller than float32, 8x than float64).
+# --------------------------------------------------------------------------
+
+_Q_LEVELS = 255  # codes 0..255 via floor((x-min)/scale), clipped
+
+
+@register(
+    "sim_quantize_int8",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+    stats AS (
+      SELECT vec_id, emb,
+             list_min(emb) AS mn,
+             (list_max(emb) - list_min(emb)) / {_Q_LEVELS}.0 AS scale
+      FROM base),
+    coded AS (
+      SELECT vec_id, emb, mn, scale,
+             list_transform(emb, x -> CASE WHEN scale = 0 THEN 0
+               ELSE least({_Q_LEVELS}, CAST(floor((x - mn) / scale) AS BIGINT))
+               END) AS codes
+      FROM stats)
+    SELECT vec_id,
+           len(codes) AS n_dims,
+           scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           list_max(list_transform(list_zip(emb, codes),
+             p -> abs(p[1] - (mn + (CAST(p[2] AS DOUBLE) + 0.5) * scale))))
+             AS max_err
+    FROM coded
+    ORDER BY vec_id
+    """,
+    tags=("SIM5",),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine int8 quantization per vector: code_i = floor((x_i - min) /
+    scale) with scale = (max - min) / 255, clipped to [0, 255]; plus the max
+    reconstruction error against midpoint dequantization. floor (not round)
+    keeps the arithmetic bit-identical across engines — round() ties break
+    HALF_UP in Spark and HALF_EVEN in DuckDB.
+
+    Spark shape: MAP-ONLY — min/max/codes/error are all per-row array
+    expressions inside whole-stage codegen; nothing shuffles but the output
+    sort. At 100 TB this runs as a pure scan-transform-write pass. The
+    driver-facing projection summarizes (n_dims, scale, code_sum, max_err)
+    per vector; the codes array itself would ship to a binary sink."""
+    ensure_session_conf(spark)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = table(spark, sf_dir, "embeddings").select("vec_id", emb.alias("emb"))
+    mn = F.array_min("emb")
+    scale = (F.array_max("emb") - mn) / float(_Q_LEVELS)
+    stats = base.select("vec_id", "emb", mn.alias("mn"), scale.alias("scale"))
+    code = lambda x: (
+        F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.lit(_Q_LEVELS).cast("long"),
+                F.floor((x - F.col("mn")) / F.col("scale")).cast("long"),
+            )
+        )
+    )
+    coded = stats.select(
+        "vec_id", "emb", "mn", "scale", F.transform("emb", code).alias("codes")
+    )
+    err = F.array_max(
+        F.zip_with(
+            "emb",
+            "codes",
+            lambda x, c: F.abs(
+                x - (F.col("mn") + (c.cast("double") + F.lit(0.5)) * F.col("scale"))
+            ),
+        )
+    )
+    return (
+        coded.select(
+            "vec_id",
+            F.size("codes").cast("long").alias("n_dims"),
+            "scale",
+            F.aggregate(
+                "codes", F.lit(0).cast("long"), lambda acc, c: acc + c
+            ).alias("code_sum"),
+            err.alias("max_err"),
+        )
+        .orderBy("vec_id")
+    )

@@ -197,3 +197,9 @@ def test_pack_sequences_windows_per_shard(spark, specs):
     # cumulative sum must never collapse to a global single-partition window
     assert count_data_shuffles(plan) <= 2
     assert "No Partition Defined" not in plan
+
+
+def test_quantize_is_map_only(spark, specs):
+    plan = formatted_plan(specs["sim_quantize_int8"].builder(spark, SF_SMOKE))
+    # per-vector codes/error are in-row array math: sort is the only exchange
+    assert count_exchanges(plan) <= 1
