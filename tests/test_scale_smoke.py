@@ -59,3 +59,21 @@ def test_d5_all_pairs_guard_refuses_large_corpus(spark, monkeypatch):
     monkeypatch.setattr(dedup, "_D5_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="dedup_embedding_lsh"):
         dedup.dedup_embedding_cosine(spark, SF_SMOKE)
+
+
+def test_bucketed_gc_owner_liveness():
+    """GC of foreign bucketed-table dirs keys on owner-process liveness
+    (pid embedded in the tag), never on mtime — a live long-running
+    session's hour-old tables must survive (round-2 ADVICE)."""
+    import os
+
+    from hhs_and_cms_data_pipeline_spark.operators.windows_scale import (
+        _bkt_owner_alive,
+        _bkt_tag,
+    )
+
+    tag = _bkt_tag("/root/testdata/sf0.001")
+    assert tag.endswith(f"_p{os.getpid()}")
+    assert _bkt_owner_alive(f"orders_bkt_{tag}")          # this process: alive
+    assert not _bkt_owner_alive("orders_bkt_deadbeef_p999999999")  # dead pid
+    assert not _bkt_owner_alive("orders_bkt_legacytag")   # pre-pid layout: collectable
