@@ -691,3 +691,234 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning: the fact's partition filter is computed AT
+# RUNTIME from the dim side of a star join (XS4).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dpp_star_join",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    WHERE CAST(year(o_orderdate) AS INT) IN (
+      SELECT DISTINCT CAST(year(l_shipdate) AS INT)
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("XS4",),
+)
+def dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with DYNAMIC partition pruning: the year-partitioned fact is
+    semi-joined to a runtime-derived dim (ship years under the cutoff), and
+    Spark injects `dynamicpruningexpression(o_year IN dynamicpruning#N)`
+    into the fact scan's PartitionFilters (plan-asserted) — whole partition
+    directories are skipped based on a value set that does not exist until
+    the dim side runs. This is the mechanism that makes star-schema queries
+    scan months, not the decade, at 100 TB: static pruning (XS3) handles
+    literal predicates, DPP handles join-derived ones. Complements XS2
+    (bucketing) which removes the shuffle rather than the scan."""
+    ensure_session_conf(spark)
+    fact = spark.read.parquet(partitioned_orders_path(spark, sf_dir))
+    years = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2000-06-01").cast("timestamp"))
+        .select(F.year("l_shipdate").cast("int").alias("yr"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(years), fact.o_year == years.yr, "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 / Q12 / Q18 / Q19, adapted to the testdata schema (no
+# commitdate/receiptdate/shipmode/container columns — the late-shipment
+# predicate uses shipdate vs orderdate, Q12's mode dimension becomes
+# returnflag; join/agg/predicate SHAPES are preserved).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("TPCH4",),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders in one quarter having at
+    least one LATE lineitem (shipped >60 days after ordering — the adapted
+    commit-vs-receipt predicate), counted per priority. The correlated
+    EXISTS becomes a LEFT SEMI join — the fact side streams through the
+    probe, duplicates never materialize, and the quarter predicate is pushed
+    to the orders scan."""
+    ensure_session_conf(spark)
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q12_priority_lines",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("TPCH12",),
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (priority shipping): per returnflag (the adapted shipmode
+    dimension), pivoted counts of high- vs low-priority order lines shipped
+    in 1994 — the conditional-aggregation (CASE-sum) shape. The year
+    predicate pushes to the lineitem scan; the join is fact⋈fact sort-merge
+    with only 3 columns read."""
+    ensure_session_conf(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q18_QTY = 250
+
+
+@register(
+    "tpch_q18_large_volume",
+    oracle=f"""
+    WITH big_orders AS (
+      SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+      FROM lineitem
+      GROUP BY 1
+      HAVING {sql_dsum('l_quantity')} > {_Q18_QTY})
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big_orders b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("TPCH18",),
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds the threshold, joined back to orders+customer, top-100 by price.
+    The HAVING pre-filter runs BEFORE the joins — the aggregate shrinks the
+    fact to a few hundred keys, so both joins probe tiny build sides and the
+    top-100 compiles to TakeOrderedAndProject. Quantity sums are decimal-
+    routed for the cross-engine HAVING boundary (a float sum straddling the
+    threshold by 1 ulp would flip row membership)."""
+    ensure_session_conf(spark)
+    big = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY)
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("TPCH19",),
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the OR-of-ANDs join predicate — three
+    disjoint (brand, size-band, quantity-band) branches over lineitem⋈part.
+    Catalyst extracts the common join key (equi-join on partkey, dim
+    broadcast) and evaluates the disjunction as a post-join filter, with the
+    per-side conjuncts (brand/size on part, quantity on lineitem) derived
+    via constraint propagation where possible — the shape that defeats
+    naive planners into cross joins."""
+    ensure_session_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

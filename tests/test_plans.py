@@ -203,3 +203,10 @@ def test_quantize_is_map_only(spark, specs):
     plan = formatted_plan(specs["sim_quantize_int8"].builder(spark, SF_SMOKE))
     # per-vector codes/error are in-row array math: sort is the only exchange
     assert count_exchanges(plan) <= 1
+
+
+def test_dpp_star_join_prunes_dynamically(spark, specs):
+    plan = formatted_plan(specs["dpp_star_join"].builder(spark, SF_SMOKE))
+    # the fact scan's partition filter must be the runtime value set from
+    # the dim side — directory-level skipping decided during execution
+    assert "dynamicpruningexpression" in plan
