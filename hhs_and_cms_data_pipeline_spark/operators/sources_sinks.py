@@ -282,3 +282,75 @@ def k2_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_parquet_atomic(agg, path)
     return read_published(spark, path).orderBy("n_regionkey")
+
+
+_MESSY_CSV = os.path.join(_IO_DIR, "nation_messy.csv")
+
+# Two deliberately bad lines: a type error (non-numeric key) and a
+# wrong-arity row. Real-world weekly CSV drops contain both (SURVEY §3.1:
+# the reference's loads hit sentinel junk and short rows routinely).
+_BAD_LINES = ["xx,BADLAND,9", "7,SHORT"]
+
+
+def _write_messy_csv(spark: SparkSession, sf_dir: str) -> None:
+    os.makedirs(_IO_DIR, exist_ok=True)
+    with open(_MESSY_CSV, "w", newline="") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_MINIMAL)
+        w.writerow(["n_nationkey", "n_name", "n_regionkey"])
+        rows = _export_nation(spark, sf_dir)
+        for i, row in enumerate(rows):
+            w.writerows([row])
+            if i == 4:  # interleave the junk mid-file, not at the edges
+                f.write(_BAD_LINES[0] + "\n")
+            if i == 9:
+                f.write(_BAD_LINES[1] + "\n")
+
+
+MESSY_SCHEMA = T.StructType(
+    list(NATION_SCHEMA.fields) + [T.StructField("_corrupt", T.StringType(), True)]
+)
+
+
+def messy_csv_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERMISSIVE read with the corrupt-record column — shared by the
+    registered query (good rows) and the quarantine test (bad rows)."""
+    _write_messy_csv(spark, sf_dir)
+    return spark.read.csv(
+        _MESSY_CSV,
+        header=True,
+        schema=MESSY_SCHEMA,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+
+
+@register(
+    "s5_csv_permissive_corrupt",
+    oracle=f"""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM read_csv('{_MESSY_CSV}', header=true, all_varchar=true,
+                  ignore_errors=true)
+    WHERE TRY_CAST(n_nationkey AS BIGINT) IS NOT NULL
+      AND TRY_CAST(n_regionkey AS BIGINT) IS NOT NULL
+    ORDER BY n_nationkey
+    """,
+    tags=("S5",),
+)
+def s5_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: malformed-row quarantine on CSV ingest. PERMISSIVE mode parses
+    every line, routing type errors and wrong-arity rows into a corrupt-
+    record column instead of failing the job or silently dropping data —
+    at 100 TB a FAILFAST load dies hours in on one bad line, and DROPMALFORMED
+    loses rows invisibly. Good rows flow on typed; the corrupt raw lines stay
+    queryable for quarantine/audit (tests assert both bad lines are captured
+    verbatim). The oracle reads the same file leniently and re-derives the
+    good subset via TRY_CAST."""
+    ensure_session_conf(spark)
+    df = messy_csv_frame(spark, sf_dir)
+    return (
+        df.filter(F.col("_corrupt").isNull())
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )

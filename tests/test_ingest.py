@@ -300,3 +300,24 @@ def test_geojson_parse_stats(spark, tmp_path):
     assert plain["n_rings"] == 1 and plain["n_vertices"] == 4
     assert (plain["min_lat"], plain["max_lat"]) == (31.0, 32.0)
     assert all(r["geom_type"] == "Polygon" for r in rows.values())
+
+
+def test_permissive_csv_quarantines_bad_lines(spark):
+    """S5: both malformed lines (type error, wrong arity) land in the
+    corrupt-record column VERBATIM; good rows parse typed; nothing is
+    silently dropped (25 + 2 lines accounted for)."""
+    from hhs_and_cms_data_pipeline_spark.operators.sources_sinks import (
+        _BAD_LINES,
+        messy_csv_frame,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = messy_csv_frame(spark, SF_SMOKE).cache()
+    try:
+        bad = [r["_corrupt"] for r in df.filter(df._corrupt.isNotNull()).collect()]
+        assert sorted(bad) == sorted(_BAD_LINES)
+        good = df.filter(df._corrupt.isNull())
+        assert good.count() == 25
+        assert good.filter(good.n_nationkey.isNull()).count() == 0
+    finally:
+        df.unpersist()
