@@ -210,3 +210,19 @@ def test_dpp_star_join_prunes_dynamically(spark, specs):
     # the fact scan's partition filter must be the runtime value set from
     # the dim side — directory-level skipping decided during execution
     assert "dynamicpruningexpression" in plan
+
+
+def test_q18_having_prefilter_and_topk(spark, specs):
+    plan = formatted_plan(specs["tpch_q18_large_volume"].builder(spark, SF_SMOKE))
+    # the quantity HAVING runs before the joins and top-100 is a heap, not
+    # a global sort
+    assert "TakeOrderedAndProject" in plan
+    # only 2 columns of lineitem feed the pre-aggregate
+    assert scan_columns(plan, containing="l_quantity") == {"l_orderkey", "l_quantity"}
+
+
+def test_q19_broadcasts_part_and_prunes(spark, specs):
+    plan = formatted_plan(specs["tpch_q19_discounted_revenue"].builder(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 1
+    cols = scan_columns(plan, containing="l_partkey")
+    assert "l_shipdate" not in cols and len(cols) <= 4
