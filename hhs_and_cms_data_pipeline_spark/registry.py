@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "hhs_and_cms_data_pipeline_spark.operators.windows_scale",
     "hhs_and_cms_data_pipeline_spark.operators.ingest_queries",
     "hhs_and_cms_data_pipeline_spark.operators.curation",
+    "hhs_and_cms_data_pipeline_spark.operators.tpch_full",
 )
 
 

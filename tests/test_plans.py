@@ -226,3 +226,29 @@ def test_q19_broadcasts_part_and_prunes(spark, specs):
     assert count_broadcast_joins(plan) >= 1
     cols = scan_columns(plan, containing="l_partkey")
     assert "l_shipdate" not in cols and len(cols) <= 4
+
+
+def test_q21_semi_anti_no_cartesian(spark, specs):
+    plan = formatted_plan(specs["tpch_q21_waiting_suppliers"].builder(spark, SF_SMOKE))
+    # the supplier-inequality residual must ride the orderkey equi-join,
+    # never degrade to a cross product
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # the status filter reaches the orders scan
+    assert any("o_orderstatus" in f for f in pushed_filters(plan))
+
+
+def test_q17_part_prune_before_avg(spark, specs):
+    plan = formatted_plan(specs["tpch_q17_small_qty_revenue"].builder(spark, SF_SMOKE))
+    # brand+size prune via the broadcast part dim; lineitem reads 3 columns
+    assert count_broadcast_joins(plan) >= 2
+    assert scan_columns(plan, containing="l_quantity") == {
+        "l_partkey", "l_quantity", "l_extendedprice",
+    }
+
+
+def test_q10_filters_push_to_both_facts(spark, specs):
+    plan = formatted_plan(specs["tpch_q10_returned_items"].builder(spark, SF_SMOKE))
+    assert any("l_returnflag" in f for f in pushed_filters(plan))
+    assert any("o_orderdate" in f for f in pushed_filters(plan))
+    assert "TakeOrderedAndProject" in plan
