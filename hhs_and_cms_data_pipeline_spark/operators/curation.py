@@ -502,3 +502,88 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq_id", "offset_in_seq", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (C10): regex scrubbing of emails / SSNs / phone numbers.
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax RE2 (DuckDB) and java.util.regex (Spark)
+# interpret identically: explicit classes, bounded counts, no lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PII_PHONE = r"\b\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+# The synthetic corpus contains no PII, so the operator seeds each document
+# with DETERMINISTIC fake contact lines derived from doc_id — the redaction
+# path is then exercised for real on every row (and the count columns prove
+# it), instead of vacuously passing on text it never touches.
+_SQL_SEEDED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " or call 555-01' || substr(CAST(1000 + doc_id % 100 AS VARCHAR), 3, 2)"
+    " || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    " || ' ssn 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+@register(
+    "curation_pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, {_SQL_SEEDED} AS raw FROM documents),
+    scrubbed AS (
+      SELECT doc_id, raw,
+             CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(raw, '{_PII_SSN}')) AS INT) AS n_ssns,
+             regexp_replace(
+               regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_SSN}', '<SSN>', 'g') AS pass2
+      FROM seeded)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pass2, '{_PII_PHONE}')) AS INT) AS n_phones,
+           n_emails, n_ssns,
+           md5(regexp_replace(pass2, '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_md5
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+    tags=("C10",),
+)
+def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: emails, then SSNs, then phone numbers are replaced
+    with typed tokens, counting each (SSN before phone — an SSN is also a
+    phone-shaped digit run, so pass order is part of the contract). Purely
+    built-in regexp_replace/regexp_count Column expressions: map-only,
+    whole-stage codegen, zero Python — the scrub rate at 100 TB is the scan
+    rate. The output carries the md5 of the cleaned text (not the text)
+    plus per-kind counts; patterns stay in the RE2 ∩ java.regex dialect so
+    both engines match identical spans."""
+    ensure_session_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-01"),
+        F.substring((F.lit(1000) + F.col("doc_id") % 100).cast("string"), 3, 2),
+        F.lit("-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" ssn 123-45-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    seeded = docs.select("doc_id", raw.alias("raw"))
+    pass2 = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"), _PII_SSN, "<SSN>"
+    )
+    scrubbed = seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_SSN)).alias("n_ssns"),
+        pass2.alias("pass2"),
+    )
+    return scrubbed.select(
+        "doc_id",
+        F.regexp_count(F.col("pass2"), F.lit(_PII_PHONE)).alias("n_phones"),
+        "n_emails",
+        "n_ssns",
+        F.md5(F.regexp_replace(F.col("pass2"), _PII_PHONE, "<PHONE>")).alias("clean_md5"),
+    ).orderBy("doc_id")

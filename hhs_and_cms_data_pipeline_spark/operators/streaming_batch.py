@@ -259,3 +259,44 @@ def stream_enrich_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "nation", "n_events", "sum_value")
         .orderBy("window_start", "nation")
     )
+
+
+# --------------------------------------------------------------------------
+# At-least-once delivery dedup (ST6): dropDuplicates over a redelivered
+# stream — the standard exactly-once-effect repair for replayed sources.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_events",
+    oracle=f"""
+    WITH delivered AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events
+      UNION ALL
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events WHERE event_id % 10 = 0)
+    SELECT DISTINCT event_id, ts, event_type, value
+    FROM delivered
+    ORDER BY event_id
+    """,
+    tags=("ST6",),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level dedup of an at-least-once stream: 10% of events are
+    redelivered (modeling source replay after a failure) and
+    dropDuplicates on event_id restores exactly-once semantics. Redelivered
+    rows are byte-identical to the originals, so Spark's arbitrary
+    pick-per-key equals the oracle's DISTINCT. The streaming form is the
+    same transformation with a watermark bounding the key state (asserted
+    against this batch result in tests/test_streaming.py); at 100 TB the
+    state store holds only keys inside the watermark horizon, not the
+    stream's history."""
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    redelivered = ev.filter(F.col("event_id") % 10 == 0)
+    return (
+        ev.unionAll(redelivered)
+        .dropDuplicates(["event_id"])
+        .orderBy("event_id")
+    )

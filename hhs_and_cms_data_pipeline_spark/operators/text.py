@@ -9,7 +9,7 @@ the oracle. Fingerprints use md5, which is identical across Spark and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -373,4 +373,93 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(minhash, "doc_id", "left")
         .select("doc_id", "exact_fp", "exact_fp16", "content_fp", "rolling_fp")
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (TX6): the MOSS scheme — k-gram hashes, minimum
+# per sliding window — the standard plagiarism/near-dup chunk selector.
+# Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD 2003).
+# --------------------------------------------------------------------------
+
+_WIN_K = 3  # tokens per k-gram
+_WIN_W = 4  # k-grams per winnowing window
+
+
+@register(
+    "text_winnowing_fps",
+    oracle=f"""
+    WITH kg AS (
+      SELECT doc_id, pos,
+             CAST(CAST('0x' || substr(md5(
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+             ), 1, 8) AS UBIGINT) AS BIGINT) AS h
+      FROM ({SQL_TOKS})
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w, {_WIN_K - 1}) OVER win IS NOT NULL),
+    sel AS (
+      SELECT doc_id, h,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+               AS wmin,
+             pos
+      FROM kg)
+    SELECT DISTINCT doc_id, h AS fp
+    FROM sel
+    WHERE pos >= {_WIN_K - 1 + _WIN_W} AND h = wmin
+    ORDER BY doc_id, fp
+    """,
+    tags=("TX6",),
+)
+def text_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set per document: hash every {k}-token k-gram,
+    slide a {w}-k-gram window, keep the window minimum (all tied minima —
+    a deterministic, engine-agnostic variant of MOSS's rightmost-min rule),
+    dedupe. Guarantees every w-run of k-grams contributes a fingerprint, so
+    any match of length >= w+k-1 tokens between two docs shares one — the
+    chunk selector winnowing-based near-dup pipelines build on.
+
+    Spark shape: k-gram construction is per-row array math (map-only, like
+    word_bigram_arrays); the only shuffle is the per-doc posexplode window
+    (hash-partitioned on doc_id — high cardinality, no skew) plus the
+    output distinct. The k-gram hash is the same md5-prefix integer both
+    engines compute bit-identically."""
+    ensure_session_conf(spark)
+    toked = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("toks"))
+    n = F.size(F.col("toks"))
+    m = n - F.lit(_WIN_K - 1)  # number of complete k-grams
+    kgrams = F.when(
+        n >= _WIN_K,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, m),
+            F.zip_with(
+                F.slice(F.col("toks"), 2, m),
+                F.slice(F.col("toks"), 3, m),
+                lambda b, c: F.concat_ws(" ", b, c),
+            ),
+            lambda a, bc: F.concat_ws(" ", a, bc),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = F.transform(
+        kgrams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    kg = spread(toked).select("doc_id", F.posexplode(hashed).alias("pos0", "h"))
+    # SQL_TOKS positions are 1-based token positions; k-gram i (0-based
+    # posexplode) starts at token pos0+1, and the oracle's `pos` is the
+    # FIRST token of the k-gram => pos = pos0 + 1. Its completeness cut
+    # `pos >= K-1+W` keeps only k-grams whose winnowing window is full.
+    pos = F.col("pos0") + F.lit(1)
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos0")
+        .rowsBetween(-(_WIN_W - 1), Window.currentRow)
+    )
+    return (
+        kg.withColumn("wmin", F.min("h").over(win))
+        .filter((pos >= _WIN_K - 1 + _WIN_W) & (F.col("h") == F.col("wmin")))
+        .select("doc_id", F.col("h").alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
     )

@@ -107,3 +107,36 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         for r in rows
     )
     assert canon(out.collect()) == canon(batch.collect())
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """ST6 parity: dropDuplicates over a stream with 10% of events
+    redelivered (self-union of the source — the at-least-once replay model)
+    drained with availableNow must equal the registered batch dedup. Runs
+    append-mode with key state, not an aggregation, so it uses its own
+    memory sink rather than run_available_now's complete-mode drain."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    stream = read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    redelivered = stream.filter(F.col("event_id") % 10 == 0)
+    deduped = stream.unionAll(redelivered).dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_stream_dedup")
+    batch = all_specs()["stream_dedup_events"].builder(spark, SF_SMOKE)
+    canon = lambda rows: sorted(
+        (r["event_id"], str(r["ts"]), r["event_type"], repr(r["value"]))
+        for r in rows
+    )
+    assert canon(out.collect()) == canon(batch.collect())
