@@ -132,11 +132,13 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-precision gap: compare in microseconds (ts is micros after the
     # nanos->micros source truncation), matching both the DuckDB INTERVAL
     # comparison and the stateful sessionizer — a second-truncated cast
-    # would split a 1800.8s gap differently than the oracle.
-    is_new = (
-        lag_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts) > 30 * 60 * 1_000_000)
-    ).cast("int")
+    # would split a 1800.8s gap differently than the oracle. The parquet
+    # column is tz-less (timestamp[us]) and Spark 4 surfaces it as
+    # TIMESTAMP_NTZ, which unix_micros rejects; the session tz is pinned to
+    # UTC (session.py) so casting to TIMESTAMP first is micro-exact.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(lag_ts.cast("timestamp"))
+    is_new = (lag_ts.isNull() | (ts_us - lag_us > 30 * 60 * 1_000_000)).cast("int")
     running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -28,14 +28,30 @@ TABLES = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to session-tz TIMESTAMP regardless
+    of how the driver generated the parquet that round:
+
+    * TIMESTAMP(NANOS)  -> surfaced as int64 under the nanosAsLong conf;
+      truncate to micros (identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP).
+    * timestamp[us] (tz-less) -> surfaced as TIMESTAMP_NTZ by Spark 4; the
+      session tz is pinned to UTC (session.py) so the cast is micro-exact.
+    * TIMESTAMP -> already the canonical type.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read as int64 via nanosAsLong; truncate to micros —
-        # identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP cast semantics.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

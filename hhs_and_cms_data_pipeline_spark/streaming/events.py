@@ -23,33 +23,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS), readable only as
-# int64 under the nanosAsLong conf — same handling as sources.tables.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),  # ns since epoch
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+from ..sources.tables import normalize_events_ts
+
+
+def events_raw_schema(spark: SparkSession, src: str) -> T.StructType:
+    """Schema the file-stream source must declare, taken from a one-off batch
+    footer read so it tracks however the driver generated the parquet that
+    round (TIMESTAMP(NANOS) -> int64 under nanosAsLong in rounds 1-2,
+    timestamp[us] -> TIMESTAMP_NTZ in round 3)."""
+    return spark.read.parquet(src).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table. The file source monitors a *directory* (the
     landing-zone pattern at scale); the single-file testdata layout is adapted
-    via a symlink staging dir."""
+    via a symlink staging dir. ``ts`` is normalized to session-tz TIMESTAMP
+    exactly as the batch path does (sources.tables.normalize_events_ts)."""
     src = f"{sf_dir}/events.parquet"
     if os.path.isfile(src):
         stage = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(src, os.path.join(stage, "events.parquet"))
         src = stage
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(src)
-    )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = events_raw_schema(spark, src)
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    return normalize_events_ts(stream)
 
 
 def tumbling_counts(

@@ -27,30 +27,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .events import EVENTS_RAW_SCHEMA
+from ..sources.tables import normalize_events_ts
+from .events import events_raw_schema
 
-_GAP_US = 30 * 60 * 1_000_000  # 30 min in us; ts is int64 ns in-flight but
-# gaps compare at MICROsecond precision: the batch sessionizer and the DuckDB
-# oracle both see micros-truncated timestamps (nanosAsLong div 1000 /
-# TIMESTAMP_NS -> TIMESTAMP), so comparing raw ns here could split a session
-# they merge when a gap straddles the 30-min boundary within 1000 ns.
+_GAP_US = 30 * 60 * 1_000_000  # 30 min in us; ts travels as int64 MICROS
+# in-flight (unix_micros of the normalized TIMESTAMP), matching both the
+# batch sessionizer's unix_micros comparison and the DuckDB oracle's
+# TIMESTAMP precision exactly.
 
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),
         T.StructField("session_seq", T.LongType(), False),
-        T.StructField("start_ns", T.LongType(), False),
-        T.StructField("end_ns", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("end_us", T.LongType(), False),
         T.StructField("n_events", T.LongType(), False),
     ]
 )
 
-# (session_seq, start_ns, last_ns, n_events) of the open session.
+# (session_seq, start_us, last_us, n_events) of the open session.
 SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_seq", T.LongType(), False),
-        T.StructField("start_ns", T.LongType(), False),
-        T.StructField("last_ns", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
         T.StructField("n_events", T.LongType(), False),
     ]
 )
@@ -68,21 +68,21 @@ def sessionize_with_state(
     rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
 
     if state.exists:
-        seq, start_ns, last_ns, n = state.get
+        seq, start_us, last_us, n = state.get
     else:
-        seq, start_ns, last_ns, n = 0, None, None, 0
+        seq, start_us, last_us, n = 0, None, None, 0
 
     out: list[tuple] = []
     for ts, _eid in zip(rows["ts"].astype("int64"), rows["event_id"]):
-        if start_ns is None:
-            seq, start_ns, last_ns, n = seq + 1, ts, ts, 1
-        elif ts // 1000 - last_ns // 1000 > _GAP_US:
-            out.append((user_id, seq, start_ns, last_ns, n))  # closed
-            seq, start_ns, last_ns, n = seq + 1, ts, ts, 1
+        if start_us is None:
+            seq, start_us, last_us, n = seq + 1, ts, ts, 1
+        elif ts - last_us > _GAP_US:
+            out.append((user_id, seq, start_us, last_us, n))  # closed
+            seq, start_us, last_us, n = seq + 1, ts, ts, 1
         else:
-            last_ns, n = ts, n + 1
-    state.update((seq, start_ns, last_ns, n))
-    out.append((user_id, seq, start_ns, last_ns, n))  # open-session snapshot
+            last_us, n = ts, n + 1
+    state.update((seq, start_us, last_us, n))
+    out.append((user_id, seq, start_us, last_us, n))  # open-session snapshot
     yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields])
 
 
@@ -99,8 +99,8 @@ def stage_chronological_files(spark: SparkSession, sf_dir: str, stage_dir: str, 
     shutil.rmtree(stage_dir, ignore_errors=True)
     os.makedirs(stage_dir)
     tbl = pq.read_table(f"{sf_dir}/events.parquet")
-    # ts is TIMESTAMP(NANOS); sort and slice into equal-count time ranges
-    # (ties share a ts value, hence always land in the same slice).
+    # sort and slice into equal-count time ranges (ties share a ts value,
+    # hence always land in the same slice); unit-agnostic arrow ops.
     tbl = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
     n = tbl.num_rows
     cuts = [round(i * n / n_files) for i in range(n_files + 1)]
@@ -126,12 +126,16 @@ def run_stateful_sessionize(
 ) -> tuple[DataFrame, int]:
     """Run the stateful sessionizer over the staged files; returns the
     deduplicated final sessions and the number of micro-batches executed."""
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, stage_dir))
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
         .load(stage_dir)
-        .select("user_id", "ts", "event_id")
+    )
+    stream = (
+        normalize_events_ts(raw)
+        # int64 micros in-flight: Arrow-exact for the pandas state fold.
+        .select("user_id", F.unix_micros("ts").alias("ts"), "event_id")
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         sessionize_with_state,
@@ -156,15 +160,15 @@ def run_stateful_sessionize(
         spark.table(query_name)
         .groupBy("user_id", "session_seq")
         .agg(
-            F.min("start_ns").alias("start_ns"),
-            F.max("end_ns").alias("end_ns"),
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
             F.max("n_events").alias("n_events"),
         )
         .select(
             "user_id",
             "session_seq",
-            F.timestamp_micros(F.expr("start_ns div 1000")).alias("session_start"),
-            F.timestamp_micros(F.expr("end_ns div 1000")).alias("session_end"),
+            F.timestamp_micros("start_us").alias("session_start"),
+            F.timestamp_micros("end_us").alias("session_end"),
             "n_events",
         )
         .orderBy("user_id", "session_seq")
