@@ -587,3 +587,158 @@ def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ssns",
         F.md5(F.regexp_replace(F.col("pass2"), _PII_PHONE, "<PHONE>")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# C11 — overlapping word-window chunking: split each document into fixed-size
+# token windows with stride overlap (context-window preprocessing for
+# embedding / pretraining pipelines).
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 64  # window size in words
+_CHUNK_S = 48  # stride (overlap = W - S = 16 words)
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    starts AS (
+      SELECT doc_id, ws, n,
+             unnest(range(0, n, {_CHUNK_S})) AS start_word
+      FROM words)
+    SELECT doc_id,
+           CAST(start_word // {_CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(start_word AS BIGINT) AS start_word,
+           CAST(least({_CHUNK_W}, n - start_word) AS BIGINT) AS n_chunk_words,
+           md5(array_to_string(
+             list_slice(ws, start_word + 1,
+                        least(start_word + {_CHUNK_W}, n)), ' ')) AS chunk_md5
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("C11",),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking: each document becomes
+    ceil(n_words / stride) windows of up to W=64 words starting every S=48
+    words (16-word overlap keeps context across cuts — the standard
+    embedding/RAG and long-doc pretraining preprocess).
+
+    Spark shape: the token array is built per-row, chunk starts are a
+    per-row `sequence`, and `explode` fans out to one row per chunk — all
+    map-only (narrow explode, no shuffle); at 100 TB chunking runs at scan
+    speed and the output partitioning inherits the input's. The window
+    content is emitted as md5 (loaders re-slice by start_word) so the
+    result stays metadata-sized."""
+    ensure_session_conf(spark)
+    toked = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("ws")
+    )
+    n = F.size("ws")
+    starts = toked.select(
+        "doc_id",
+        "ws",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_S))).alias("start_word"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("start_word") + 1, F.lit(_CHUNK_W))
+    return (
+        starts.select(
+            "doc_id",
+            (F.col("start_word") / _CHUNK_S).cast("long").alias("chunk_id"),
+            F.col("start_word").cast("long").alias("start_word"),
+            F.least(F.lit(_CHUNK_W), F.col("n") - F.col("start_word"))
+            .cast("long")
+            .alias("n_chunk_words"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# C12 — mixture resampling: deterministic per-language replication to hit
+# target mixture weights (upsampling low-resource languages, the standard
+# temperature-style rebalance before training).
+# --------------------------------------------------------------------------
+
+# language -> target sampling weight (copies per document, fractional part
+# realized by a deterministic per-doc Bernoulli draw).
+_MIX_WEIGHTS = {"en": 1.0, "fr": 1.3, "de": 1.75, "es": 2.4, "zh": 3.6}
+
+# Salted hash so the fractional draw is independent of the C1 sample and the
+# shard assignment (same md5-of-key trick, different domain prefix).
+_SQL_MIX_HASH = "md5('mix:' || CAST(doc_id AS VARCHAR))"
+
+
+def _mix_case_sql() -> tuple[str, str]:
+    base = " ".join(
+        f"WHEN '{lang}' THEN {int(w)}" for lang, w in sorted(_MIX_WEIGHTS.items())
+    )
+    hexes = " ".join(
+        f"WHEN '{lang}' THEN '{round((w - int(w)) * 65536):04x}'"
+        for lang, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return (
+        f"CASE lang {base} ELSE 1 END",
+        f"CASE lang {hexes} ELSE '0000' END",
+    )
+
+
+_SQL_MIX_BASE, _SQL_MIX_HEX = _mix_case_sql()
+
+
+@register(
+    "mixture_resample",
+    oracle=f"""
+    WITH reps AS (
+      SELECT doc_id, lang,
+             {_SQL_MIX_BASE}
+               + CASE WHEN substr({_SQL_MIX_HASH}, 1, 4) < {_SQL_MIX_HEX}
+                      THEN 1 ELSE 0 END AS rep
+      FROM documents)
+    SELECT doc_id, lang, CAST(unnest(generate_series(1, rep)) AS BIGINT) AS copy_id
+    FROM reps
+    ORDER BY doc_id, copy_id
+    """,
+    tags=("C12",),
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture rebalance: each document is replicated
+    floor(w_lang) times plus one more with probability frac(w_lang), where
+    the fractional draw is a salted hash of doc_id — so the realized mixture
+    hits the target weights in expectation AND the exact same multiset is
+    produced on every run, cluster size, or data layout (unlike
+    sample()/rand()-based upsampling). Copies carry copy_id so downstream
+    shuffles (corpus_shard_assignment on (doc_id, copy_id)) spread them.
+
+    Spark shape: map-only — a per-row CASE weight lookup, one salted md5,
+    and a narrow explode of a <=4-element sequence. No shuffle; output size
+    is sum(w_lang * n_lang) rows. At 100 TB the replication factor is the
+    only cost, which is the point of the operator."""
+    ensure_session_conf(spark)
+    base = F.lit(1)
+    hexes = F.lit("0000")
+    for lang, w in sorted(_MIX_WEIGHTS.items()):
+        base = F.when(F.col("lang") == lang, int(w)).otherwise(base)
+        hexes = F.when(
+            F.col("lang") == lang, f"{round((w - int(w)) * 65536):04x}"
+        ).otherwise(hexes)
+    mix_hash = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    rep = base + F.when(F.substring(mix_hash, 1, 4) < hexes, 1).otherwise(0)
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", rep.alias("rep"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("rep"))).alias("copy_i"),
+        )
+        .select("doc_id", "lang", F.col("copy_i").cast("long").alias("copy_id"))
+        .orderBy("doc_id", "copy_id")
+    )

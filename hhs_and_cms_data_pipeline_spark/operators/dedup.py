@@ -405,6 +405,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     docs = spread(table(spark, sf_dir, "documents"))
+    return min_label_components(docs).orderBy("doc_id")
+
+
+def min_label_components(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) connected-component labels over the MinHash-LSH
+    verified near-dup graph: iterative min-label propagation with
+    per-round lineage truncation (see dedup_clusters for the full scale
+    discussion). Shared by the cluster query (D8) and the canonical-corpus
+    query (D9)."""
     pairs = minhash_verified_pairs(docs).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -436,10 +445,69 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:
         raise RuntimeError(
-            f"dedup_clusters: no fixpoint after {_CC_MAX_ITERS} rounds "
+            f"min_label_components: no fixpoint after {_CC_MAX_ITERS} rounds "
             "(cluster diameter exceeds the cap)"
         )
-    return labels.orderBy("doc_id")
+    return labels
+
+
+@register(
+    "dedup_canonical_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_VERIFIED_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM vpairs),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc_id, e.dst
+      FROM reach JOIN edges e ON e.src = reach.r),
+    labels AS (
+      SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    csizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+    SELECT l.doc_id, d.lang, d.source, d.n_chars,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size
+    FROM labels l
+    JOIN csizes s USING (cluster_id)
+    JOIN documents d ON d.doc_id = l.doc_id
+    WHERE l.doc_id = l.cluster_id
+    ORDER BY l.doc_id
+    """,
+    tags=("D9",),
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: one canonical survivor per near-dup
+    cluster (the minimum doc_id — deterministic, so reruns keep the same
+    survivors), annotated with how many duplicates it absorbed. This is the
+    operator a pipeline materializes as its output dataset; dedup_clusters
+    (D8) is its audit view.
+
+    Spark shape: the component labels come from the shared min-label
+    propagation (see min_label_components); survivors are
+    `cluster_id == doc_id` — a map-side filter on the label frame — and the
+    cluster-size annotation is one groupBy on cluster_id whose output is
+    near-dup-cluster-count-sized, joined back broadcast-small. The join to
+    documents recovers metadata for survivors only."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    labels = min_label_components(docs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    kept = (
+        labels.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "cluster_size")
+    )
+    meta = docs.select("doc_id", "lang", "source", "n_chars")
+    return (
+        kept.join(meta, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "cluster_size")
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------

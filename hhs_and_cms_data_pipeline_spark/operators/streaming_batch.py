@@ -302,3 +302,81 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# ST7 — per-session ordered event paths: the sequence-assembly step that
+# turns raw event logs into ordered interaction histories (conversation /
+# clickstream assembly for behavioral-sequence training data).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "session_event_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM ordered)
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM sessions
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("ST7",),
+)
+def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-type path per (user, session): sessionize with the
+    30-min gap rule (identical to stream_sessionize), then assemble each
+    session's events into an ordered '>'-joined path string — the
+    log-to-sequence step of a behavioral / conversational dataset build.
+
+    Spark shape: both windows and the final groupBy partition on user_id
+    (one exchange, reused across all three operators via the matching
+    partition spec); in-session ordering is reconstructed per-group with
+    array_sort over (ts, event_id, event_type) structs — event_id breaks ts
+    ties deterministically, so the path string is unique and both engines
+    agree byte-for-byte. Sessions are bounded by the gap rule, so
+    collect_list stays session-sized, never user-lifetime-sized."""
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(order)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(lag_ts.cast("timestamp"))
+    is_new = (lag_ts.isNull() | (ts_us - lag_us > 30 * 60 * 1_000_000)).cast("int")
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    path = F.concat_ws(
+        ">",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(running))
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"), path.alias("path"))
+        .orderBy("user_id", "session_seq")
+    )

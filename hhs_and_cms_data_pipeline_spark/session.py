@@ -26,8 +26,10 @@ _SESSION_CONF = {
     # dims (nation/region/customer at test SFs) are broadcast candidates;
     # 64MB leaves headroom at larger SFs while AQE re-plans at runtime.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
-    # rejects; read as int64 nanos and convert in sources.tables.
+    # events.parquet has shipped as TIMESTAMP(NANOS) in some rounds (the
+    # vectorized reader rejects it outright without this conf) and as
+    # timestamp[us]/NTZ in others; sources.tables.normalize_events_ts
+    # canonicalizes whichever form is on disk to session-tz TIMESTAMP.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
