@@ -196,13 +196,14 @@ def _substring_transform_for(s: int):
     return lambda d: F.substring(d, start, 8)
 
 
-def minhash_candidates(arrays: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) LSH candidate pairs from a (doc_id, bgs) shingle-set
-    frame: 16 min-hashes computed MAP-ONLY (array_min over a per-element md5
-    transform — no explode, no groupBy, no shuffle before the bucket join),
-    band signatures as per-row concats exploded to (doc_id, band, sig),
-    bucket self-join. The only exchange in candidate generation is the
-    bucket join itself."""
+def minhash_bands(arrays: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band-bucket relation from a (doc_id, bgs)
+    shingle-set frame: 16 min-hashes computed MAP-ONLY (array_min over a
+    per-element md5 transform — no explode, no groupBy, no shuffle), band
+    signatures as per-row concats exploded to one row per band. Everything
+    here is a narrow map stage; consumers add the only exchange (a bucket
+    join — self-join for within-corpus dedup, cross-set join for
+    incremental dedup)."""
     # One digest array per seed group, materialized as its own projection so
     # the 4 substring transforms below don't re-run md5 per extraction.
     digs = arrays.filter(F.size("bgs") > 0).select(
@@ -235,9 +236,16 @@ def minhash_candidates(arrays: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+    return mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+
+
+def minhash_candidates(arrays: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs: band buckets (minhash_bands)
+    self-joined on (band, sig). The bucket join is the only exchange in
+    candidate generation."""
+    bands = minhash_bands(arrays)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -905,4 +913,105 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rel_dist") <= _LEV_REL_MAX)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# D10 — incremental dedup: new batch vs existing corpus (cross-set LSH).
+# --------------------------------------------------------------------------
+
+# Deterministic pseudo-batch: every 5th doc plays the newly-arrived crawl;
+# the rest is the already-ingested corpus. In production the split is the
+# landing-zone batch vs the corpus table.
+_INC_MOD = 5
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SQL_CAND_CTES},
+    cinc AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id % {_INC_MOD} = 0 AND b.doc_id % {_INC_MOD} <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM big GROUP BY 1),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cinc c
+      JOIN big a ON a.doc_id = c.doc_a
+      JOIN big b ON b.doc_id = c.doc_b AND a.bg = b.bg
+      GROUP BY 1, 2),
+    vinc AS (
+      SELECT s.doc_a, s.doc_b,
+             CAST(n_shared AS DOUBLE)
+               / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+      FROM shared s
+      JOIN sizes sa ON s.doc_a = sa.doc_id
+      JOIN sizes sb ON s.doc_b = sb.doc_id
+      WHERE CAST(n_shared AS DOUBLE)
+              / CAST(sa.n + sb.n - n_shared AS DOUBLE) >= {_JACCARD_TAU}),
+    best AS (
+      SELECT doc_a AS doc_id, MIN(doc_b) AS dup_of,
+             arg_min(jaccard, doc_b) AS jaccard
+      FROM vinc GROUP BY 1)
+    SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NOT NULL AS is_dup
+    FROM documents d
+    LEFT JOIN best b USING (doc_id)
+    WHERE d.doc_id % {_INC_MOD} = 0
+    ORDER BY d.doc_id
+    """,
+    tags=("D10",),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) fuzzy dedup: each document of the
+    newly-arrived batch is checked against the EXISTING corpus only — the
+    nightly operation of a growing training-data pipeline — and annotated
+    with the minimum matching corpus doc (deterministic) and its Jaccard,
+    or kept as genuinely new.
+
+    Spark shape for 100 TB: band signatures are map-only per side
+    (minhash_bands over the shared shingle frame, filtered by batch
+    membership), and the candidate join is CROSS-SET — new-batch buckets
+    (small) against corpus buckets — so cost scales with the batch, not
+    the corpus squared; in production the corpus band relation is
+    precomputed and stored bucketed on (band, sig), making each nightly
+    run one broadcast-ish probe of the batch against a sorted bucket
+    table. Verification touches only candidate pairs (exact_jaccard_of
+    _pairs), and min_by picks the canonical match without a second
+    window."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    arrays = word_bigram_arrays(docs)
+    bands = minhash_bands(arrays)
+    is_new = F.col("doc_id") % _INC_MOD == 0
+    a = bands.filter(is_new).alias("a")
+    b = bands.filter(~is_new).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ver = exact_jaccard_of_pairs(cand, arrays).filter(
+        F.col("jaccard") >= _JACCARD_TAU
+    )
+    best = ver.groupBy("doc_a").agg(
+        F.min("doc_b").alias("dup_of"),
+        F.min_by("jaccard", "doc_b").alias("jaccard"),
+    )
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(best.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "jaccard",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+        .orderBy("doc_id")
     )
