@@ -252,3 +252,34 @@ def test_q10_filters_push_to_both_facts(spark, specs):
     assert any("l_returnflag" in f for f in pushed_filters(plan))
     assert any("o_orderdate" in f for f in pushed_filters(plan))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunking_is_map_only(spark, specs):
+    plan = formatted_plan(specs["doc_chunk_windows"].builder(spark, SF_SMOKE))
+    # per-row sequence + narrow explode: the only exchange is the output sort
+    assert count_data_shuffles(plan) <= 1
+    assert "Generate" in plan
+
+
+def test_mixture_resample_is_map_only(spark, specs):
+    plan = formatted_plan(specs["mixture_resample"].builder(spark, SF_SMOKE))
+    assert count_data_shuffles(plan) <= 1  # output sort only
+    # the text column must not be read at all — replication needs metadata only
+    cols = scan_columns(plan, containing="doc_id")
+    assert "text" not in cols
+
+
+def test_session_paths_single_user_exchange(spark, specs):
+    plan = formatted_plan(specs["session_event_paths"].builder(spark, SF_SMOKE))
+    # both windows and the groupBy partition on user_id; with the final sort
+    # that is at most 2 keyed exchanges and no single-partition funnel on the
+    # fact (global windows would show `Exchange SinglePartition` pre-agg)
+    assert count_data_shuffles(plan) <= 3
+
+
+def test_incremental_dedup_cross_set_join(spark, specs):
+    plan = formatted_plan(specs["dedup_incremental"].builder(spark, SF_SMOKE))
+    # candidate generation joins new-batch bands against corpus bands — an
+    # equi-join on (band, sig), never a cartesian product
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # band fan-out is a narrow explode
