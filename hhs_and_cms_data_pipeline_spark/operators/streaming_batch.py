@@ -380,3 +380,87 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), path.alias("path"))
         .orderBy("user_id", "session_seq")
     )
+
+
+# --------------------------------------------------------------------------
+# ST8 — interval (event-time range) join: click -> purchase attribution
+# within a 30-minute window. The batch form is registered and oracle-checked;
+# the streaming twin (two watermarked streams, stream-stream join with state
+# cleanup) runs in tests/test_streaming.py and must produce identical rows.
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_MIN = 30
+
+
+def click_purchase_attribution(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared join logic for the batch query and the streaming twin:
+    same-user purchases landing in [click_ts, click_ts + 30 min]."""
+    gap_us = F.unix_micros(F.col("pts").cast("timestamp")) - F.unix_micros(
+        F.col("cts").cast("timestamp")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (clicks["cuid"] == purchases["puid"])
+            & (F.col("pts") >= F.col("cts"))
+            & (
+                F.col("pts")
+                <= F.col("cts") + F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTES")
+            ),
+        )
+        .select(
+            F.col("cuid").alias("user_id"),
+            F.col("click_id"),
+            F.col("purchase_id"),
+            gap_us.alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "stream_interval_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           CAST(epoch_us(p.pts) - epoch_us(c.cts) AS BIGINT) AS gap_us
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.pts >= c.cts
+     AND p.pts <= c.cts + INTERVAL {_ATTR_WINDOW_MIN} MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("ST8",),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (attribution): every purchase a user makes
+    within 30 minutes of a click, with the microsecond gap. The streaming
+    form is the canonical Structured Streaming stream-stream join — both
+    sides watermarked, the range condition bounding join state so old click
+    state is dropped as the purchase watermark advances — and is asserted
+    row-identical to this batch plan in tests/test_streaming.py.
+
+    Batch scale shape: both sides hash-partition on user_id (high
+    cardinality, no skew) and the range predicate is evaluated post-join —
+    a standard equi-join with residual, never a cartesian. At 100 TB the
+    same plan holds; the streaming deployment bounds state by watermark
+    instead of partitioning history."""
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuid"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("puid"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    return click_purchase_attribution(clicks, purchases).orderBy(
+        "click_id", "purchase_id"
+    )

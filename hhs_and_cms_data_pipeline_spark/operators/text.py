@@ -463,3 +463,67 @@ def text_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id", "fp")
     )
+
+
+# --------------------------------------------------------------------------
+# TX7 — distinctive terms per document (TF-IDF-style, integer-exact rank).
+# --------------------------------------------------------------------------
+
+_TOP_TERMS_K = 3
+
+
+@register(
+    "text_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rnk
+      FROM tf JOIN df ON tf.w = df.w)
+    SELECT doc_id, term, tf, df, rnk
+    FROM ranked
+    WHERE rnk <= {_TOP_TERMS_K}
+    ORDER BY doc_id, rnk
+    """,
+    tags=("TX7",),
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document, TF-IDF ordering made
+    integer-exact: rank by (term frequency DESC, document frequency ASC,
+    term ASC). For any fixed tf, ascending df IS descending idf = ln(N/df),
+    so the ranking matches tf-then-idf lexicographic ordering without
+    evaluating a transcendental whose libm bits differ across engines.
+
+    Scale shape: token explode -> one hash-shuffle for per-(doc,term)
+    counts; document frequency is a second aggregation over the distinct
+    (doc,term) pairs (reusing the tf frame, not re-exploding); the join
+    back is vocab x doc-terms on the term key, and the per-doc window runs
+    as a rank<=k group-limit (WindowGroupLimit), never ranking full
+    vocabularies. No Python anywhere."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens()).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("w")
+    )
+    return (
+        tf.join(df, "w")
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _TOP_TERMS_K)
+        .orderBy("doc_id", "rnk")
+    )

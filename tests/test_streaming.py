@@ -140,3 +140,52 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
         for r in rows
     )
     assert canon(out.collect()) == canon(batch.collect())
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """ST8 streaming twin: two watermarked streams joined on user_id with the
+    30-min event-time range must yield exactly the batch attribution rows.
+    The range condition on both watermarked columns is what lets Spark drop
+    old click state as the purchase watermark advances."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
+        click_purchase_attribution,
+    )
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    def side(event_type, uid, eid, tsc):
+        return (
+            read_events_stream(spark, SF_SMOKE)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(uid),
+                F.col("event_id").alias(eid),
+                F.col("ts").alias(tsc),
+            )
+            .withWatermark(tsc, "1 hour")
+        )
+
+    clicks = side("click", "cuid", "click_id", "cts")
+    purchases = side("purchase", "puid", "purchase_id", "pts")
+    joined = click_purchase_attribution(clicks, purchases)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_stream_interval")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_stream_interval")
+    batch = all_specs()["stream_interval_join"].builder(spark, SF_SMOKE)
+
+    def canon(rows):
+        return sorted(
+            (r["user_id"], r["click_id"], r["purchase_id"], r["gap_us"])
+            for r in rows
+        )
+
+    got, want = canon(out.collect()), canon(batch.collect())
+    assert len(want) > 0 and got == want
