@@ -354,3 +354,32 @@ def s5_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "s6_orc_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("S6",),
+)
+def s6_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: ORC source/sink round-trip — the second columnar format the
+    engine speaks natively (Spark's vectorized ORC reader/writer; no
+    external package). Interop matters at 100 TB: upstream Hive/Trino
+    warehouses are frequently ORC, and a migration engine must read them
+    without a conversion pass. The table is written snappy-compressed and
+    read back; the oracle is the original relation, so the check proves
+    the round-trip is lossless (values, nullability, column order)."""
+    ensure_session_conf(spark)
+    path = os.path.join(_IO_DIR, "s6_nation_orc")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    return spark.read.orc(path).orderBy("n_nationkey")
