@@ -443,3 +443,132 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# SIM6 — IVF index BUILD: train the coarse quantizer itself with Lloyd
+# (k-means) iterations, instead of inheriting cells from a label column.
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ROUNDS = 2
+
+# Exact cross-engine float aggregation (same trick as SIM2's centroids):
+# double -> shortest-roundtrip VARCHAR -> DECIMAL sums exactly and
+# identically on both engines; the direct double->DECIMAL cast does not.
+_SQL_DSUM24 = (
+    "CAST(CAST(SUM(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,24))) "
+    "AS VARCHAR) AS DOUBLE)"
+)
+_SQL_DMEAN18 = (
+    "CAST(CAST(SUM(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,18))) "
+    "AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+)
+
+
+def _sql_km_round(r: int, prev_cent: str) -> str:
+    """CTE text for one Lloyd round: score -> assign (ties by cluster id)
+    -> recompute decimal-exact means."""
+    d2 = _SQL_DSUM24.format(
+        expr=f"(CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)"
+    )
+    mean = _SQL_DMEAN18.format(expr="CAST(e.v AS DOUBLE)")
+    return f"""
+    s{r} AS (
+      SELECT e.vec_id, c.cl, {d2} AS d2
+      FROM ex e JOIN {prev_cent} c ON e.i = c.i
+      GROUP BY 1, 2),
+    a{r} AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        FROM s{r}) WHERE rn = 1),
+    c{r} AS (
+      SELECT a.cl, e.i, {mean} AS c
+      FROM ex e JOIN a{r} a USING (vec_id)
+      GROUP BY 1, 2)"""
+
+
+@register(
+    "sim_ivf_build",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS v
+      FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cl, i, CAST(v AS DOUBLE) AS c
+      FROM ex WHERE vec_id < {_KM_K}),
+    {_sql_km_round(1, "c0")},
+    {_sql_km_round(2, "c1")}
+    SELECT vec_id, cl AS cluster,
+           COUNT(*) OVER (PARTITION BY cl) AS cluster_size
+    FROM a2
+    ORDER BY vec_id
+    """,
+    tags=("SIM6",),
+)
+def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: k=8 centroids, deterministic init
+    (the vectors with the 8 smallest vec_ids), 2 Lloyd rounds — assign each
+    vector to its nearest centroid by exact L2 (ties to the lower cluster
+    id), recompute centroids as decimal-exact per-dimension means. Returns
+    the final assignment with cluster sizes; sim_ivf_topk (SIM2) is the
+    search half that consumes such an index.
+
+    Spark shape per round: the centroid relation is k x dims rows —
+    BROADCAST to score map-side against the exploded vector relation; one
+    hash-shuffle per round for the (vec_id, cluster) distance aggregation
+    and one for the means. Rounds are a fixed unrolled count (the plan is a
+    static DAG, no driver iteration): at 100 TB each round is two shuffles
+    of n_vectors x dims rows regardless of k. All cross-row float sums run
+    through the VARCHAR->DECIMAL route, so a local[32] run, a
+    1000-executor run, and the DuckDB oracle produce identical bits and
+    identical argmins."""
+    from pyspark.sql import Window
+
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ex = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i0", "v"))
+        .select("vec_id", (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v"))
+    )
+    cent = ex.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cl"), "i", F.col("v").alias("c")
+    )
+    assign = None
+    for r in range(_KM_ROUNDS):
+        diff = F.col("v") - F.col("c")
+        d2 = (
+            F.sum((diff * diff).cast("string").cast("decimal(38,24)"))
+            .cast("string")
+            .cast("double")
+        )
+        scored = (
+            ex.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "cl")
+            .agg(d2.alias("d2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cl")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cl")
+        )
+        if r < _KM_ROUNDS - 1:
+            mean = (
+                F.sum(F.col("v").cast("string").cast("decimal(38,18)"))
+                .cast("string")
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            cent = ex.join(assign, "vec_id").groupBy("cl", "i").agg(mean.alias("c"))
+    wsz = Window.partitionBy("cl")
+    return (
+        assign.select(
+            "vec_id",
+            F.col("cl").alias("cluster"),
+            F.count(F.lit(1)).over(wsz).alias("cluster_size"),
+        )
+        .orderBy("vec_id")
+    )
