@@ -283,3 +283,12 @@ def test_incremental_dedup_cross_set_join(spark, specs):
     # equi-join on (band, sig), never a cartesian product
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # band fan-out is a narrow explode
+
+
+def test_ivf_build_broadcasts_centroids(spark, specs):
+    plan = formatted_plan(specs["sim_ivf_build"].builder(spark, SF_SMOKE))
+    # both Lloyd rounds must score against BROADCAST centroid relations
+    # (k x dims rows); a shuffled centroid join would add two pointless
+    # exchanges of the full exploded vector relation per round
+    assert count_broadcast_joins(plan) >= 2
+    assert "CartesianProduct" not in plan
