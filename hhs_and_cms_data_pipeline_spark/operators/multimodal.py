@@ -426,3 +426,109 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_frames") > 0)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# MM5 — audio-frame energy: binary payloads as int16 LE PCM, framed, with
+# integer-exact per-frame energies (the audio half of the multimodal
+# surface; a real decoder swaps np.frombuffer for soundfile/ffmpeg).
+# --------------------------------------------------------------------------
+
+_PCM_FRAME = 32  # samples per frame (64 bytes)
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("peak_frame", T.LongType(), True),
+        T.StructField("peak_energy", T.LongType(), True),
+        T.StructField("total_energy", T.LongType(), False),
+    ]
+)
+
+
+def audio_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload bytes -> int16-LE samples (numpy
+    frombuffer — the exact layout a PCM WAV data chunk has) -> fixed
+    32-sample frames -> int64 sum-of-squares energy per frame. All integer
+    arithmetic: bit-exact on any engine, any partitioning. argmax ties take
+    the first (lowest) frame, matching the oracle's list_position."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            sam = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+                np.int64
+            )
+            nf = len(sam) // _PCM_FRAME
+            frames = sam[: nf * _PCM_FRAME].reshape(nf, _PCM_FRAME)
+            en = (frames * frames).sum(axis=1)
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "n_samples": len(sam),
+                    "n_frames": nf,
+                    "peak_frame": int(en.argmax()) if nf else None,
+                    "peak_energy": int(en.max()) if nf else None,
+                    "total_energy": int(en.sum()) if nf else 0,
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in AUDIO_ENERGY_SCHEMA.fields])
+
+
+@register(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    sam AS (
+      SELECT doc_id, n // 2 AS ns,
+             list_transform(range(0, n // 2), j ->
+               (('0x' || substr(hx, 4*j+1, 2))::UBIGINT)::BIGINT
+               + 256 * ((('0x' || substr(hx, 4*j+3, 2))::UBIGINT)::BIGINT)
+               - CASE WHEN (('0x' || substr(hx, 4*j+3, 2))::UBIGINT)::BIGINT >= 128
+                      THEN 65536 ELSE 0 END) AS ss
+      FROM b),
+    en AS (
+      SELECT doc_id, ns, ns // {_PCM_FRAME} AS nf,
+             list_transform(range(0, ns // {_PCM_FRAME}), f ->
+               list_sum(list_transform(
+                 list_slice(ss, {_PCM_FRAME}*f + 1, {_PCM_FRAME}*f + {_PCM_FRAME}),
+                 x -> x*x))) AS es
+      FROM sam)
+    SELECT doc_id,
+           ns AS n_samples,
+           nf AS n_frames,
+           CASE WHEN nf > 0
+                THEN CAST(list_position(es, list_max(es)) - 1 AS BIGINT) END
+             AS peak_frame,
+           CASE WHEN nf > 0 THEN CAST(list_max(es) AS BIGINT) END AS peak_energy,
+           CAST(COALESCE(list_sum(es), 0) AS BIGINT) AS total_energy
+    FROM en ORDER BY doc_id
+    """,
+    tags=("MM5",),
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads: bytes are read
+    as int16 little-endian PCM (the WAV data-chunk layout), cut into
+    32-sample frames, and each frame's sum-of-squares energy is computed —
+    the framing/energy pass behind VAD, silence trimming, and loudness
+    stats in an audio training pipeline. Peak frame = argmax energy (first
+    on ties).
+
+    Spark shape: Arrow-batched mapInPandas, one numpy frombuffer + one
+    reshaped matrix multiply per batch — no per-row Python, no shuffle
+    (the output sort is the only exchange). Integer energies make the
+    result bit-exact against the oracle's hex-dump re-derivation, the
+    same portability trick as mm_frame_features."""
+    ensure_session_conf(spark)
+    payloads = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(audio_energy_batches, AUDIO_ENERGY_SCHEMA).orderBy(
+        "doc_id"
+    )
