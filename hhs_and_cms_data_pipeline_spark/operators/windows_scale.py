@@ -140,6 +140,45 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# GROUPING SETS (arbitrary set list — the general form ROLLUP/CUBE special-
+# case).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("XA5",),
+)
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: an asymmetric set list — (flag, status),
+    (status), grand total — that neither ROLLUP nor CUBE expresses (ROLLUP
+    drills right-to-left; CUBE is every subset). One scan, one hash
+    aggregate over the expanded sets, exactly like its two special cases."""
+    ensure_session_conf(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Salted join: skew-mitigation technique, result-identical to a plain join.
 # --------------------------------------------------------------------------
 
