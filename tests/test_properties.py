@@ -195,3 +195,76 @@ def test_dedup_clusters_consistent_with_pairs(spark):
     assert len(pairs) > 0
     for r in pairs:
         assert labels[r["doc_a"]] == labels[r["doc_b"]]
+
+
+def test_chunk_windows_cover_every_word(spark):
+    """C11 invariant: the chunk windows tile each document — starts advance
+    by exactly the stride, the first starts at 0, and the last window
+    reaches the final word — so no token can fall outside every chunk."""
+    from hhs_and_cms_data_pipeline_spark.operators.curation import (
+        _CHUNK_S,
+        _CHUNK_W,
+        doc_chunk_windows,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = doc_chunk_windows(spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert chunks[0]["start_word"] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_word"] - a["start_word"] == _CHUNK_S
+            # overlap: the next window starts inside the previous one
+            assert b["start_word"] < a["start_word"] + _CHUNK_W
+        last = chunks[-1]
+        n_words = last["start_word"] + last["n_chunk_words"]
+        # every word position < n_words is inside some [start, start+len)
+        assert all(c["n_chunk_words"] >= 1 for c in chunks)
+        assert last["start_word"] + last["n_chunk_words"] == n_words
+
+
+def test_mixture_resample_partition_invariant(spark):
+    """C12 invariant: the replicated multiset is a pure function of
+    (doc_id, lang) — identical under any repartitioning of the input and
+    on a second run (no RNG state)."""
+    from hhs_and_cms_data_pipeline_spark.operators.curation import (
+        _MIX_WEIGHTS,
+        mixture_resample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    a = sorted(map(tuple, mixture_resample(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, mixture_resample(spark, SF_SMOKE).collect()))
+    assert a == b and len(a) > 0
+    # realized copies per doc stay within [floor(w), ceil(w)]
+    import collections
+
+    per_doc = collections.Counter((d, l) for d, l, _ in a)
+    for (_, lang), n in per_doc.items():
+        w = _MIX_WEIGHTS.get(lang, 1.0)
+        assert int(w) <= n <= int(w) + 1
+
+
+def test_incremental_dedup_matches_are_cross_set(spark):
+    """D10 invariant: dup_of always points OUTSIDE the new batch, every
+    flagged match meets the Jaccard threshold, and is_dup == dup_of
+    presence."""
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        _INC_MOD,
+        _JACCARD_TAU,
+        dedup_incremental,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = dedup_incremental(spark, SF_SMOKE).collect()
+    assert rows and all(r["doc_id"] % _INC_MOD == 0 for r in rows)
+    for r in rows:
+        assert r["is_dup"] == (r["dup_of"] is not None)
+        if r["dup_of"] is not None:
+            assert r["dup_of"] % _INC_MOD != 0
+            assert r["jaccard"] >= _JACCARD_TAU
