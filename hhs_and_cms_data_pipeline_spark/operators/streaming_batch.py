@@ -464,3 +464,128 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_purchase_attribution(clicks, purchases).orderBy(
         "click_id", "purchase_id"
     )
+
+
+# --------------------------------------------------------------------------
+# ST9 — sessionized conversion funnel: signup -> click -> purchase, each
+# stage strictly after the previous within the same session.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "session_funnel",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM ordered),
+    m1 AS (
+      SELECT user_id, session_seq,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+      FROM sess GROUP BY 1, 2),
+    m2 AS (
+      SELECT s.user_id, s.session_seq, MIN(m1.t_signup) AS t_signup,
+             MIN(CASE WHEN s.event_type = 'click' AND s.ts > m1.t_signup
+                      THEN s.ts END) AS t_click
+      FROM sess s JOIN m1 USING (user_id, session_seq)
+      GROUP BY 1, 2),
+    m3 AS (
+      SELECT s.user_id, s.session_seq, MIN(m2.t_signup) AS t_signup,
+             MIN(m2.t_click) AS t_click,
+             MIN(CASE WHEN s.event_type = 'purchase' AND s.ts > m2.t_click
+                      THEN s.ts END) AS t_purchase
+      FROM sess s JOIN m2 USING (user_id, session_seq)
+      GROUP BY 1, 2)
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(t_signup) AS n_reached_signup,
+           COUNT(t_click) AS n_reached_click,
+           COUNT(t_purchase) AS n_reached_purchase
+    FROM m3
+    """,
+    tags=("ST9",),
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over 30-min sessions: a session reaches stage k
+    only via a strict event-time chain (first signup, then the first click
+    strictly after it, then the first purchase strictly after that). The
+    output is the stage-count row an analytics dashboard plots as the
+    funnel. Strictly-after compares timestamps only — a deliberate,
+    engine-agnostic tie rule.
+
+    Spark shape: sessionization plus three chained aggregations, ALL keyed
+    on (user_id, session_seq) — the sort/window exchange is reused by
+    every later groupBy and join (co-partitioned), so the funnel costs one
+    fact shuffle plus per-stage session-sized joins; the final count is a
+    4-column scalar aggregate. At 100 TB stage chains longer than ~5 would
+    switch to a single sorted pass with applyInPandasWithState rather than
+    k joins."""
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(order)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(lag_ts.cast("timestamp"))
+    is_new = (lag_ts.isNull() | (ts_us - lag_us > 30 * 60 * 1_000_000)).cast("int")
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(running))
+        .select("user_id", "session_seq", "ts", "event_type")
+    )
+    key = ["user_id", "session_seq"]
+    m1 = sess.groupBy(*key).agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    m2 = (
+        sess.join(m1, key)
+        .groupBy(*key)
+        .agg(
+            F.min("t_signup").alias("t_signup"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_signup")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    m3 = (
+        sess.join(m2, key)
+        .groupBy(*key)
+        .agg(
+            F.min("t_signup").alias("t_signup"),
+            F.min("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    return m3.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t_signup").alias("n_reached_signup"),
+        F.count("t_click").alias("n_reached_click"),
+        F.count("t_purchase").alias("n_reached_purchase"),
+    )
