@@ -189,3 +189,86 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
 
     got, want = canon(out.collect()), canon(batch.collect())
     assert len(want) > 0 and got == want
+
+
+def test_watermark_drops_late_rows_and_gates_emission(spark, tmp_path):
+    """Watermark semantics, not just batch parity. Three chronological
+    micro-batches: the first two cover the real data and advance the
+    watermark far past the early windows (closing and EVICTING them in
+    append mode); the third re-delivers a duplicate of the very first
+    event, by then ~4 weeks late against a 2h watermark. Spark's contract:
+    a late row whose window state was already evicted is dropped — so the
+    final table must equal the batch aggregation over the ORIGINAL events
+    restricted to windows the final watermark closed, with the duplicate
+    contributing nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sources.tables import normalize_events_ts
+
+    src = pq.read_table(f"{SF_SMOKE}/events.parquet").sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")]
+    )
+    n = src.num_rows
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    parts = [src.slice(0, n // 2), src.slice(n // 2, n - n // 2), src.slice(0, 1)]
+    base = 1_600_000_000
+    for i, part in enumerate(parts):
+        path = os.path.join(stage, f"part-{i}.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (base + i * 60, base + i * 60))
+
+    schema = spark.read.parquet(stage).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    ev = normalize_events_ts(raw).select("ts", "event_type")
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_watermark_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 3
+    watermark = q.lastProgress["eventTime"]["watermark"]  # ISO-8601, UTC
+
+    got = {
+        (str(r["ws"]), r["event_type"]): r["n"]
+        for r in spark.table("t_watermark_late").collect()
+    }
+    wm_lit = F.to_timestamp(F.lit(watermark.replace("T", " ").rstrip("Z")))
+    expect = {
+        (str(r["ws"]), r["event_type"]): r["n"]
+        for r in (
+            spark.createDataFrame(src.to_pandas())
+            .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("w.end") <= wm_lit)
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+            .collect()
+        )
+    }
+    assert len(got) > 0 and got == expect
+    # the duplicated first event (an 'error' in the first hour) stayed at 1
+    first_ws = str(
+        spark.createDataFrame(src.slice(0, 1).to_pandas())
+        .select(F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"))
+        .head()["h"]
+    )
+    assert got[(first_ws, "error")] == 1
