@@ -589,3 +589,49 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_reached_click"),
         F.count("t_purchase").alias("n_reached_purchase"),
     )
+
+
+# --------------------------------------------------------------------------
+# ST10 — per-user profile totals: the batch equivalent of the Spark-4
+# transformWithState incremental profile maintainer (streaming/profile.py),
+# which is asserted to converge to exactly these rows in tests.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_user_profile",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) * 1000000
+                AS BIGINT) AS sum_u6
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("ST10",),
+)
+def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running profile (event count + value sum in integer
+    micro-units of the DECIMAL(38,6)-quantized doubles — bit-exact across
+    engines AND across the streaming/batch boundary). The streaming form
+    maintains the same numbers incrementally with Spark 4's
+    transformWithState typed ValueState; because the quantization happens
+    per event before summing, a micro-batch accumulation and this one-shot
+    aggregation are the SAME integer arithmetic — tests drive the
+    streaming twin and assert row equality.
+
+    Batch shape: one hash-shuffle on user_id with map-side partials."""
+    ensure_session_conf(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.col("value").cast("decimal(38,6)")) * 1_000_000)
+            .cast("long")
+            .alias("sum_u6"),
+        )
+        .orderBy("user_id")
+    )
