@@ -351,3 +351,140 @@ def percentile_disc_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# XP1/XP2 — pivot (long -> wide) and unpivot (wide -> long): the reshaping
+# pair every reporting layer needs (the reference's dashboard pivots weekly
+# metrics client-side in pandas; here it's engine-side and oracle-checked).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END")}
+             AS F,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END")}
+             AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("XP1",),
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue by return flag, one column per line status. The value
+    list is EXPLICIT (pivot("l_linestatus", ["F", "O"])) — at scale an
+    unlisted pivot needs an extra distinct-values job and risks a
+    thousand-column explosion; listing values keeps it one aggregation
+    with conditional partials, exactly what the oracle's CASE columns
+    express."""
+    ensure_session_conf(spark)
+    out = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_extendedprice"))
+        .orderBy("l_returnflag")
+    )
+    return out
+
+
+@register(
+    "unpivot_bed_metrics",
+    oracle=f"""
+    SELECT l_orderkey, metric, amount
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS qty,
+             CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_discount AS DOUBLE) AS discount
+      FROM lineitem WHERE l_orderkey < 100)
+    UNPIVOT (amount FOR metric IN (qty, price, discount))
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+    tags=("XP2",),
+)
+def unpivot_bed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-row measures into (key, metric, amount) long
+    form — the shape metric stores and chart layers consume (the
+    reference's report melts bed metrics client-side; weekly-report.py
+    time-series plots). Spark's unpivot is a zero-shuffle Expand node:
+    each input row fans to k metric rows map-side."""
+    ensure_session_conf(spark)
+    wide = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+            F.col("l_discount").cast("double").alias("discount"),
+        )
+    )
+    return (
+        wide.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["qty", "price", "discount"],
+            "metric",
+            "amount",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+        .select("l_orderkey", "metric", "amount")
+    )
+
+
+@register(
+    "w6_share_of_total",
+    oracle=f"""
+    WITH nat AS (
+      SELECT n_name AS nation, {sql_dsum("o_totalprice")} AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1)
+    SELECT nation, revenue,
+           revenue / CAST(CAST(SUM(CAST(CAST(revenue AS VARCHAR)
+                                        AS DECIMAL(38,6))) OVER ()
+                          AS VARCHAR) AS DOUBLE) AS share
+    FROM nat
+    ORDER BY nation
+    """,
+    tags=("W6",),
+)
+def w6_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total revenue via an
+    unpartitioned window over the PRE-AGGREGATED 25-row nation frame (the
+    single-partition window is safe by construction — it sees nation-count
+    rows, never the fact table; the fact-sized work is the one groupBy).
+    The share division runs on the decimal-exact revenue doubles, so both
+    engines divide identical bits by identical bits."""
+    ensure_session_conf(spark)
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    total = Window.partitionBy()
+    total_rev = (
+        F.sum(F.col("revenue").cast("decimal(38,6)"))
+        .over(total)
+        .cast("string")
+        .cast("double")
+    )
+    return (
+        nat.select(
+            "nation",
+            "revenue",
+            (F.col("revenue") / total_rev).alias("share"),
+        )
+        .orderBy("nation")
+    )
