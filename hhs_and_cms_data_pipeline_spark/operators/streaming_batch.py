@@ -635,3 +635,105 @@ def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# GX1 — grouped-map applyInPandas: per-user robust anomaly profile. This
+# completes the Python-surface matrix (scalar pandas_udf = SIM3,
+# mapInPandas = MM2/MM5, applyInPandasWithState = ST4, transformWithState =
+# ST10, grouped-map = here).
+# --------------------------------------------------------------------------
+
+USER_ANOMALY_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, med_lo DOUBLE, mad_lo DOUBLE, "
+    "n_outliers BIGINT"
+)
+
+
+def _user_anomaly_profile(pdf):
+    """Per-group worker: LOWER-median order statistics (never interpolated —
+    an exact element of the data, so Spark and the SQL oracle pick the
+    identical double) and the count of values straying more than 3 lower-MADs
+    from the lower-median."""
+    import pandas as pd
+
+    vals = pdf["value"].dropna().sort_values().reset_index(drop=True)
+    n = len(vals)
+    if n == 0:
+        med = mad = None
+        outliers = 0
+    else:
+        med = float(vals.iloc[(n - 1) // 2])
+        dev = (vals - med).abs().sort_values().reset_index(drop=True)
+        mad = float(dev.iloc[(n - 1) // 2])
+        outliers = int(((vals - med).abs() > 3.0 * mad).sum())
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [n],
+            "med_lo": [med],
+            "mad_lo": [mad],
+            "n_outliers": [outliers],
+        }
+    )
+
+
+@register(
+    "grouped_map_user_anomaly",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE value IS NOT NULL),
+    med AS (
+      SELECT user_id, n, value AS med_lo
+      FROM v WHERE rn = (n - 1) // 2 + 1),
+    d AS (
+      SELECT v.user_id, v.value, m.med_lo, m.n,
+             row_number() OVER (PARTITION BY v.user_id
+                                ORDER BY abs(v.value - m.med_lo)) AS rn
+      FROM v JOIN med m USING (user_id)),
+    madv AS (
+      SELECT user_id, abs(value - med_lo) AS mad_lo
+      FROM d WHERE rn = (n - 1) // 2 + 1),
+    outl AS (
+      SELECT d.user_id,
+             SUM(CASE WHEN abs(d.value - d.med_lo) > 3.0 * m.mad_lo
+                      THEN 1 ELSE 0 END) AS n_outliers
+      FROM d JOIN madv m USING (user_id)
+      GROUP BY 1)
+    SELECT med.user_id, med.n AS n_events, med.med_lo, m.mad_lo,
+           CAST(o.n_outliers AS BIGINT) AS n_outliers
+    FROM med
+    JOIN madv m USING (user_id)
+    JOIN outl o USING (user_id)
+    ORDER BY med.user_id
+    """,
+    tags=("GX1",),
+)
+def grouped_map_user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust anomaly profile via grouped-map applyInPandas: the
+    lower median, the lower median absolute deviation, and how many of the
+    user's event values stray beyond 3 MADs — the per-entity robust-stats
+    pass behind fraud/quality monitoring, where the per-group logic (two
+    dependent order statistics) is genuinely easier in pandas than in
+    joins.
+
+    Scale shape: ONE exchange on user_id, then each group ships as one
+    Arrow batch to a Python worker — per-user data (hundreds of rows) is
+    worker-memory-sized by construction, parallel across the 150+ users.
+    Lower-median (an exact element, never an interpolated midpoint) keeps
+    every emitted double bit-identical to the SQL oracle's order-statistic
+    formulation."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_user_anomaly_profile, USER_ANOMALY_SCHEMA)
+        .orderBy("user_id")
+    )
