@@ -383,3 +383,79 @@ def s6_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orc(path)
     )
     return spark.read.orc(path).orderBy("n_nationkey")
+
+
+@register(
+    "k4_compact_small_files",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("K4",),
+)
+def k4_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: small-file compaction — the table-maintenance pass every
+    streaming/incremental sink needs (each micro-batch/append leaves
+    file-per-partition debris; at 100 TB, millions of KB-sized files make
+    NameNode/listing and scan setup the bottleneck). The table is written
+    as many tiny files, then rewritten with a single coalesce(1)-per-target
+    pass into size-appropriate files; the atomic-publish sink (K2) swaps
+    the compacted layout in so readers never see a half-compacted table.
+    The oracle checks the rewrite is content-lossless; the file counts are
+    asserted in tests."""
+    ensure_session_conf(spark)
+    fragmented = os.path.join(_IO_DIR, "k4_fragmented")
+    compacted = os.path.join(_IO_DIR, "k4_compacted")
+    shutil.rmtree(fragmented, ignore_errors=True)
+    src = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # one file per row: the pathological layout an append-heavy sink leaves
+    src.repartition(25, "n_nationkey").write.mode("overwrite").parquet(fragmented)
+    frag_df = spark.read.parquet(fragmented)
+    # compaction: coalesce to the target file count (size-based in prod:
+    # ceil(table_bytes / target_file_bytes)) and publish atomically
+    write_parquet_atomic(frag_df.coalesce(1), compacted)
+    return read_published(spark, compacted).orderBy("n_nationkey")
+
+
+@register(
+    "s7_schema_evolution_merge",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, NULL AS load_batch
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 7 AS load_batch
+    FROM nation WHERE n_regionkey <> 0
+    ORDER BY n_nationkey
+    """,
+    tags=("S7",),
+)
+def s7_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: schema-evolution read. A long-lived landing zone accumulates
+    files written under different schema versions (here: a later load adds
+    a load_batch column); mergeSchema=true reconciles them at read time,
+    NULL-filling the column for old files — the lakehouse answer to the
+    reference's fixed-DDL ALTER TABLE migrations. Explicitly opt-in:
+    schema merging is a footer-read per file at planning time, so at 100 TB
+    you pin the merged schema in a catalog instead of re-deriving it per
+    query (spark.read.schema(...) over the same files is the fast path)."""
+    ensure_session_conf(spark)
+    path = os.path.join(_IO_DIR, "s7_evolved")
+    shutil.rmtree(path, ignore_errors=True)
+    src = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    v1 = src.filter(F.col("n_regionkey") == 0)
+    v2 = src.filter(F.col("n_regionkey") != 0).withColumn(
+        "load_batch", F.lit(7).cast("int")
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("n_nationkey", "n_name", "n_regionkey", "load_batch")
+        .orderBy("n_nationkey")
+    )

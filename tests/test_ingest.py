@@ -321,3 +321,25 @@ def test_permissive_csv_quarantines_bad_lines(spark):
         assert good.filter(good.n_nationkey.isNull()).count() == 0
     finally:
         df.unpersist()
+
+
+def test_compaction_reduces_file_count_losslessly(spark):
+    """K4: the fragmented layout really has ~25 files, the compacted publish
+    has 1, and content is identical (the oracle only checks content)."""
+    import glob
+    import os
+
+    from hhs_and_cms_data_pipeline_spark.operators.sources_sinks import (
+        _IO_DIR,
+        k4_compact_small_files,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = k4_compact_small_files(spark, SF_SMOKE)
+    assert out.count() == 25
+    n_frag = len(glob.glob(os.path.join(_IO_DIR, "k4_fragmented", "*.parquet")))
+    pub = os.path.realpath(os.path.join(_IO_DIR, "k4_compacted"))
+    n_comp = len(glob.glob(os.path.join(pub, "*.parquet")))
+    # 25 keys hash into 25 partitions with collisions; empty partitions
+    # write no file, so "many" is ~16 — the point is many -> 1
+    assert n_frag >= 10 and n_comp == 1
