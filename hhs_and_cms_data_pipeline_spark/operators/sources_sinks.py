@@ -313,7 +313,13 @@ MESSY_SCHEMA = T.StructType(
 
 def messy_csv_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERMISSIVE read with the corrupt-record column — shared by the
-    registered query (good rows) and the quarantine test (bad rows)."""
+    registered query (good rows) and the quarantine test (bad rows).
+
+    Cached: Spark refuses plans over a raw CSV that reference ONLY the
+    internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    which is exactly what column pruning produces for a bare count() on
+    the filtered frame; caching materializes the parse once (the fixture
+    is tiny) and every downstream shape is then legal."""
     _write_messy_csv(spark, sf_dir)
     return spark.read.csv(
         _MESSY_CSV,
@@ -321,7 +327,7 @@ def messy_csv_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=MESSY_SCHEMA,
         mode="PERMISSIVE",
         columnNameOfCorruptRecord="_corrupt",
-    )
+    ).cache()
 
 
 @register(
