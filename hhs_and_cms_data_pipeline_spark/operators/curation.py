@@ -516,11 +516,14 @@ _PII_PHONE = r"\b\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
 
 # The synthetic corpus contains no PII, so the operator seeds each document
 # with DETERMINISTIC fake contact lines derived from doc_id — the redaction
-# path is then exercised for real on every row (and the count columns prove
-# it), instead of vacuously passing on text it never touches.
+# path is then exercised for real on every row (n_emails/n_ssns/n_phones
+# are each >= 1 by construction, asserted in tests), instead of vacuously
+# passing on text it never touches. The seeded phone is 3-3-4
+# ('555-0XY-ZZZZ') to actually match _PII_PHONE; a 3-4-4 seed shipped
+# once and left the phone path provably unexercised (n_phones == 0).
 _SQL_SEEDED = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
-    " or call 555-01' || substr(CAST(1000 + doc_id % 100 AS VARCHAR), 3, 2)"
+    " or call 555-0' || substr(CAST(1000 + doc_id % 100 AS VARCHAR), 3, 2)"
     " || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
     " || ' ssn 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
 )
@@ -563,7 +566,7 @@ def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
-        F.lit("@example.com or call 555-01"),
+        F.lit("@example.com or call 555-0"),
         F.substring((F.lit(1000) + F.col("doc_id") % 100).cast("string"), 3, 2),
         F.lit("-"),
         (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),

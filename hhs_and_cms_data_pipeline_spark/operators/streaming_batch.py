@@ -86,6 +86,33 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sessionization: 30-minute inactivity gap, gaps-and-islands form.
 # --------------------------------------------------------------------------
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def with_session_seq(ev):
+    """Append ``session_seq`` (1-based per user) to an events frame with
+    (user_id, ts, event_id) using the 30-minute inactivity gap rule, ties
+    broken by (ts, event_id). THE single definition of sessionization —
+    stream_sessionize (ST3), session_event_paths (ST7), and session_funnel
+    (ST9) all build on it (three hand-inlined copies once drifted apart
+    during the TIMESTAMP_NTZ migration). The gap compares unix_micros of
+    the TIMESTAMP-cast ts: micro-exact (session tz is UTC) and NTZ-proof.
+    """
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(order)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(lag_ts.cast("timestamp"))
+    is_new = (lag_ts.isNull() | (ts_us - lag_us > _SESSION_GAP_US)).cast("int")
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(running))
+        .drop("is_new")
+    )
+
+
 
 @register(
     "stream_sessionize",
@@ -127,24 +154,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(order)
-    # full-precision gap: compare in microseconds (ts is micros after the
-    # nanos->micros source truncation), matching both the DuckDB INTERVAL
-    # comparison and the stateful sessionizer — a second-truncated cast
-    # would split a 1800.8s gap differently than the oracle. The parquet
-    # column is tz-less (timestamp[us]) and Spark 4 surfaces it as
-    # TIMESTAMP_NTZ, which unix_micros rejects; the session tz is pinned to
-    # UTC (session.py) so casting to TIMESTAMP first is micro-exact.
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    lag_us = F.unix_micros(lag_ts.cast("timestamp"))
-    is_new = (lag_ts.isNull() | (ts_us - lag_us > 30 * 60 * 1_000_000)).cast("int")
-    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     return (
-        ev.withColumn("is_new", is_new)
-        .withColumn("session_seq", F.sum("is_new").over(running))
+        with_session_seq(ev)
         .groupBy("user_id", "session_seq")
         .agg(
             F.min("ts").alias("session_start"),
@@ -358,14 +369,6 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(order)
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    lag_us = F.unix_micros(lag_ts.cast("timestamp"))
-    is_new = (lag_ts.isNull() | (ts_us - lag_us > 30 * 60 * 1_000_000)).cast("int")
-    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     path = F.concat_ws(
         ">",
         F.transform(
@@ -374,8 +377,7 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        ev.withColumn("is_new", is_new)
-        .withColumn("session_seq", F.sum("is_new").over(running))
+        with_session_seq(ev)
         .groupBy("user_id", "session_seq")
         .agg(F.count(F.lit(1)).alias("n_events"), path.alias("path"))
         .orderBy("user_id", "session_seq")
@@ -537,18 +539,8 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(order)
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    lag_us = F.unix_micros(lag_ts.cast("timestamp"))
-    is_new = (lag_ts.isNull() | (ts_us - lag_us > 30 * 60 * 1_000_000)).cast("int")
-    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sess = (
-        ev.withColumn("is_new", is_new)
-        .withColumn("session_seq", F.sum("is_new").over(running))
-        .select("user_id", "session_seq", "ts", "event_type")
+    sess = with_session_seq(ev).select(
+        "user_id", "session_seq", "ts", "event_type"
     )
     key = ["user_id", "session_seq"]
     m1 = sess.groupBy(*key).agg(

@@ -405,9 +405,9 @@ _WIN_W = 4  # k-grams per winnowing window
                AS wmin,
              pos
       FROM kg)
-    SELECT DISTINCT doc_id, h AS fp
+    SELECT DISTINCT doc_id, wmin AS fp
     FROM sel
-    WHERE pos >= {_WIN_K - 1 + _WIN_W} AND h = wmin
+    WHERE pos >= {_WIN_W}
     ORDER BY doc_id, fp
     """,
     tags=("TX6",),
@@ -448,18 +448,29 @@ def text_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = spread(toked).select("doc_id", F.posexplode(hashed).alias("pos0", "h"))
     # SQL_TOKS positions are 1-based token positions; k-gram i (0-based
     # posexplode) starts at token pos0+1, and the oracle's `pos` is the
-    # FIRST token of the k-gram => pos = pos0 + 1. Its completeness cut
-    # `pos >= K-1+W` keeps only k-grams whose winnowing window is full.
+    # FIRST token of the k-gram => pos = pos0 + 1 = the k-gram's 1-based
+    # index. The window ending at k-gram index j is full iff j >= W, so
+    # the completeness cut is `pos >= W`. (A `pos >= K-1+W` cut — the
+    # LAST-token-position convention applied to first-token positions —
+    # shipped once: it silently excluded the two full windows ending at
+    # j in {W, W+1}, so k-grams 1..K-1 could never fingerprint and two
+    # docs sharing exactly a (w+k-1)-token prefix shared no fingerprint,
+    # breaking the winnowing guarantee on both engines at once.)
     pos = F.col("pos0") + F.lit(1)
     win = (
         Window.partitionBy("doc_id")
         .orderBy("pos0")
         .rowsBetween(-(_WIN_W - 1), Window.currentRow)
     )
+    # Fingerprints are the DISTINCT per-window minima (`wmin`), not
+    # "k-grams equal to their trailing-window min": a window's minimum that
+    # sits near the window START is not the minimum of the window ENDING at
+    # it (that window reaches w-1 k-grams further back), so the h == wmin
+    # formulation dropped it and broke the guarantee for prefix matches.
     return (
         kg.withColumn("wmin", F.min("h").over(win))
-        .filter((pos >= _WIN_K - 1 + _WIN_W) & (F.col("h") == F.col("wmin")))
-        .select("doc_id", F.col("h").alias("fp"))
+        .filter(pos >= _WIN_W)
+        .select("doc_id", F.col("wmin").alias("fp"))
         .distinct()
         .orderBy("doc_id", "fp")
     )

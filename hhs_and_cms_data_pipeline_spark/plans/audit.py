@@ -70,6 +70,20 @@ def _tree_depth(line: str) -> int:
     return i // 3
 
 
+def _is_node(line: str) -> bool:
+    """True if the line is an operator node (its LAST marker unit is a
+    branch marker). A sibling nested under a ':' continuation renders as
+    ':  +- X' — `lstrip().startswith('+-')` misses it (the visible prefix
+    is ':'), which silently absorbed sibling subtrees into
+    single_partition_subtrees and produced false negatives in the
+    unreduced-global-window audit."""
+    i, last = 0, None
+    while line[i : i + 3] in (":  ", "   ", "+- ", ":- "):
+        last = line[i : i + 3]
+        i += 3
+    return last in ("+- ", ":- ") and bool(line[i:].strip())
+
+
 def single_partition_subtrees(plan: str) -> list[str]:
     """For each `Exchange SinglePartition` in the plan tree, the subtree
     BELOW it (the data that gets funneled into one partition). Used to
@@ -84,7 +98,7 @@ def single_partition_subtrees(plan: str) -> list[str]:
         d = _tree_depth(line)
         sub = []
         for nxt in lines[i + 1 :]:
-            if nxt.strip() and _tree_depth(nxt) <= d and nxt.lstrip().startswith(("+-", ":-")):
+            if nxt.strip() and _is_node(nxt) and _tree_depth(nxt) <= d:
                 break
             sub.append(nxt)
         out.append("\n".join(sub))

@@ -30,10 +30,14 @@ PROFILE_OUTPUT_DDL = "user_id BIGINT, cnt BIGINT, sum_u6 BIGINT"
 
 
 def _quantize_u6(v: float) -> int:
-    """Micro-units of the DECIMAL(38,6) quantization of a double — the same
-    exact-binary-value HALF_UP rounding Spark's double->decimal cast applies
-    (Python's Decimal(float) is the exact binary value, like BigDecimal)."""
-    return int(Decimal(v).quantize(_U6, rounding=ROUND_HALF_UP) / _U6)
+    """Micro-units of the DECIMAL(38,6) quantization of a double, rounding
+    the SHORTEST DECIMAL REPR (``repr(v)``), not the exact binary value:
+    Spark's double->decimal cast goes through BigDecimal.valueOf (=
+    Double.toString, shortest repr) and DuckDB's VARCHAR route parses the
+    same string — Decimal(v) (exact binary) differs at half-micro
+    boundaries (5e-7 exact-binary is 4.999...e-7 -> 0, but both engines
+    see '5.0E-7' -> 1)."""
+    return int(Decimal(repr(v)).quantize(_U6, rounding=ROUND_HALF_UP) / _U6)
 
 
 class UserProfileProcessor(StatefulProcessor):

@@ -292,3 +292,30 @@ def test_ivf_build_broadcasts_centroids(spark, specs):
     # exchanges of the full exploded vector relation per round
     assert count_broadcast_joins(plan) >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_subtree_parser_stops_at_continuation_siblings():
+    """Regression: a sibling rendered under a ':' continuation (':  +- X')
+    must terminate the SinglePartition subtree — the old lstrip-startswith
+    check absorbed it, hiding genuine unreduced global windows."""
+    from hhs_and_cms_data_pipeline_spark.plans.audit import (
+        single_partition_subtrees,
+        unreduced_single_partition,
+    )
+
+    plan = "\n".join(
+        [
+            "+- Join",
+            "   :- Exchange SinglePartition",
+            "   :  +- Window",
+            "   :     +- Scan parquet [file:/x/lineitem.parquet]",
+            "   +- HashAggregate",
+            "      +- Scan parquet [file:/x/orders.parquet]",
+        ]
+    )
+    subs = single_partition_subtrees(plan)
+    assert len(subs) == 1
+    assert "lineitem" in subs[0]
+    assert "HashAggregate" not in subs[0], "sibling absorbed into subtree"
+    # and the audit now flags the unreduced fact-scan funnel
+    assert unreduced_single_partition(plan)

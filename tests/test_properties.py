@@ -208,11 +208,22 @@ def test_chunk_windows_cover_every_word(spark):
     )
     from tests.conftest import SF_SMOKE
 
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
     rows = doc_chunk_windows(spark, SF_SMOKE).collect()
+    # ground truth word counts, independent of the operator under test
+    true_words = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
     by_doc: dict[int, list] = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    assert by_doc
+    assert by_doc and set(by_doc) == set(true_words)
     for chunks in by_doc.values():
         chunks.sort(key=lambda r: r["chunk_id"])
         assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
@@ -221,11 +232,14 @@ def test_chunk_windows_cover_every_word(spark):
             assert b["start_word"] - a["start_word"] == _CHUNK_S
             # overlap: the next window starts inside the previous one
             assert b["start_word"] < a["start_word"] + _CHUNK_W
+        # coverage against the INDEPENDENT token count: the last window
+        # must reach the document's final word (the old assertion compared
+        # the operator's own outputs to themselves)
         last = chunks[-1]
-        n_words = last["start_word"] + last["n_chunk_words"]
-        # every word position < n_words is inside some [start, start+len)
+        doc_id = last["doc_id"]
+        assert last["start_word"] + last["n_chunk_words"] == true_words[doc_id]
+        assert last["start_word"] + _CHUNK_W >= true_words[doc_id]
         assert all(c["n_chunk_words"] >= 1 for c in chunks)
-        assert last["start_word"] + last["n_chunk_words"] == n_words
 
 
 def test_mixture_resample_partition_invariant(spark):
@@ -268,3 +282,41 @@ def test_incremental_dedup_matches_are_cross_set(spark):
         if r["dup_of"] is not None:
             assert r["dup_of"] % _INC_MOD != 0
             assert r["jaccard"] >= _JACCARD_TAU
+
+
+def test_winnowing_prefix_guarantee(spark, tmp_path):
+    """TX6 guarantee: two documents sharing a (w+k-1)-token run (here a
+    6-token prefix with k=3, w=4) MUST share at least one fingerprint —
+    the property winnowing exists to provide. Regression for the
+    completeness cut that excluded the first full windows (k-grams 1..k-1
+    could never fingerprint, so prefix-only matches were invisible)."""
+    import os
+
+    import pandas as pd
+
+    from hhs_and_cms_data_pipeline_spark.operators.text import text_winnowing_fps
+
+    shared = "alpha bravo charlie delta echo foxtrot"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                shared + " golf hotel india juliett kilo lima",
+                shared + " mike november oscar papa quebec romeo",
+            ],
+            "lang": ["en", "en"],
+            "source": ["src0", "src0"],
+            "n_chars": [50, 50],
+        }
+    )
+    sf_dir = str(tmp_path / "sf_tiny")
+    os.makedirs(sf_dir)
+    docs.to_parquet(os.path.join(sf_dir, "documents.parquet"), index=False)
+    fps = text_winnowing_fps(spark, sf_dir).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc.get(1) and by_doc.get(2)
+    assert by_doc[1] & by_doc[2], (
+        "documents sharing a w+k-1-token prefix must share a fingerprint"
+    )

@@ -319,9 +319,15 @@ def test_profile_processor_logic_without_spark():
     from hhs_and_cms_data_pipeline_spark.streaming.profile import _quantize_u6
 
     assert _quantize_u6(1.0) == 1_000_000
-    assert _quantize_u6(0.1) == 100_000  # 0.1 binary ~ 0.1000000000000000055
-    assert _quantize_u6(2.5e-7) == 0  # exact 0.00000025 -> rounds down (< half)
-    assert _quantize_u6(7.5e-7) == 1  # 7.5e-7 binary is just under/over half?
+    assert _quantize_u6(0.1) == 100_000
+    assert _quantize_u6(2.5e-7) == 0  # 0.25 micro -> below half
+    assert _quantize_u6(7.5e-7) == 1  # 0.75 micro -> above half
+    # the half-micro boundary is where the rounding BASIS matters: the
+    # shortest repr '5e-07' is an exact tie -> HALF_UP -> 1, matching
+    # Spark's valueOf cast and DuckDB's VARCHAR parse; the exact binary
+    # (4.999...e-7) would round to 0 and diverge from both engines
+    assert _quantize_u6(5e-7) == 1
+    assert _quantize_u6(3.5e-6) == 4
     # the property that matters: sum of per-event quantizations is order-free
     vals = [0.1, 2.7, 3.14159265358979, 1e-7, 123.456789]
     a = sum(_quantize_u6(v) for v in vals)
