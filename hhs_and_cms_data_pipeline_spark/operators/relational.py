@@ -23,6 +23,22 @@ from .report import CUTOFF, _SQL_CUTOFF
 # --------------------------------------------------------------------------
 
 
+def orders_with_state(spark: SparkSession, sf_dir: str, *order_cols: str) -> DataFrame:
+    """Orders joined to their customer's nation-as-state — the shared
+    dim scaffold of the report-domain queries (w3/t6/f15 here, r5/r6 in
+    report.py use the same shape): project only the requested order
+    columns, equi-join customer, broadcast-join nation aliased to
+    ``state``. One definition so the projection/broadcast policy cannot
+    drift between copies."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", *order_cols)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("state")
+    )
+    return o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+
 @register(
     "s3_table_scan",
     oracle="SELECT r_regionkey, r_name FROM region",
@@ -277,17 +293,14 @@ def j7_min_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w3_last_value_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attach each state's latest weekly value to every row of its series."""
     ensure_session_conf(spark)
-    o = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") <= F.lit(CUTOFF).cast("timestamp"))
-        .select("o_custkey", "o_totalprice",
-                F.date_trunc("week", "o_orderdate").cast("date").alias("collection_week"))
-    )
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("state"))
+    joined = orders_with_state(
+        spark, sf_dir, "o_totalprice", "o_orderdate"
+    ).filter(F.col("o_orderdate") <= F.lit(CUTOFF).cast("timestamp"))
     series = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        joined.withColumn(
+            "collection_week",
+            F.date_trunc("week", "o_orderdate").cast("date"),
+        )
         .groupBy("state", "collection_week")
         .agg(dsum("o_totalprice", "weekly_value"))
     )
@@ -352,12 +365,8 @@ def t6_topk_by_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 states by measure; compiles to TakeOrderedAndProject (no global
     sort materialization). Deterministic tiebreak on state name."""
     ensure_session_conf(spark)
-    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("state"))
     return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        orders_with_state(spark, sf_dir, "o_totalprice")
         .groupBy("state")
         .agg(dsum("o_totalprice", "total_value"))
         .orderBy(F.desc("total_value"), F.asc("state"))
@@ -711,12 +720,8 @@ def f15_format_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Presentation-edge formatting; rounding happens in decimal space first so
     the formatter never makes a tie-break decision."""
     ensure_session_conf(spark)
-    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("state"))
     return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        orders_with_state(spark, sf_dir, "o_totalprice")
         .groupBy("state")
         .agg(round1(davg("o_totalprice"), "avg_value"))
         .withColumn("avg_value_fmt", F.format_number(F.col("avg_value"), 1))

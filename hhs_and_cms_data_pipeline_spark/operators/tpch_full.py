@@ -530,12 +530,13 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     negative balance; the bridge is the distinct (l_partkey, l_suppkey)
     pairs — no partsupp table). The NOT IN becomes a broadcast LEFT ANTI
     join (safe: s_acctbal is never NULL here, so NOT IN's three-valued
-    trap doesn't bite); the part filter broadcasts; the bridge distinct and
-    the count-distinct are the two unavoidable shuffles."""
+    trap doesn't bite); the part filter broadcasts BEFORE the bridge
+    distinct — the filter is per-partkey, so distinct-of-filtered equals
+    filtered-distinct, and pruning first shrinks the distinct shuffle (the
+    query's dominant exchange) by the part filter's selectivity instead of
+    shuffling every traded pair and discarding most of them afterwards
+    (the same prune-before-the-heavy-shuffle move as Q2/Q17)."""
     ensure_session_conf(spark)
-    bridge = (
-        table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    )
     p = (
         table(spark, sf_dir, "part")
         .filter(
@@ -544,6 +545,11 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bridge = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "semi")
+        .distinct()
     )
     bad = (
         table(spark, sf_dir, "supplier")

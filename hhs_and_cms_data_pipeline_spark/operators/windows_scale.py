@@ -15,7 +15,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, sql_dsum
+from ..functions.exact import davg, dsum, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
@@ -244,14 +244,25 @@ def _bkt_tag(sf_dir: str) -> str:
 
 
 def _bkt_owner_alive(dir_name: str) -> bool:
-    """True when the bucketed dir's embedded owner pid is a live process
-    (''/proc/<pid>'' exists). Dirs without a parseable pid (pre-pid-tag
+    """True when the bucketed dir's embedded owner pid is a live process.
+    Probed with ``os.kill(pid, 0)`` — portable across POSIX systems,
+    unlike a ``/proc/<pid>`` check, which does not exist off Linux and
+    would classify every live foreign session as dead (deleting its
+    in-use tables mid-query). Dirs without a parseable pid (pre-pid-tag
     layout) are treated as dead so they get collected."""
     import os
     import re
 
     m = re.search(r"_p(\d+)$", dir_name)
-    return bool(m) and os.path.exists(f"/proc/{m.group(1)}")
+    if not m:
+        return False
+    try:
+        os.kill(int(m.group(1)), 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # exists, owned by another user
+        return True
 
 
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,24 +358,47 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize orders partitioned by order year (once per sf_dir) —
-    the layout SURVEY §4 prescribes for every date-filtered report query."""
-    import os
+    """Materialize orders partitioned by order year (once per source
+    VERSION) — the layout SURVEY §4 prescribes for every date-filtered
+    report query.
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    Robustness contract (two failure classes this helper must survive):
+    * torn writes — a process killed mid-write must not leave a directory
+      that later runs mistake for a complete dataset, so the write lands
+      in a staging dir and is atomically renamed into place (readers see
+      all partitions or none);
+    * stale caches — the driver regenerates the testdata parquet at the
+      SAME path between rounds, so the cache tag covers the source file's
+      (mtime_ns, size) as well as its path; a regenerated source gets a
+      fresh tag and the old layout is simply orphaned."""
+    import os
+    import shutil
+    import uuid
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
         f"orders_by_year_{tag}",
     )
     if not os.path.exists(path):
+        staging = f"{path}.__staging__{uuid.uuid4().hex}"
         (
             table(spark, sf_dir, "orders")
             .withColumn("o_year", F.year("o_orderdate").cast("int"))
             .write.partitionBy("o_year")
             .mode("overwrite")
-            .parquet(path)
+            .parquet(staging)
         )
+        try:
+            os.rename(staging, path)  # atomic publish
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race: a
+            # concurrent builder published the identical content first
     return path
 
 
@@ -435,8 +469,6 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread() undoes the one-row-group fixture so the 6 decimal partial-sums
     per row run on all cores (at 100 TB many input files make it a no-op)."""
     ensure_session_conf(spark)
-    from ..functions.exact import davg
-
     net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = net * (F.lit(1) + F.col("l_tax"))
     return (
@@ -708,8 +740,6 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
-    from ..functions.exact import davg
-
     avg_pos = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(davg("c_acctbal", "avg_bal"))
