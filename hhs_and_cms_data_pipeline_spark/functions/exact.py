@@ -37,29 +37,51 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def dsum(c: Column | str, alias: str | None = None) -> Column:
-    out = F.sum(_col(c).cast(DEC)).cast("string").cast("double")
+def dsum(c: Column | str, alias: str | None = None, *, scale: int = 6) -> Column:
+    """Exact decimal-routed SUM. ``scale`` picks the quantization (6 for
+    money-grade doubles; similarity math uses 18/24 for embedding
+    components and squared distances — one definition for every copy)."""
+    out = F.sum(_col(c).cast(f"decimal(38,{scale})")).cast("string").cast("double")
     return out.alias(alias) if alias else out
 
 
-def davg(c: Column | str, alias: str | None = None) -> Column:
+def dsum_over(c: Column | str, window, *, scale: int = 6) -> Column:
+    """Windowed variant of :func:`dsum` (the ``.over`` must attach to the
+    aggregate before the cast chain, so plain dsum can't be windowed)."""
+    return (
+        F.sum(_col(c).cast(f"decimal(38,{scale})"))
+        .over(window)
+        .cast("string")
+        .cast("double")
+    )
+
+
+def davg(c: Column | str, alias: str | None = None, *, scale: int = 6) -> Column:
     # avg = exact decimal sum / count, divided in DOUBLE on both engines.
     col = _col(c)
     out = (
-        F.sum(col.cast(DEC)).cast("string").cast("double")
+        F.sum(col.cast(f"decimal(38,{scale})")).cast("string").cast("double")
         / F.count(F.when(col.isNotNull(), 1)).cast("double")
     )
     return out.alias(alias) if alias else out
 
 
-def sql_dsum(expr: str) -> str:
-    """Oracle-side rendering of :func:`dsum` for a DuckDB SQL expression."""
-    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
+def sql_dsum(expr: str, *, scale: int = 6) -> str:
+    """Oracle-side rendering of :func:`dsum` for a DuckDB SQL expression.
 
-
-def sql_davg(expr: str) -> str:
+    The VARCHAR hop matters on scales > ~15: DuckDB's direct
+    double->DECIMAL cast computes in double and can land one ulp off
+    Spark's shortest-repr parse; double->VARCHAR->DECIMAL is exact and
+    identical on both engines."""
     return (
-        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST(CAST(({expr}) AS VARCHAR)"
+        f" AS DECIMAL(38,{scale}))) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+def sql_davg(expr: str, *, scale: int = 6) -> str:
+    return (
+        f"{sql_dsum(expr, scale=scale)}"
         f" / CAST(COUNT({expr}) AS DOUBLE)"
     )
 

@@ -60,9 +60,13 @@ def prep_hhs(raw: DataFrame) -> DataFrame:
     """The reference's prep_data (helper_load_hhs.py:31-69): project, scrub
     sentinels, parse WKT, dedup by hospital_pk, cast the week to DATE.
 
-    Dedup is made deterministic (first by natural sort of the full row is not
-    reproducible under shuffle; we pin first-wins to the minimum
-    (collection_week, hospital_name) per pk — SURVEY §7 hard-point 3).
+    Dedup is made deterministic (SURVEY §7 hard-point 3) by ranking on a
+    TOTAL order of the row: (collection_week, hospital_name) alone is not
+    total — two same-pk rows matching on both (e.g. a corrected metric
+    resubmission in the same weekly drop) would be picked by partition
+    order, so the window orders by EVERY remaining column; exact ties are
+    then fully identical rows and the pick is immaterial. The oracle ranks
+    by the identical column list.
     """
     df = scrub_sentinels(raw)
     lon, lat = parse_wkt_point(F.col("geocoded_hospital_address"))
@@ -72,8 +76,12 @@ def prep_hhs(raw: DataFrame) -> DataFrame:
         .withColumn("collection_week", F.to_date("collection_week", "yyyy-MM-dd"))
         .withColumnRenamed("zip", "zip_code")
     )
+    tiebreak_cols = [
+        "collection_week", "hospital_name", "state", "address", "city",
+        "zip_code", "fips_code", "longitude", "latitude", *HHS_BED_METRICS,
+    ]
     w = Window.partitionBy("hospital_pk").orderBy(
-        F.asc_nulls_last("collection_week"), F.asc_nulls_last("hospital_name")
+        *[F.asc_nulls_last(c) for c in tiebreak_cols]
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -96,7 +96,12 @@ _SQL_SCRUB = ",\n           ".join(
     deduped AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY hospital_pk
                   ORDER BY collection_week NULLS LAST,
-                           hospital_name NULLS LAST) AS rn
+                           hospital_name NULLS LAST,
+                           state NULLS LAST, address NULLS LAST,
+                           city NULLS LAST, zip_code NULLS LAST,
+                           fips_code NULLS LAST, longitude NULLS LAST,
+                           latitude NULLS LAST,
+                           {", ".join(f"{m} NULLS LAST" for m in _METRICS)}) AS rn
       FROM parsed)
     SELECT hospital_pk, state, hospital_name, city, zip_code,
            longitude, latitude, collection_week,

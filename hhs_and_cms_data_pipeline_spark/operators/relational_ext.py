@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, sql_dsum
+from ..functions.exact import dsum, dsum_over, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import table
@@ -38,7 +38,7 @@ from ..sources import table
                AND p.ts <= a.ts
              ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_ts
     FROM events a
-    WHERE a.event_type = 'error'
+    WHERE a.event_type = 'error' AND a.ts IS NOT NULL
     ORDER BY a.event_id
     """,
     bench=True,
@@ -56,7 +56,14 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
-    u = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+    # NULL-ts rows are excluded up front: ascending sort puts NULLs FIRST,
+    # so a null-ts purchase would be carried forward as "before everything"
+    # while the oracle's `p.ts <= a.ts` excludes it — a silent divergence
+    # on any fixture that emits null timestamps. No current row is null;
+    # the guard pins the contract.
+    u = ev.filter(
+        F.col("event_type").isin("purchase", "error") & F.col("ts").isNotNull()
+    ).select(
         "event_id",
         "ts",
         "user_id",
@@ -474,12 +481,7 @@ def w6_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("o_totalprice", "revenue"))
     )
     total = Window.partitionBy()
-    total_rev = (
-        F.sum(F.col("revenue").cast("decimal(38,6)"))
-        .over(total)
-        .cast("string")
-        .cast("double")
-    )
+    total_rev = dsum_over("revenue", total)
     return (
         nat.select(
             "nation",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import table
+from ..functions.exact import davg, dsum, sql_davg, sql_dsum
 from .dedup import SQL_EMB_NORMS, emb_dot, emb_norm2, sql_emb_dot
 
 _QUERY_VEC_ID = 0
@@ -143,31 +144,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "v")
     # float -> string -> decimal on BOTH engines: cross-row sums are exact
     # and identical (the direct double->decimal cast is imprecise in DuckDB)
-    cent = ex.groupBy("label", "i").agg(
-        (
-            F.sum(F.col("v").cast("string").cast("decimal(38,18)"))
-            .cast("string")
-            .cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("c")
-    )
+    cent = ex.groupBy("label", "i").agg(davg("v", "c", scale=18))
     q = ex.filter(F.col("vec_id") == _QUERY_VEC_ID).select("i", F.col("v").alias("qv"))
+    diff = F.col("c") - F.col("qv").cast("double")
     cell = (
         cent.join(F.broadcast(q), "i")
         .groupBy("label")
-        .agg(
-            F.sum(
-                (
-                    (F.col("c") - F.col("qv").cast("double"))
-                    * (F.col("c") - F.col("qv").cast("double"))
-                )
-                .cast("string")
-                .cast("decimal(38,24)")
-            )
-            .cast("string")
-            .cast("double")
-            .alias("d2")
-        )
+        .agg(dsum(diff * diff, "d2", scale=24))
         .orderBy("d2", "label")
         .limit(_NPROBE)
         .select("label")
@@ -242,10 +225,13 @@ def sim_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # the query vector is a parameter (like the reference's date picker):
     # a 1-row driver-side fetch, then closed over by the UDF
-    q = np.asarray(
-        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head()["embedding"],
-        dtype=np.float64,
-    )
+    q_row = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head()
+    if q_row is None:
+        raise ValueError(
+            f"query vector vec_id={_QUERY_VEC_ID} not found in embeddings "
+            "(empty or regenerated fixture?)"
+        )
+    q = np.asarray(q_row["embedding"], dtype=np.float64)
     q_norm = float(np.sqrt((q * q).sum()))
 
     @F.pandas_udf("double")
@@ -453,26 +439,15 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8
 _KM_ROUNDS = 2
 
-# Exact cross-engine float aggregation (same trick as SIM2's centroids):
-# double -> shortest-roundtrip VARCHAR -> DECIMAL sums exactly and
-# identically on both engines; the direct double->DECIMAL cast does not.
-_SQL_DSUM24 = (
-    "CAST(CAST(SUM(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,24))) "
-    "AS VARCHAR) AS DOUBLE)"
-)
-_SQL_DMEAN18 = (
-    "CAST(CAST(SUM(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,18))) "
-    "AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
-)
-
-
 def _sql_km_round(r: int, prev_cent: str) -> str:
     """CTE text for one Lloyd round: score -> assign (ties by cluster id)
-    -> recompute decimal-exact means."""
-    d2 = _SQL_DSUM24.format(
-        expr=f"(CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)"
+    -> recompute decimal-exact means (sql_dsum/sql_davg at similarity
+    scales — one definition of the VARCHAR->DECIMAL trick, functions/
+    exact.py)."""
+    d2 = sql_dsum(
+        "(CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)", scale=24
     )
-    mean = _SQL_DMEAN18.format(expr="CAST(e.v AS DOUBLE)")
+    mean = sql_davg("CAST(e.v AS DOUBLE)", scale=18)
     return f"""
     s{r} AS (
       SELECT e.vec_id, c.cl, {d2} AS d2
@@ -539,15 +514,10 @@ def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = None
     for r in range(_KM_ROUNDS):
         diff = F.col("v") - F.col("c")
-        d2 = (
-            F.sum((diff * diff).cast("string").cast("decimal(38,24)"))
-            .cast("string")
-            .cast("double")
-        )
         scored = (
             ex.join(F.broadcast(cent), "i")
             .groupBy("vec_id", "cl")
-            .agg(d2.alias("d2"))
+            .agg(dsum(diff * diff, "d2", scale=24))
         )
         w = Window.partitionBy("vec_id").orderBy("d2", "cl")
         assign = (
@@ -556,13 +526,11 @@ def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cl")
         )
         if r < _KM_ROUNDS - 1:
-            mean = (
-                F.sum(F.col("v").cast("string").cast("decimal(38,18)"))
-                .cast("string")
-                .cast("double")
-                / F.count(F.lit(1)).cast("double")
+            cent = (
+                ex.join(assign, "vec_id")
+                .groupBy("cl", "i")
+                .agg(davg("v", "c", scale=18))
             )
-            cent = ex.join(assign, "vec_id").groupBy("cl", "i").agg(mean.alias("c"))
     wsz = Window.partitionBy("cl")
     return (
         assign.select(

@@ -70,11 +70,23 @@ def write_parquet_atomic(
         tmp_link = f"{path}.__link__{uuid.uuid4().hex}"
         os.symlink(data_dir, tmp_link)  # absolute target (path normalized above)
         os.rename(tmp_link, path)  # atomic publish
+        if prev:
+            # restart the dethroned version's GC clock NOW: grace must be
+            # measured from REPLACEMENT, not from write completion — a
+            # version that was current for hours would otherwise be
+            # deleted seconds after being replaced (its mtime already far
+            # exceeds the grace), yanking the dir out from under a reader
+            # that pinned it moments before the publish.
+            try:
+                os.utime(prev, None)
+            except OSError:
+                pass
     except Exception:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     # GC: drop versions that are not current/previous AND older than the
-    # retention grace (mtime ages only after the last file lands in the dir).
+    # retention grace, where "age" counts from the dir's dethroning (see
+    # the os.utime above), not its write time.
     base = os.path.basename(path)
     parent = os.path.dirname(path) or "."
     keep = {os.path.realpath(p) for p in (data_dir, prev) if p}

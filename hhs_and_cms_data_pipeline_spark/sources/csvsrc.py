@@ -54,13 +54,39 @@ CMS_QUALITY_SCHEMA = T.StructType(
 )
 
 
+def _read_by_name(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Header-NAME-based CSV binding. Passing an explicit schema together
+    with header=True binds columns POSITIONALLY (the header is only
+    skipped), so a real-world file with reordered or extra columns — the
+    HHS weekly drop has ~100 columns in its own order — would silently
+    scramble fields into the wrong columns. Instead: read every column as
+    a header-named string (pandas-read_csv semantics, matching the
+    reference), fail loudly if a declared column is missing, then select
+    by NAME and cast to the declared types. Extra columns are dropped by
+    the projection; column order in the file is irrelevant."""
+    raw = spark.read.csv(path, header=True, inferSchema=False, mode="PERMISSIVE")
+    missing = [f.name for f in schema.fields if f.name not in raw.columns]
+    if missing:
+        raise ValueError(
+            f"CSV at {path} lacks declared columns {missing}; header has "
+            f"{raw.columns[:20]}..."
+        )
+    from pyspark.sql import functions as F
+
+    return raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def read_hhs_weekly(spark: SparkSession, path: str) -> DataFrame:
-    """S1: HHS weekly CSV scan (helper_load_hhs.py:45). Extra raw columns
-    beyond the declared 17 are dropped by the schema projection."""
-    return spark.read.csv(path, header=True, schema=HHS_WEEKLY_SCHEMA, mode="PERMISSIVE")
+    """S1: HHS weekly CSV scan (helper_load_hhs.py:45). Columns bind by
+    header name (see _read_by_name); extra raw columns beyond the declared
+    17 are dropped by the name projection."""
+    return _read_by_name(spark, path, HHS_WEEKLY_SCHEMA)
 
 
 def read_cms_quality(spark: SparkSession, path: str) -> DataFrame:
-    """S2: CMS quality CSV scan (load-quality.py:56-62). Spark partitions the
-    file natively — no 1000-row driver-side batching needed (K1)."""
-    return spark.read.csv(path, header=True, schema=CMS_QUALITY_SCHEMA, mode="PERMISSIVE")
+    """S2: CMS quality CSV scan (load-quality.py:56-62). Name-bound like
+    read_hhs_weekly. Spark partitions the file natively — no 1000-row
+    driver-side batching needed (K1)."""
+    return _read_by_name(spark, path, CMS_QUALITY_SCHEMA)

@@ -89,14 +89,29 @@ def read_geojson_features(spark: SparkSession, path: str) -> DataFrame:
     """Parse a Polygon FeatureCollection into one row per feature with
     geometry stats: ring/vertex counts and the bounding box, all computed
     with nested-array expressions (flatten + transform + array_min/max)
-    inside whole-stage codegen."""
+    inside whole-stage codegen.
+
+    POLYGON ONLY: GEOJSON_SCHEMA declares 3-level coordinates, and a
+    MultiPolygon feature (4-level — Alaska/Hawaii/Michigan in the real
+    us-states dataset) cannot parse into it; PERMISSIVE mode would
+    silently null the geometry and emit garbage stats, so geometries that
+    parsed to NULL raise instead (fail loudly, the house rule for schema
+    drift). Extending to MultiPolygon = a second schema pass with 4-level
+    coordinates, normalized via one extra flatten."""
     feat = F.explode("features").alias("feat")
     verts = F.flatten(F.col("feat.geometry.coordinates"))
     lons = F.transform(verts, lambda p: p.getItem(0))
     lats = F.transform(verts, lambda p: p.getItem(1))
+    parsed = spark.read.json(path, multiLine=True, schema=GEOJSON_SCHEMA).select(feat)
+    n_bad = parsed.filter(F.col("feat.geometry.coordinates").isNull()).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} feature(s) in {path} did not parse as Polygon "
+            "(MultiPolygon or malformed geometry?) — refusing to emit "
+            "null-geometry stats"
+        )
     return (
-        spark.read.json(path, multiLine=True, schema=GEOJSON_SCHEMA)
-        .select(feat)
+        parsed
         .select(
             F.col("feat.id").alias("state_id"),
             F.col("feat.properties.name").alias("state_name"),

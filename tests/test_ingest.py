@@ -343,3 +343,35 @@ def test_compaction_reduces_file_count_losslessly(spark):
     # 25 keys hash into 25 partitions with collisions; empty partitions
     # write no file, so "many" is ~16 — the point is many -> 1
     assert n_frag >= 10 and n_comp == 1
+
+
+def test_csv_binds_by_header_name_not_position(spark, tmp_path):
+    """Regression: a file with reordered + extra columns must still land
+    every value in its declared column (positional schema binding silently
+    scrambled real-world HHS drops, whose column order differs from ours)."""
+    import textwrap
+
+    from hhs_and_cms_data_pipeline_spark.sources.csvsrc import read_hhs_weekly
+
+    p = str(tmp_path / "scrambled.csv")
+    with open(p, "w") as f:
+        f.write(
+            textwrap.dedent(
+                """\
+                collection_week,junk_col,state,hospital_pk,hospital_name,address,city,zip,fips_code,geocoded_hospital_address,all_adult_hospital_beds_7_day_avg,all_pediatric_inpatient_beds_7_day_avg,all_adult_hospital_inpatient_bed_occupied_7_day_avg,all_pediatric_inpatient_bed_occupied_7_day_avg,total_icu_beds_7_day_avg,icu_beds_used_7_day_avg,inpatient_beds_used_covid_7_day_avg,staffed_icu_adult_patients_confirmed_covid_7_day_avg
+                2023-01-06,IGNORED,CA,H1,Alpha,1 Main,LA,90001,06037,,10.0,1.0,2.0,0.5,3.0,1.5,0.5,0.25
+                """
+            )
+        )
+    row = read_hhs_weekly(spark, p).head()
+    assert row["hospital_pk"] == "H1"
+    assert row["state"] == "CA"
+    assert row["collection_week"] == "2023-01-06"
+    assert row["all_adult_hospital_beds_7_day_avg"] == 10.0
+
+    import pytest
+
+    with open(p, "w") as f:
+        f.write("hospital_pk,state\nH1,CA\n")
+    with pytest.raises(ValueError, match="lacks declared columns"):
+        read_hhs_weekly(spark, p)
