@@ -29,7 +29,14 @@ from ..functions.exact import davg, sql_davg
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import table
-from .text import SQL_BIGRAMS, SQL_TOKS, tokens, word_bigram_arrays, word_bigrams
+from .text import (
+    SQL_BIGRAMS,
+    SQL_TOKS,
+    bigram_multiset,
+    tokens,
+    word_bigram_arrays,
+    word_bigrams,
+)
 
 # Hash key: md5 over the decimal string of doc_id — bit-identical in Spark
 # and DuckDB, uniform over the hex space, independent of row order.
@@ -320,16 +327,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiset via a lead() window over the token relation."""
     ensure_session_conf(spark)
     toked = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("toks"))
-    n = F.size(F.col("toks"))
-    all_bgs = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(F.col("toks"), 1, n - F.lit(1)),
-            F.slice(F.col("toks"), 2, n - F.lit(1)),
-            lambda x, y: F.concat_ws(" ", x, y),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    withbg = toked.select("doc_id", all_bgs.alias("bgs"))
+    withbg = toked.select("doc_id", bigram_multiset(F.col("toks")).alias("bgs"))
     n_bg = F.size("bgs").cast("long")
     n_distinct = F.size(F.array_distinct("bgs")).cast("long")
     dup_frac = F.when(

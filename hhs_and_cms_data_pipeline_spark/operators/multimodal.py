@@ -103,6 +103,14 @@ def _parse_bmp(data: bytes) -> dict:
     # (junk-header guard). The truncation check below still protects reads.
     if filesize not in (0, len(data)) and filesize < off + row_sz * h:
         raise ValueError("BMP size field mismatch")
+    # Validate the declared geometry against the ACTUAL payload before any
+    # allocation: header w/h are untrusted, and bytearray(w*h*3) for a
+    # forged 30000x30000 header would raise MemoryError — which escapes
+    # _decode_or_fake's (NotImplementedError, ValueError) fallback and
+    # kills the Spark task instead of routing to fake_decode. Requiring
+    # the full pixel area in-payload bounds the allocation by len(data).
+    if len(data) < off + row_sz * (h - 1) + w * 3:
+        raise ValueError("BMP payload shorter than declared pixel geometry")
     px = bytearray(w * h * 3)
     for r in range(h):
         src = h - 1 - r if bottom_up else r

@@ -86,6 +86,31 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sessionization: 30-minute inactivity gap, gaps-and-islands form.
 # --------------------------------------------------------------------------
 
+# Shared oracle CTE text for the 30-minute-gap sessionization (the SQL twin
+# of with_session_seq): `sessions` = (user_id, ts, event_id, event_type,
+# session_seq). ONE definition referenced by the ST3/ST4/ST7/ST9 oracles —
+# four hand-inlined copies of this text previously had to be edited in
+# lockstep, the same drift hazard the Spark side already eliminated.
+_SQL_SESSIONIZED_CTES = """ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM ordered)"""
+
+
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
@@ -116,25 +141,8 @@ def with_session_seq(ev):
 
 @register(
     "stream_sessionize",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-             CASE WHEN CAST(ts AS TIMESTAMP)
-                       - LAG(CAST(ts AS TIMESTAMP)) OVER (
-                           PARTITION BY user_id
-                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
-                       > INTERVAL 30 MINUTE
-                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (
-                       PARTITION BY user_id
-                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events),
-    sessions AS (
-      SELECT user_id, ts, event_id,
-             CAST(SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-      FROM ordered)
+    oracle=f"""
+    WITH {_SQL_SESSIONIZED_CTES}
     SELECT user_id, session_seq,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
@@ -175,25 +183,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_sessionize",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-             CASE WHEN CAST(ts AS TIMESTAMP)
-                       - LAG(CAST(ts AS TIMESTAMP)) OVER (
-                           PARTITION BY user_id
-                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
-                       > INTERVAL 30 MINUTE
-                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (
-                       PARTITION BY user_id
-                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events),
-    sessions AS (
-      SELECT user_id, ts, event_id,
-             CAST(SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-      FROM ordered)
+    oracle=f"""
+    WITH {_SQL_SESSIONIZED_CTES}
     SELECT user_id, session_seq,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
@@ -324,25 +315,8 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_event_paths",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
-             CASE WHEN CAST(ts AS TIMESTAMP)
-                       - LAG(CAST(ts AS TIMESTAMP)) OVER (
-                           PARTITION BY user_id
-                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
-                       > INTERVAL 30 MINUTE
-                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (
-                       PARTITION BY user_id
-                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events),
-    sessions AS (
-      SELECT user_id, ts, event_id, event_type,
-             CAST(SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-      FROM ordered)
+    oracle=f"""
+    WITH {_SQL_SESSIONIZED_CTES}
     SELECT user_id, session_seq,
            COUNT(*) AS n_events,
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
@@ -476,25 +450,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_funnel",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
-             CASE WHEN CAST(ts AS TIMESTAMP)
-                       - LAG(CAST(ts AS TIMESTAMP)) OVER (
-                           PARTITION BY user_id
-                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
-                       > INTERVAL 30 MINUTE
-                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (
-                       PARTITION BY user_id
-                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events),
-    sess AS (
-      SELECT user_id, ts, event_type,
-             CAST(SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-      FROM ordered),
+    oracle=f"""
+    WITH {_SQL_SESSIONIZED_CTES},
+    sess AS (SELECT user_id, ts, event_type, session_seq FROM sessions),
     m1 AS (
       SELECT user_id, session_seq,
              MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup

@@ -23,6 +23,24 @@ def tokens(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
+def bigram_multiset(toks: F.Column) -> F.Column:
+    """ALL word bigrams of a token-array column, duplicates preserved —
+    one linear zip_with pass over the two shifted slices. THE definition
+    of bigram construction: word_bigram_arrays wraps it with
+    array_distinct, and the repetition filter (curation C7) consumes the
+    raw multiset; one copy of the n>=2 guard and slice arithmetic instead
+    of two that must not drift."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - F.lit(1)),
+            F.slice(toks, 2, n - F.lit(1)),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_bigram_arrays(docs: DataFrame) -> DataFrame:
     """Distinct word-bigram shingle SET per document: (doc_id, bgs).
 
@@ -36,20 +54,11 @@ def word_bigram_arrays(docs: DataFrame) -> DataFrame:
     """
     # Materialize the token array in its own projection: inlining `split`
     # into the per-element lambda would re-evaluate it per token (quadratic
-    # per row). zip_with over the two shifted slices is one linear pass.
+    # per row).
     toked = docs.select("doc_id", tokens().alias("toks"))
-    n = F.size(F.col("toks"))
-    bgs = F.array_distinct(
-        F.when(
-            n >= 2,
-            F.zip_with(
-                F.slice(F.col("toks"), 1, n - F.lit(1)),
-                F.slice(F.col("toks"), 2, n - F.lit(1)),
-                lambda x, y: F.concat_ws(" ", x, y),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    return toked.select(
+        "doc_id", F.array_distinct(bigram_multiset(F.col("toks"))).alias("bgs")
     )
-    return toked.select("doc_id", bgs.alias("bgs"))
 
 
 def word_bigrams(docs: DataFrame) -> DataFrame:

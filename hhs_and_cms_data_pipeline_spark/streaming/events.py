@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.exact import dsum
 from ..sources.tables import normalize_events_ts
 
 
@@ -39,7 +40,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing-zone pattern at scale); the single-file testdata layout is adapted
     via a symlink staging dir. ``ts`` is normalized to session-tz TIMESTAMP
     exactly as the batch path does (sources.tables.normalize_events_ts)."""
-    src = f"{sf_dir}/events.parquet"
+    src = os.path.abspath(f"{sf_dir}/events.parquet")  # a relative target
+    # stored in the symlink would resolve against the /tmp staging dir and
+    # dangle (same hazard sinks.write_parquet_atomic normalizes away)
     if os.path.isfile(src):
         stage = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(src, os.path.join(stage, "events.parquet"))
@@ -58,7 +61,7 @@ def tumbling_counts(
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+            dsum("value", "sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -95,7 +98,20 @@ def stream_upsert_sink(
     """foreachBatch idempotent sink: each micro-batch anti-joins the target on
     `keys` before appending — re-delivered batches are no-ops, mirroring the
     reference's ON CONFLICT DO NOTHING + UNIQUE(hospital, week)
-    (helper_load_hhs.py:96, Phase1:252). Exactly-once effect without Delta."""
+    (helper_load_hhs.py:96, Phase1:252). Exactly-once effect without Delta.
+
+    ROW STREAMS ONLY: an aggregated stream in update mode re-emits a key
+    as its aggregate grows, and append-if-absent would freeze the FIRST
+    (partial) emission and silently drop every refinement — so aggregated
+    inputs are rejected here; aggregates want complete-mode snapshots or
+    a MERGE-style sink instead."""
+    analyzed = result._jdf.queryExecution().analyzed().toString()
+    if "Aggregate" in analyzed:
+        raise ValueError(
+            "stream_upsert_sink is append-if-absent and would freeze the "
+            "first partial emission of an aggregated stream; use a "
+            "complete-mode sink for aggregates"
+        )
     from ..sinks import append_new_keys
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
