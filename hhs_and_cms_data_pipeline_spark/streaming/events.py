@@ -124,3 +124,35 @@ def stream_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_snapshot_sink(
+    result: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    query_name: str = "snapshot_sink",
+):
+    """Complete-mode foreachBatch sink for AGGREGATED streams — the
+    counterpart stream_upsert_sink's guard points at: every micro-batch
+    publishes the full current aggregate state through the atomic
+    versioned-symlink publisher (sinks.write_parquet_atomic), so readers
+    always see one consistent, most-recent snapshot — never a mix of
+    partially-updated keys — and a re-run after failure simply republishes
+    (idempotent by construction, no key bookkeeping needed).
+
+    At 100 TB this pattern fits dashboard-grade aggregate tables (state
+    small relative to input); row-grade streams keep using the anti-join
+    upsert sink."""
+    from ..sinks import write_parquet_atomic
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        write_parquet_atomic(batch_df, target_path)
+
+    return (
+        result.writeStream.foreachBatch(_publish)
+        .outputMode("complete")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

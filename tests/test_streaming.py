@@ -333,3 +333,61 @@ def test_profile_processor_logic_without_spark():
     a = sum(_quantize_u6(v) for v in vals)
     b = sum(_quantize_u6(v) for v in reversed(vals))
     assert a == b
+
+
+def test_stream_snapshot_sink_publishes_aggregates(spark, tmp_path):
+    """The complete-mode snapshot sink (the one stream_upsert_sink's
+    aggregate guard points at): draining the tumbling aggregation over
+    multiple chronological micro-batches must leave the published table
+    equal to the batch aggregation, with per-batch snapshots swapped in
+    atomically."""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sinks import read_published
+    from hhs_and_cms_data_pipeline_spark.sources.tables import normalize_events_ts
+    from hhs_and_cms_data_pipeline_spark.streaming.events import (
+        events_raw_schema,
+        stream_snapshot_sink,
+        tumbling_counts,
+    )
+    from hhs_and_cms_data_pipeline_spark.streaming.stateful import (
+        stage_chronological_files,
+    )
+
+    stage = stage_chronological_files(
+        spark, SF_SMOKE, str(tmp_path / "stage"), n_files=3
+    )
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, stage))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    target = str(tmp_path / "hourly_counts")
+    q = stream_snapshot_sink(
+        tumbling_counts(normalize_events_ts(raw)),
+        target,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 3
+    got = _canon(read_published(spark, target).collect())
+    want = _canon(all_specs()["stream_tumbling_hourly"].builder(spark, SF_SMOKE).collect())
+    assert len(want) > 0 and got == want
+
+
+def test_stream_upsert_sink_rejects_aggregates(spark, tmp_path):
+    """The row-stream-only guard: wiring an aggregated stream into the
+    anti-join upsert sink must fail loudly (it would freeze the first
+    partial emission) instead of silently storing stale counts."""
+    import pytest
+
+    from hhs_and_cms_data_pipeline_spark.streaming.events import (
+        stream_upsert_sink,
+        tumbling_counts,
+    )
+
+    agg = tumbling_counts(read_events_stream(spark, SF_SMOKE))
+    with pytest.raises(ValueError, match="aggregated stream"):
+        stream_upsert_sink(
+            agg, str(tmp_path / "t"), ["window_start"], str(tmp_path / "c")
+        )
