@@ -687,3 +687,76 @@ def grouped_map_user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_user_anomaly_profile, USER_ANOMALY_SCHEMA)
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# ST11 — the aggregated-stream publish lifecycle, driver-visible: drain the
+# tumbling aggregation over chronological micro-batches through the
+# complete-mode snapshot sink (atomic versioned publish per batch) and read
+# the final published table back. The streaming twin of k2_atomic_publish.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_snapshot_publish",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("ST11",),
+)
+def stream_snapshot_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated-stream publication run for real: events staged as
+    time-range files, one file per micro-batch, the windowed aggregation's
+    COMPLETE state republished atomically after every batch
+    (streaming.events.stream_snapshot_sink over sinks.write_parquet_atomic)
+    — readers of the target always see one consistent snapshot, and the
+    final snapshot must equal the one-shot batch aggregation, which is
+    exactly what the oracle checks. This is the dashboard-table lifecycle
+    at 100 TB: bounded aggregate state, atomic swap per refresh, no
+    transactional store required."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks import read_published
+    from ..sources.tables import normalize_events_ts
+    from ..streaming.events import (
+        events_raw_schema,
+        stream_snapshot_sink,
+        tumbling_counts,
+    )
+    from ..streaming.stateful import stage_chronological_files
+
+    ensure_session_conf(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"snapshot_stage_{tag}")
+    target = os.path.join(tempfile.gettempdir(), f"snapshot_counts_{tag}")
+    shutil.rmtree(target, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="snapshot_ckpt_")
+    stage_chronological_files(spark, sf_dir, stage)
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, stage))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    q = stream_snapshot_sink(
+        tumbling_counts(normalize_events_ts(raw)),
+        target,
+        ckpt,
+        query_name=f"snapshot_publish_{tag}",
+    )
+    q.awaitTermination()
+    return (
+        read_published(spark, target)
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
