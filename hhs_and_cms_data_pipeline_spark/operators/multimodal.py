@@ -127,17 +127,110 @@ def _parse_bmp(data: bytes) -> dict:
     return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(px)}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_MAX_PIXELS = 1 << 22  # 4M px (~12 MB RGB): bounds alloc for forged headers
+
+
+def _parse_png(data: bytes) -> dict:
+    """Pure-Python decoder for non-interlaced 8-bit RGB (color type 2) PNGs:
+    chunk walk -> zlib inflate -> per-row unfilter (None/Sub/Up/Average/
+    Paeth). stdlib only (struct + zlib). Returns RGB pixel bytes top-down,
+    same contract as _parse_bmp. Strict validation: bad magic, unsupported
+    variants, and geometry/payload mismatches all raise ValueError, so
+    arbitrary byte payloads can never false-positive; inflate is capped at
+    the declared geometry so a forged header or zlib bomb cannot allocate
+    beyond _PNG_MAX_PIXELS."""
+    import struct
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG variant (need 8-bit RGB, non-interlaced)")
+    if w == 0 or h == 0 or w * h > _PNG_MAX_PIXELS:
+        raise ValueError("PNG geometry out of bounds")
+    stride = w * 3
+    need = (stride + 1) * h  # one filter byte per row
+    inflater = zlib.decompressobj()
+    try:
+        raw = inflater.decompress(b"".join(idat), need)
+        # Bounded 1-byte probe for an over-long stream — never flush(), which
+        # would fully inflate a zlib bomb past the max_length cap above.
+        extra = inflater.decompress(inflater.unconsumed_tail, 1)
+    except zlib.error as e:
+        raise ValueError(f"bad PNG deflate stream: {e}") from None
+    if len(raw) != need or extra:
+        raise ValueError("PNG pixel data length mismatch")
+    px = bytearray(stride * h)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        d0 = r * stride
+        # row[i-3] below is always the already-RECONSTRUCTED left neighbor:
+        # the loop mutates row in place left-to-right.
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub
+            for i in range(3, stride):
+                row[i] = (row[i] + row[i - 3]) & 0xFF
+        elif f == 2:  # Up
+            if r:
+                for i in range(stride):
+                    row[i] = (row[i] + px[d0 - stride + i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                b = px[d0 - stride + i] if r else 0
+                row[i] = (row[i] + ((a + b) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                b = px[d0 - stride + i] if r else 0
+                c = px[d0 - stride + i - 3] if (r and i >= 3) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                row[i] = (row[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) & 0xFF
+        else:
+            raise ValueError("bad PNG filter byte")
+        px[d0 : d0 + stride] = row
+    return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(px)}
+
+
 def decode_image(payload: bytes) -> dict:
-    """Real image decode. BMP (24-bit uncompressed) decodes natively — a
-    pure-Python parser, no codec library needed. Other formats (PNG/JPEG)
-    require a codec absent from this container; the plumbing around this
-    function (schema, batching, partitioning) is format-agnostic, so
-    swapping in PIL.Image.open widens coverage without touching it."""
+    """Real image decode. BMP (24-bit uncompressed) and PNG (8-bit RGB,
+    non-interlaced) decode natively — pure-Python parsers over struct/zlib,
+    no codec library needed. Remaining formats (JPEG and exotic PNG
+    variants) require a codec absent from this container; the plumbing
+    around this function (schema, batching, partitioning) is
+    format-agnostic, so swapping in PIL.Image.open widens coverage without
+    touching it."""
     if payload[:2] == b"BM":
         return _parse_bmp(payload)
+    if payload.startswith(_PNG_SIG):
+        return _parse_png(payload)
     raise NotImplementedError(
-        "only BMP decodes without a codec library in this environment; "
-        "install PIL/ffmpeg and extend decode_image for other formats"
+        "only BMP and non-interlaced 8-bit RGB PNG decode without a codec "
+        "library in this environment; install PIL/ffmpeg and extend "
+        "decode_image for other formats"
     )
 
 

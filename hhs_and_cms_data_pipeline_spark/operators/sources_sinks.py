@@ -31,6 +31,19 @@ from ..sources import table
 
 _IO_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "spark-warehouse", "driver_io")
 
+
+def _tagged_io_path(name: str, sf_dir: str) -> str:
+    """SF-tagged scratch path under _IO_DIR. Rewrite-style queries (S6, K4,
+    S7) rmtree-then-rewrite their layouts; a fixed path would let two
+    processes running the same query against different SFs race and
+    transiently read each other's half-written directory. Tagging by
+    md5(sf_dir) — the same scheme ST11's stream_snapshot_publish uses for
+    its /tmp dirs — gives each SF its own layout."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(_IO_DIR, f"{name}_{tag}")
+
 _NATION_CSV = os.path.join(_IO_DIR, "nation.csv")
 _NATION_JSONL = os.path.join(_IO_DIR, "nation.jsonl")
 
@@ -311,6 +324,13 @@ MESSY_SCHEMA = T.StructType(
 )
 
 
+# One cached parse per live session: the .cache() below pins the parsed
+# fixture for the session's lifetime, so the write-then-parse must happen
+# exactly once — re-writing the file under an existing cache entry would
+# leave the (stale) cached parse serving a different file.
+_MESSY_CACHE: dict[int, DataFrame] = {}
+
+
 def messy_csv_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERMISSIVE read with the corrupt-record column — shared by the
     registered query (good rows) and the quarantine test (bad rows).
@@ -319,15 +339,22 @@ def messy_csv_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
     which is exactly what column pruning produces for a bare count() on
     the filtered frame; caching materializes the parse once (the fixture
-    is tiny) and every downstream shape is then legal."""
-    _write_messy_csv(spark, sf_dir)
-    return spark.read.csv(
-        _MESSY_CSV,
-        header=True,
-        schema=MESSY_SCHEMA,
-        mode="PERMISSIVE",
-        columnNameOfCorruptRecord="_corrupt",
-    ).cache()
+    is tiny — nation is SF-invariant) and every downstream shape is then
+    legal. Memoized per session so write+parse+cache happen exactly once
+    and the cache can never serve a stale regeneration."""
+    key = id(spark)
+    df = _MESSY_CACHE.get(key)
+    if df is None:
+        _write_messy_csv(spark, sf_dir)
+        df = spark.read.csv(
+            _MESSY_CSV,
+            header=True,
+            schema=MESSY_SCHEMA,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt",
+        ).cache()
+        _MESSY_CACHE[key] = df
+    return df
 
 
 @register(
@@ -380,7 +407,7 @@ def s6_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back; the oracle is the original relation, so the check proves
     the round-trip is lossless (values, nullability, column order)."""
     ensure_session_conf(spark)
-    path = os.path.join(_IO_DIR, "s6_nation_orc")
+    path = _tagged_io_path("s6_nation_orc", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     (
         table(spark, sf_dir, "nation")
@@ -411,8 +438,8 @@ def k4_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle checks the rewrite is content-lossless; the file counts are
     asserted in tests."""
     ensure_session_conf(spark)
-    fragmented = os.path.join(_IO_DIR, "k4_fragmented")
-    compacted = os.path.join(_IO_DIR, "k4_compacted")
+    fragmented = _tagged_io_path("k4_fragmented", sf_dir)
+    compacted = _tagged_io_path("k4_compacted", sf_dir)
     shutil.rmtree(fragmented, ignore_errors=True)
     src = table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -448,7 +475,7 @@ def s7_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     you pin the merged schema in a catalog instead of re-deriving it per
     query (spark.read.schema(...) over the same files is the fast path)."""
     ensure_session_conf(spark)
-    path = os.path.join(_IO_DIR, "s7_evolved")
+    path = _tagged_io_path("s7_evolved", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     src = table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"

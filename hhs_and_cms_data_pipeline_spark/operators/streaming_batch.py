@@ -102,7 +102,8 @@ _SQL_SESSIONIZED_CTES = """ordered AS (
                        PARTITION BY user_id
                        ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
-      FROM events),
+      FROM events
+      WHERE ts IS NOT NULL),
     sessions AS (
       SELECT user_id, ts, event_id, event_type,
              CAST(SUM(is_new) OVER (
@@ -122,7 +123,14 @@ def with_session_seq(ev):
     (ST9) all build on it (three hand-inlined copies once drifted apart
     during the TIMESTAMP_NTZ migration). The gap compares unix_micros of
     the TIMESTAMP-cast ts: micro-exact (session tz is UTC) and NTZ-proof.
+
+    Null-ts rows are DROPPED up front (mirrored by ``WHERE ts IS NOT NULL``
+    in _SQL_SESSIONIZED_CTES): Spark's asc default is NULLS FIRST where
+    DuckDB's is NULLS LAST, so a null timestamp would silently land at
+    opposite ends of the session ordering on the two engines. A sessionizer
+    has no meaningful position for an untimed event anyway.
     """
+    ev = ev.filter(F.col("ts").isNotNull())
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(order)
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -202,6 +210,7 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the plain batch SQL — the stateful pipeline must agree."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from ..streaming.stateful import run_stateful_sessionize, stage_chronological_files
@@ -212,6 +221,9 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
     stage_chronological_files(spark, sf_dir, stage)
     final, _ = run_stateful_sessionize(spark, stage, ckpt, f"stateful_sessions_{tag}")
+    # final is served from the memory-sink table, not the checkpoint; the
+    # single-use checkpoint would otherwise leak one /tmp dir per run.
+    shutil.rmtree(ckpt, ignore_errors=True)
     return final
 
 
@@ -755,6 +767,9 @@ def stream_snapshot_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=f"snapshot_publish_{tag}",
     )
     q.awaitTermination()
+    # The checkpoint is single-use (availableNow drain over a fixed stage):
+    # leaving it would leak one /tmp dir per invocation.
+    shutil.rmtree(ckpt, ignore_errors=True)
     return (
         read_published(spark, target)
         .select("window_start", "event_type", "n_events", "sum_value")

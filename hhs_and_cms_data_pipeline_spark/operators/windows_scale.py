@@ -558,8 +558,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation   ON c_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1994-01-01'
-      AND o_orderdate <  TIMESTAMP '1995-01-01'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
     GROUP BY 1
     ORDER BY revenue DESC, nation
     """,
@@ -574,8 +574,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     o = (
         table(spark, sf_dir, "orders")
         .filter(
-            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .select("o_orderkey", "o_custkey")
     )
@@ -611,8 +611,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_shipdate <  TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -624,8 +624,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a single-row final merge. The canonical scan-speed probe."""
     ensure_session_conf(spark)
     li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
     )
@@ -866,8 +866,8 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_shipdate <  TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
     GROUP BY 1
     ORDER BY 1
     """,
@@ -876,13 +876,13 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 (priority shipping): per returnflag (the adapted shipmode
     dimension), pivoted counts of high- vs low-priority order lines shipped
-    in 1994 — the conditional-aggregation (CASE-sum) shape. The year
+    in 1996 — the conditional-aggregation (CASE-sum) shape. The year
     predicate pushes to the lineitem scan; the join is fact⋈fact sort-merge
     with only 3 columns read."""
     ensure_session_conf(spark)
     li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     ).select("l_orderkey", "l_returnflag")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")

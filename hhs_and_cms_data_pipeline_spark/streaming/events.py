@@ -44,8 +44,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stored in the symlink would resolve against the /tmp staging dir and
     # dangle (same hazard sinks.write_parquet_atomic normalizes away)
     if os.path.isfile(src):
-        stage = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(src, os.path.join(stage, "events.parquet"))
+        # Tag-derived staging dir (not mkdtemp): repeated runs over the same
+        # source reuse one dir instead of leaking a fresh /tmp dir per call.
+        import hashlib
+
+        tag = hashlib.md5(src.encode()).hexdigest()[:8]
+        stage = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.islink(link):
+            os.symlink(src, link)
         src = stage
     schema = events_raw_schema(spark, src)
     stream = spark.readStream.schema(schema).format("parquet").load(src)
@@ -89,6 +97,38 @@ def run_available_now(
     return result.sparkSession.table(query_name)
 
 
+def _plan_has_aggregate(result: DataFrame) -> bool:
+    """True iff the analyzed logical plan contains an Aggregate node.
+
+    PySpark has no public logical-plan walker, so this inspects the
+    analyzed-plan string — but line-anchored (a plan NODE is a line whose
+    first token is ``Aggregate``), never a bare substring that an alias or
+    literal could false-positive. On runtimes without ``_jdf`` (Spark
+    Connect) the introspection is unavailable; the guard then degrades to
+    permissive and says so, rather than rejecting every stream.
+    """
+    try:
+        analyzed = result._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            "stream_upsert_sink: logical-plan introspection unavailable on "
+            "this runtime (no DataFrame._jdf — Spark Connect?); the "
+            "aggregated-input guard is DISABLED for this call",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return False
+    # Tree-drawing prefixes are any mix of spaces, ':', '+', '-', plus the
+    # '~' streaming marker; no plan node name starts with those characters,
+    # so lstrip'ing them is safe.
+    return any(
+        line.lstrip(" :+-~").startswith("Aggregate")
+        for line in analyzed.splitlines()
+    )
+
+
 def stream_upsert_sink(
     result: DataFrame,
     target_path: str,
@@ -105,8 +145,7 @@ def stream_upsert_sink(
     (partial) emission and silently drop every refinement — so aggregated
     inputs are rejected here; aggregates want complete-mode snapshots or
     a MERGE-style sink instead."""
-    analyzed = result._jdf.queryExecution().analyzed().toString()
-    if "Aggregate" in analyzed:
+    if _plan_has_aggregate(result):
         raise ValueError(
             "stream_upsert_sink is append-if-absent and would freeze the "
             "first partial emission of an aggregated stream; use a "

@@ -80,6 +80,168 @@ def test_bmp_through_frame_features(spark):
     assert pdf.iloc[0]["width"] == 2 and pdf.iloc[0]["height"] == 2
 
 
+def _make_png(w: int, h: int, rgb_rows: list[list[tuple]], filters: list[int]) -> bytes:
+    """Minimal 8-bit RGB non-interlaced PNG writer for tests, with an
+    explicit filter type per row so every unfilter branch (None/Sub/Up/
+    Average/Paeth) gets exercised. Filters are applied over RAW neighbor
+    bytes per the PNG spec; the decoder must reconstruct them exactly."""
+    import struct
+    import zlib
+
+    raw_rows = [bytes(c for px in row for c in px) for row in rgb_rows]
+    stride = w * 3
+    stream = bytearray()
+    for r, f in enumerate(filters):
+        cur = raw_rows[r]
+        prev = raw_rows[r - 1] if r else bytes(stride)
+        out = bytearray()
+        for i in range(stride):
+            x = cur[i]
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                out.append(x)
+            elif f == 1:
+                out.append((x - a) & 0xFF)
+            elif f == 2:
+                out.append((x - b) & 0xFF)
+            elif f == 3:
+                out.append((x - ((a + b) >> 1)) & 0xFF)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                out.append((x - pred) & 0xFF)
+        stream += bytes([f]) + out
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+_PNG_ROWS_5x5 = [
+    [((x * 37 + y * 91 + c * 13) % 256 for c in range(3)) for x in range(5)]
+    for y in range(5)
+]
+_PNG_ROWS_5x5 = [[tuple(px) for px in row] for row in _PNG_ROWS_5x5]
+
+
+def test_png_decodes_every_filter_type():
+    png = _make_png(5, 5, _PNG_ROWS_5x5, filters=[0, 1, 2, 3, 4])
+    img = decode_image(png)
+    assert (img["width"], img["height"], img["mode"]) == (5, 5, "RGB")
+    got = [
+        [tuple(img["pixels"][3 * (y * 5 + x) : 3 * (y * 5 + x) + 3]) for x in range(5)]
+        for y in range(5)
+    ]
+    assert got == _PNG_ROWS_5x5
+
+
+def test_png_multi_idat_and_roundtrip_vs_bmp():
+    # same pixels via BMP and via PNG (split across two IDAT chunks) must
+    # decode byte-identically
+    import struct
+    import zlib
+
+    rows = _PNG_ROWS_5x5[:2]
+    png = _make_png(5, 2, rows, filters=[4, 4])
+    # re-split the single IDAT into two chunks
+    sig, rest = png[:8], png[8:]
+    (ihdr_len,) = struct.unpack(">I", rest[:4])
+    ihdr = rest[: 12 + ihdr_len]
+    (idat_len,) = struct.unpack(">I", rest[12 + ihdr_len : 16 + ihdr_len])
+    idat_data = rest[20 + ihdr_len : 20 + ihdr_len + idat_len]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    split = sig + ihdr + chunk(b"IDAT", idat_data[:3]) + chunk(
+        b"IDAT", idat_data[3:]
+    ) + chunk(b"IEND", b"")
+    assert decode_image(split)["pixels"] == decode_image(png)["pixels"]
+    bmp = _make_bmp(5, 2, rows)
+    assert decode_image(bmp)["pixels"] == decode_image(png)["pixels"]
+
+
+def test_png_rejects_malformed():
+    import struct
+    import zlib
+
+    png = _make_png(
+        3, 2, [_PNG_ROWS_5x5[0][:3], _PNG_ROWS_5x5[1][:3]], filters=[0, 2]
+    )
+    # truncated pixel stream: cut past the 12-byte IEND into the IDAT chunk
+    with pytest.raises(ValueError):
+        decode_image(png[:-24])
+    # interlaced / wrong depth via forged IHDR
+    body = bytearray(png)
+    body[8 + 8 + 8] = 16  # bit depth byte inside IHDR
+    with pytest.raises(ValueError):
+        decode_image(bytes(body))
+    # zlib-bomb-ish: geometry larger than _PNG_MAX_PIXELS must refuse before
+    # allocating
+    ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_image(bomb)
+
+
+def test_png_through_frame_features_no_fallback(spark):
+    """A real PNG flows through the mapInPandas pipeline with the fake-decode
+    fallback counter at 0 — width/height from the real header, features from
+    the real pixel histogram (round-3 VERDICT item 4's 'done' bar)."""
+    from hhs_and_cms_data_pipeline_spark.operators.multimodal import (
+        _decode_or_fake,
+        extract_frame_features,
+    )
+
+    png = _make_png(5, 5, _PNG_ROWS_5x5, filters=[0, 1, 2, 3, 4])
+    assert _decode_or_fake(png)["decoded"] is True
+    bmp = _make_bmp(2, 2, [[(0, 0, 0), (16, 16, 16)], [(32, 32, 32), (255, 255, 255)]])
+    assert _decode_or_fake(bmp)["decoded"] is True
+    src = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp))], "doc_id long, payload binary"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in src.mapInPandas(extract_frame_features, FRAME_FEATURE_SCHEMA).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (5, 5)
+    assert (out[2]["width"], out[2]["height"]) == (2, 2)
+
+
 def test_fake_decode_deterministic():
     a = fake_decode(b"hello world")
     b = fake_decode(b"hello world")

@@ -72,9 +72,14 @@ def test_topk_compiles_to_take_ordered(spark, specs):
     assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
 
 
-def test_semi_join_recent_weeks_broadcasts(spark, specs):
+def test_recent_weeks_filter_pushes_to_scan(spark, specs):
+    # r2 pre-collects the 5-week set into literals: the plan must be
+    # JOIN-FREE (no broadcast semi-join recomputed per run) with the
+    # l_shipdate range pushed into the parquet scan for row-group pruning.
     plan = formatted_plan(specs["r2_recent_weeks_summary"].builder(spark, SF_SMOKE))
-    assert "LeftSemi" in plan and count_broadcast_joins(plan) >= 1
+    assert "Join" not in plan, "week membership must be literal, not a join"
+    pushed = plan.split("PushedFilters")[1][:250] if "PushedFilters" in plan else ""
+    assert "l_shipdate" in pushed, "shipdate range must reach the scan"
 
 
 def test_bucketed_join_has_no_shuffle(spark, specs):

@@ -5,6 +5,8 @@ must surface — a typo'd value silently no-op'ing would hide a real misconfig.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from hhs_and_cms_data_pipeline_spark import session as S
@@ -86,6 +88,35 @@ def test_registered_query_names_are_stable():
     current = set(all_specs())
     missing = frozen - current
     assert not missing, f"registered queries RENAMED or removed: {sorted(missing)}"
+
+
+# Queries allowed to return ZERO rows at the gate SF, each with the reason.
+# Everything else must be non-vacuous: an empty Spark result that hash-matches
+# an empty oracle proves nothing (dedup_embedding_lsh shipped three rounds of
+# vacuous green before round-3 VERDICT item 1 caught it — this test is the
+# guard that would have flagged it in round 1).
+_ZERO_ROW_ALLOWLIST: dict[str, str] = {}
+
+_VACUITY_SF = os.environ.get("SPARK_GRAFT_VACUITY_SF", "/root/testdata/sf0.01")
+
+
+@pytest.mark.parametrize(
+    "name", sorted(__import__("hhs_and_cms_data_pipeline_spark.registry",
+                              fromlist=["all_specs"]).all_specs())
+)
+def test_registry_non_vacuity(name, spark):
+    """Every registered query yields >= 1 row at the driver's gate SF
+    (sf0.01), or carries an explicit allowlist entry saying why not."""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    if name in _ZERO_ROW_ALLOWLIST:
+        pytest.skip(f"zero rows allowed: {_ZERO_ROW_ALLOWLIST[name]}")
+    df = all_specs()[name].builder(spark, _VACUITY_SF)
+    assert df.limit(1).count() >= 1, (
+        f"{name} returned ZERO rows at {_VACUITY_SF} — a zero-row query "
+        "hash-matching a zero-row oracle is a vacuous pass; fix the operator "
+        "or allowlist it here with a reason"
+    )
 
 
 def test_coverage_inventory_in_sync():
