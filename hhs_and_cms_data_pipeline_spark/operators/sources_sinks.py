@@ -492,3 +492,83 @@ def s7_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey", "load_batch")
         .orderBy("n_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# K5 — MERGE with partition-scoped rewrite: the plain-Parquet answer to
+# transactional ON CONFLICT upserts at scale (round-3 VERDICT item 8).
+# --------------------------------------------------------------------------
+
+_MERGE_DAY = "2024-01-15"
+_MERGE_ID_OFFSET = 10**9
+
+
+@register(
+    "k5_merge_partition_rewrite",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, CAST(ts AS DATE) AS event_date, event_type, value
+      FROM events WHERE ts IS NOT NULL),
+    upd AS (
+      SELECT event_id, event_date, event_type, value * 2 AS value
+      FROM ev WHERE event_date = DATE '{_MERGE_DAY}'),
+    ins AS (
+      SELECT event_id + {_MERGE_ID_OFFSET} AS event_id, event_date,
+             event_type, value + 1000.0 AS value
+      FROM ev WHERE event_date = DATE '{_MERGE_DAY}'),
+    merged AS (
+      SELECT * FROM ev
+      WHERE event_id NOT IN (SELECT event_id FROM upd)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins)
+    SELECT event_id, event_date, event_type, value
+    FROM merged ORDER BY event_id
+    """,
+    tags=("K5",),
+)
+def k5_merge_partition_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: MERGE (update + insert by key) into a day-partitioned published
+    events table, rewriting ONLY the touched partition. The update batch
+    doubles `value` for every event on one day and inserts a shifted-key
+    copy of the same rows; sinks.merge_rewrite_partitions anti-joins just
+    that day's partition, carries every other partition over by hardlink
+    (zero copy), and swaps the published symlink atomically — the
+    strongest plain-Parquet approximation of the reference's transactional
+    ON CONFLICT load (load-hhs.py:28-33, helper_load_hhs.py:96) without a
+    table format. The oracle states MERGE semantics declaratively; the
+    check proves the partition-scoped rewrite produces exactly them.
+    At 100 TB: cost follows the update batch (one day), not the table."""
+    ensure_session_conf(spark)
+    from ..sinks import merge_rewrite_partitions
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            F.to_date("ts").alias("event_date"),
+        )
+    )
+    target = _tagged_io_path("k5_merge_target", sf_dir)
+    write_parquet_atomic(ev, target, partition_by=["event_date"])
+    day = F.lit(_MERGE_DAY).cast("date")
+    src = ev.filter(F.col("event_date") == day)
+    updates = src.withColumn("value", F.col("value") * 2)
+    inserts = src.withColumn(
+        "event_id", F.col("event_id") + F.lit(_MERGE_ID_OFFSET)
+    ).withColumn("value", F.col("value") + F.lit(1000.0))
+    merge_rewrite_partitions(
+        spark,
+        updates.unionByName(inserts),
+        target,
+        keys=["event_id"],
+        partition_col="event_date",
+    )
+    return (
+        read_published(spark, target)
+        .select("event_id", "event_date", "event_type", "value")
+        .orderBy("event_id")
+    )

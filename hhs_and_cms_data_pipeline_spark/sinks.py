@@ -49,8 +49,6 @@ def write_parquet_atomic(
     Iceberg — unavailable in this container); this is the minimal commit
     protocol that gives single-table atomic publish on a plain filesystem.
     """
-    import time
-
     # Normalize to absolute against PYTHON's cwd before anything touches the
     # path: a relative `path` would otherwise (a) make the symlink target
     # resolve against the link's parent dir (out/tbl -> out/out/tbl.__v__x)
@@ -63,30 +61,43 @@ def write_parquet_atomic(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        if os.path.lexists(path) and not os.path.islink(path):
-            # migration from the pre-symlink layout: one-time, non-atomic
-            shutil.rmtree(path)
-        prev = os.path.realpath(path) if os.path.islink(path) else None
-        tmp_link = f"{path}.__link__{uuid.uuid4().hex}"
-        os.symlink(data_dir, tmp_link)  # absolute target (path normalized above)
-        os.rename(tmp_link, path)  # atomic publish
-        if prev:
-            # restart the dethroned version's GC clock NOW: grace must be
-            # measured from REPLACEMENT, not from write completion — a
-            # version that was current for hours would otherwise be
-            # deleted seconds after being replaced (its mtime already far
-            # exceeds the grace), yanking the dir out from under a reader
-            # that pinned it moments before the publish.
-            try:
-                os.utime(prev, None)
-            except OSError:
-                pass
+        _publish_version(path, data_dir, gc_grace_seconds)
     except Exception:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
+
+
+def _publish_version(path: str, data_dir: str, gc_grace_seconds: float) -> None:
+    """Swap the published symlink onto a fully-written version dir, then GC
+    dethroned versions past the retention grace. `path` must already be
+    absolute. Shared by write_parquet_atomic (full-table publish) and
+    merge_rewrite_partitions (partial rewrite publish)."""
+    import time
+
+    if os.path.lexists(path) and not os.path.islink(path):
+        # migration from the pre-symlink layout: one-time, non-atomic
+        shutil.rmtree(path)
+    prev = os.path.realpath(path) if os.path.islink(path) else None
+    tmp_link = f"{path}.__link__{uuid.uuid4().hex}"
+    os.symlink(data_dir, tmp_link)  # absolute target (path normalized above)
+    os.rename(tmp_link, path)  # atomic publish
+    if prev:
+        # restart the dethroned version's GC clock NOW: grace must be
+        # measured from REPLACEMENT, not from write completion — a
+        # version that was current for hours would otherwise be
+        # deleted seconds after being replaced (its mtime already far
+        # exceeds the grace), yanking the dir out from under a reader
+        # that pinned it moments before the publish.
+        try:
+            os.utime(prev, None)
+        except OSError:
+            pass
     # GC: drop versions that are not current/previous AND older than the
     # retention grace, where "age" counts from the dir's dethroning (see
-    # the os.utime above), not its write time.
+    # the os.utime above), not its write time. Versions whose partitions
+    # were REUSED by a newer version are safe to drop: reuse is by
+    # per-file HARDLINK (merge_rewrite_partitions), so the shared inodes
+    # survive the old dir's rmtree.
     base = os.path.basename(path)
     parent = os.path.dirname(path) or "."
     keep = {os.path.realpath(p) for p in (data_dir, prev) if p}
@@ -105,6 +116,85 @@ def write_parquet_atomic(
                 shutil.rmtree(cand, ignore_errors=True)
         except OSError:
             pass  # another writer's GC got there first
+
+
+def merge_rewrite_partitions(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+    gc_grace_seconds: float = 60.0,
+) -> list[str]:
+    """MERGE-style upsert (update-or-insert by `keys`) into a published
+    partitioned table, rewriting ONLY the partitions the update batch
+    touches — the strongest plain-Parquet approximation of transactional
+    MERGE at scale (reference: ON CONFLICT upserts, helper_load_hhs.py:96).
+
+    Protocol: a new version dir is assembled next to the current one —
+    untouched partitions are carried over by per-file HARDLINK (zero data
+    copy; hardlinked inodes survive GC of the donor version dir, unlike
+    symlinks, so a later rmtree of the old version cannot dangle the new
+    one), touched partitions are read-modify-written (anti-join the old
+    partition on `keys`, union the batch rows) — then the published
+    symlink swaps atomically via the same commit protocol as
+    write_parquet_atomic. Readers see the complete old or complete new
+    table, never a mix.
+
+    At 100 TB the cost is proportional to the TOUCHED partitions plus one
+    dim-sized driver fetch (the batch's distinct partition values), not to
+    the table: a daily-partitioned fact with a one-day update batch
+    rewrites one partition out of thousands.
+
+    Returns the rewritten partition values (as strings, sorted).
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.abspath(path)
+    if not os.path.islink(path):
+        raise ValueError(
+            "merge target must be a write_parquet_atomic-published table "
+            f"(symlink): {path}"
+        )
+    prev = os.path.realpath(path)
+    # Dim-sized by contract: one row per touched partition.
+    vals = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    touched = {f"{partition_col}={v}" for v in vals}
+    data_dir = f"{path}.__v__{uuid.uuid4().hex}"
+    os.makedirs(data_dir)
+    try:
+        for name in os.listdir(prev):
+            src = os.path.join(prev, name)
+            dst = os.path.join(data_dir, name)
+            if name.startswith(f"{partition_col}=") and name not in touched:
+                os.makedirs(dst)
+                for f_ in os.listdir(src):
+                    os.link(os.path.join(src, f_), os.path.join(dst, f_))
+            elif name == "_SUCCESS":
+                open(dst, "w").close()
+        for v in sorted(vals, key=str):
+            pname = f"{partition_col}={v}"
+            batch_v = updates.filter(
+                F.col(partition_col) == F.lit(v)
+            ).drop(partition_col)
+            prev_part = os.path.join(prev, pname)
+            if os.path.isdir(prev_part):
+                old = spark.read.parquet(prev_part)
+                # anti-join on THIS partition's batch keys: a key updated in
+                # another partition must not delete rows here (only touched
+                # partitions are rewritten, so cross-partition key moves are
+                # out of contract anyway)
+                merged = old.join(
+                    batch_v.select(*keys).distinct(), keys, "left_anti"
+                ).unionByName(batch_v)
+            else:  # insert-only partition: nothing to rewrite, just write
+                merged = batch_v
+            merged.write.mode("overwrite").parquet(os.path.join(data_dir, pname))
+        _publish_version(path, data_dir, gc_grace_seconds)
+    except Exception:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return sorted(str(v) for v in vals)
 
 
 def read_published(spark: SparkSession, path: str) -> DataFrame:

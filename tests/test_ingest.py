@@ -375,3 +375,37 @@ def test_csv_binds_by_header_name_not_position(spark, tmp_path):
         f.write("hospital_pk,state\nH1,CA\n")
     with pytest.raises(ValueError, match="lacks declared columns"):
         read_hhs_weekly(spark, p)
+
+
+def test_merge_rewrites_only_touched_partitions(spark):
+    """K5 contract: the MERGE version dir rewrites exactly the batch's
+    partitions; every other partition is carried over by per-file HARDLINK
+    (st_nlink >= 2 against the donor version), so cost tracks the update
+    batch — and GC of the donor can never dangle the current version."""
+    from hhs_and_cms_data_pipeline_spark.operators.sources_sinks import (
+        _MERGE_DAY,
+        _tagged_io_path,
+        k5_merge_partition_rewrite,
+    )
+    from tests.conftest import SF_SMOKE
+
+    n_rows = k5_merge_partition_rewrite(spark, SF_SMOKE).count()
+    assert n_rows > 0
+    target = _tagged_io_path("k5_merge_target", SF_SMOKE)
+    cur = os.path.realpath(target)
+    parts = sorted(p for p in os.listdir(cur) if p.startswith("event_date="))
+    assert f"event_date={_MERGE_DAY}" in parts
+    assert len(parts) > 1, "fixture must span multiple partitions"
+    for p in parts:
+        files = [
+            f for f in os.listdir(os.path.join(cur, p)) if f.endswith(".parquet")
+        ]
+        assert files, f"empty partition {p}"
+        nlinks = {
+            os.stat(os.path.join(cur, p, f)).st_nlink for f in files
+        }
+        if p == f"event_date={_MERGE_DAY}":
+            # rewritten fresh: files are this version's own inodes
+            assert nlinks == {1}, f"touched partition {p} was not rewritten"
+        else:
+            assert min(nlinks) >= 2, f"untouched partition {p} was copied, not hardlinked"
