@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
-from .text import SQL_BIGRAMS, word_bigram_arrays, word_bigrams
+from .text import SQL_BIGRAMS, tokens, word_bigram_arrays, word_bigrams
 
 # --------------------------------------------------------------------------
 # Exact dedup: hash-groupBy, keep minimum doc_id (deterministic first-wins).
@@ -1065,4 +1065,100 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D11 — exact-substring dedup: pairs sharing a verbatim k-token span.
+# --------------------------------------------------------------------------
+
+# Span length in tokens. 8 is the classic "long enough to be copied, not
+# coincidental" window (cf. suffix-array substring dedup in "Deduplicating
+# Training Data Makes Language Models Better", Lee et al. 2022 — the
+# distributed approximation replaces the suffix array with a k-gram
+# fingerprint inverted index, which shards perfectly).
+_SPAN_K = 8
+# Boilerplate cap: spans appearing in more than this many documents are
+# treated as boilerplate (licenses, headers, navigation chrome) and do not
+# generate pairs — the same skew bomb the D2 stop-shingle cap defuses.
+_SPAN_DF_CAP = 50
+
+_SQL_SPAN_CTES = f"""
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tpos AS (
+      SELECT doc_id, t, generate_subscripts(t, 1) AS i
+      FROM (SELECT doc_id, unnest(t), t FROM toks) q(doc_id, w, t)),
+    spanfp AS (
+      SELECT DISTINCT doc_id,
+             substring(md5(array_to_string(t[i:i+{_SPAN_K}-1], ' ')), 1, 16) AS fp
+      FROM tpos WHERE i + {_SPAN_K} - 1 <= len(t)),
+    rarefp AS (
+      SELECT fp FROM spanfp GROUP BY fp
+      HAVING COUNT(*) <= {_SPAN_DF_CAP})
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SQL_SPAN_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_spans
+    FROM (SELECT doc_id, fp FROM spanfp SEMI JOIN rarefp USING (fp)) a
+    JOIN spanfp b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("D11",),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: every document pair sharing >= 1 verbatim
+    8-token span, with the count of distinct shared spans — the
+    map-reduce-friendly stand-in for suffix-array substring dedup
+    (parity target: the reference's content-equality checks, e.g.
+    helper_load_hhs.py:96's keyed upsert, generalized to sub-document
+    granularity for corpus curation).
+
+    Spark shape for 100 TB: span fingerprints are MAP-ONLY per document
+    (one sliding transform over the token array -> md5 -> 16-hex-char
+    fingerprint; no explode-then-window, no shuffle to build k-grams);
+    the only exchanges are the fingerprint DF count (partial-agg'd) and
+    the inverted-index self-join on the 16-char key. The boilerplate DF
+    cap bounds every posting list at 50 docs => <= 1225 pairs per span,
+    so the index join cannot quadratically explode on hot spans; pair
+    counting is a narrow (doc_a, doc_b) hash aggregate."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokens().alias("toks"))
+    n = F.size("toks")
+    span_fp = F.transform(
+        F.sequence(F.lit(1), n - F.lit(_SPAN_K - 1)),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice("toks", i, _SPAN_K), " ")), 1, 16
+        ),
+    )
+    fps = toked.filter(n >= _SPAN_K).select(
+        "doc_id", F.explode(F.array_distinct(span_fp)).alias("fp")
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _SPAN_DF_CAP)
+        .select("fp")
+    )
+    a = fps.join(rare, "fp", "semi").alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .orderBy("doc_a", "doc_b")
     )

@@ -540,3 +540,98 @@ def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# SIM7 — partitioned GEMM k-NN: per-partition partial top-k, then merge.
+# --------------------------------------------------------------------------
+
+_GEMM_N_PROBES = 10  # probe batch: vec_id < 10 (same batch as SIM4)
+_GEMM_K = 5
+
+
+@register(
+    "sim_partitioned_knn_gemm",
+    # BLAS pairwise sums differ from the sequential fold by ulps (same
+    # caveat as SIM3), so the driver-facing projection is the ulp-robust
+    # (probe_id, rnk, vec_id); the oracle is the exact k-NN SQL projected
+    # identically.
+    oracle=f"""
+    WITH norms AS ({SQL_EMB_NORMS}),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS p_emb
+      FROM embeddings WHERE vec_id < {_GEMM_N_PROBES}),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             {sql_emb_dot('e.embedding', 'p.p_emb')}
+               / (sqrt(n.n2) * sqrt(pn.n2)) AS cosine
+      FROM probes p
+      CROSS JOIN embeddings e
+      JOIN norms n  ON e.vec_id = n.vec_id
+      JOIN norms pn ON p.probe_id = pn.vec_id
+      WHERE e.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, vec_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+    FROM ranked WHERE rnk <= {_GEMM_K}
+    ORDER BY probe_id, rnk
+    """,
+    tags=("SIM7",),
+)
+def sim_partitioned_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join via mapInPandas GEMM with PARTIAL top-k: each corpus
+    partition computes one (batch x probes) BLAS matrix product and emits
+    only its local top-k rows per probe, so the shuffle into the global
+    merge carries at most `partitions x probes x k` rows instead of
+    `corpus x probes` (SIM4's window input). This is the scale path for
+    exact many-probe search: per-executor FLOPs stay identical, but the
+    reduction is k-bounded — the same partial-aggregate shape Spark applies
+    to SUM, applied to top-k.
+    """
+    import numpy as np
+
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probe_rows = sorted(
+        emb.filter(F.col("vec_id") < _GEMM_N_PROBES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not probe_rows:
+        raise ValueError("probe batch vec_id < %d is empty" % _GEMM_N_PROBES)
+    p_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    p_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in probe_rows])
+    p_norm = np.sqrt((p_mat * p_mat).sum(axis=1))
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            cos = (m @ p_mat.T) / (
+                np.sqrt((m * m).sum(axis=1))[:, None] * p_norm[None, :]
+            )
+            cos[ids[:, None] == p_ids[None, :]] = -np.inf  # self-match
+            out = []
+            for j in range(len(p_ids)):
+                # exact local top-k with the global tie-break (cos desc, id asc)
+                order = np.lexsort((ids, -cos[:, j]))[: _GEMM_K]
+                for i in order:
+                    out.append((int(p_ids[j]), int(ids[i]), float(cos[i, j])))
+            yield pd.DataFrame(out, columns=["probe_id", "vec_id", "cosine"])
+
+    partial = emb.mapInPandas(
+        partial_topk, "probe_id long, vec_id long, cosine double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _GEMM_K)
+        .select("probe_id", "rnk", "vec_id")
+        .orderBy("probe_id", "rnk")
+    )

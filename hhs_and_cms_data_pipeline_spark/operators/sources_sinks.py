@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import csv
 import json
+import glob
 import os
 import shutil
 
@@ -572,3 +573,52 @@ def k5_merge_partition_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_date", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# K6 — time-travel read: the snapshot one publish ago.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "k6_time_travel_read",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY 1
+    ORDER BY n_regionkey
+    """,
+    tags=("K6",),
+)
+def k6_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: publish version 1 (per-region nation counts), then version 2
+    (counts doubled), then time-travel back to version 1 via
+    read_published_version(steps_back=1). The oracle states v1's content —
+    it can only match if the snapshot read really resolves the dethroned
+    version, not the current one (v2's doubled counts would hash-mismatch).
+
+    This is the plain-filesystem analogue of `SELECT ... VERSION AS OF n-1`:
+    every publish is an immutable version dir, the current symlink is the
+    log head, and dethroned versions stay readable for the GC grace — the
+    contract snapshot readers and slowly-draining dashboards rely on while
+    a load job republishes under them (reference: the rollback/retention
+    behavior around load-hhs.py:28-34).
+    """
+    ensure_session_conf(spark)
+    from ..sinks import read_published_version
+
+    path = _tagged_io_path("k6_versions", sf_dir)
+    # deterministic rerun: clear the link and any retained versions first
+    for stale in glob.glob(f"{path}.__v__*") + glob.glob(f"{path}.__link__*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    if os.path.islink(path):
+        os.unlink(path)
+    v1 = (
+        table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    write_parquet_atomic(v1, path, gc_grace_seconds=3600.0)
+    v2 = v1.withColumn("n_nations", F.col("n_nations") * 2)
+    write_parquet_atomic(v2, path, gc_grace_seconds=3600.0)
+    return read_published_version(spark, path, steps_back=1).orderBy("n_regionkey")

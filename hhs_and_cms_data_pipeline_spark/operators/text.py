@@ -547,3 +547,79 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_TERMS_K)
         .orderBy("doc_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# TX8 — hashed-feature linear quality classifier (fasttext-style shape).
+# --------------------------------------------------------------------------
+
+# Salted per-token weight: first 16 md5 bits of 'qc1:<token>' centered at 0
+# => integer weight in [-32768, 32767]. In production these weights come
+# from a trained linear model over a hashed vocabulary (the fastText /
+# Vowpal-Wabbit trick: the feature index IS the hash, no vocab dict to
+# ship); the pipeline shape — map-only per-doc fold, integer-exact sum,
+# threshold — is identical, only the weight table changes. Deterministic
+# pseudo-weights keep the differential oracle bit-exact.
+_QC_SALT = "qc1:"
+_QC_SCALE = 32768
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    SELECT doc_id,
+           list_sum(list_transform(string_split(text, ' '),
+             w -> CAST(CAST('0x' || substr(md5('{_QC_SALT}' || w), 1, 4)
+                       AS UBIGINT) AS BIGINT) - {_QC_SCALE})) AS raw_score,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+             w -> CAST(CAST('0x' || substr(md5('{_QC_SALT}' || w), 1, 4)
+                       AS UBIGINT) AS BIGINT) - {_QC_SCALE})) AS DOUBLE)
+             / (CAST(len(string_split(text, ' ')) AS DOUBLE) * {_QC_SCALE})
+             AS norm_score,
+           CASE WHEN list_sum(list_transform(string_split(text, ' '),
+             w -> CAST(CAST('0x' || substr(md5('{_QC_SALT}' || w), 1, 4)
+                       AS UBIGINT) AS BIGINT) - {_QC_SCALE})) >= 0
+             THEN 'keep' ELSE 'drop' END AS label
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("TX8",),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over a hashed vocabulary: per-token integer
+    weights (salted md5, centered), summed per document, thresholded into
+    keep/drop — the distributed shape of a fastText-style document quality
+    model (score = w·x over hashed bag-of-words).
+
+    Spark shape for 100 TB: pure Column expressions — one transform + fold
+    per row inside whole-stage codegen, zero shuffles, zero Python. The
+    integer sum is exact (|w| <= 32768, docs are < 2^40 tokens), so the
+    normalized DOUBLE score is one exact-int division — bit-identical on
+    any partitioning and engine. Swapping in trained weights = replacing
+    the md5 expression with a broadcast map lookup; the plan is unchanged."""
+    ensure_session_conf(spark)
+    weight = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.lit(_QC_SALT), w)), 1, 4), 16, 10)
+        .cast("long")
+        - F.lit(_QC_SCALE)
+    )
+    raw = F.aggregate(
+        F.transform(tokens(), weight), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id",
+        raw.alias("raw_score"),
+        (
+            raw.cast("double")
+            / (F.size(tokens()).cast("double") * F.lit(float(_QC_SCALE)))
+        ).alias("norm_score"),
+    )
+    return scored.select(
+        "doc_id",
+        "raw_score",
+        "norm_score",
+        F.when(F.col("raw_score") >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    ).orderBy("doc_id")

@@ -197,6 +197,42 @@ def merge_rewrite_partitions(
     return sorted(str(v) for v in vals)
 
 
+def read_published_version(
+    spark: SparkSession, path: str, steps_back: int = 1
+) -> DataFrame:
+    """K6: time-travel read — scan the snapshot `steps_back` publishes ago.
+
+    Version history is reconstructed from the retained `.__v__` dirs:
+    `steps_back=0` is the current target; older versions order by mtime
+    DESCENDING, which is dethroning order — `_publish_version` os.utime's
+    a version at the moment it is replaced, precisely so that both GC
+    grace and this history read count from dethroning, not write time.
+    Retention is bounded (GC keeps current + previous past the grace), so
+    honest callers use steps_back<=1; deeper asks raise rather than
+    silently returning the wrong snapshot. A table format (Delta/Iceberg)
+    generalizes this to arbitrary-depth history with the same contract:
+    every version is an immutable dir, the log orders them.
+    """
+    path = os.path.abspath(path)
+    if steps_back == 0:
+        return read_published(spark, path)
+    current = os.path.realpath(path)
+    base, parent = os.path.basename(path), os.path.dirname(path) or "."
+    old = [
+        os.path.join(parent, n)
+        for n in os.listdir(parent)
+        if n.startswith(f"{base}.__v__")
+        and os.path.realpath(os.path.join(parent, n)) != current
+    ]
+    old.sort(key=lambda p: os.lstat(p).st_mtime, reverse=True)
+    if steps_back > len(old):
+        raise ValueError(
+            f"time travel {steps_back} steps requested but only "
+            f"{len(old)} dethroned versions of {path!r} are retained"
+        )
+    return spark.read.parquet(old[steps_back - 1])
+
+
 def read_published(spark: SparkSession, path: str) -> DataFrame:
     """Snapshot read of a write_parquet_atomic table: resolve the published
     symlink ONCE and scan the pinned version dir. Reading through the link

@@ -330,15 +330,15 @@ def test_compaction_reduces_file_count_losslessly(spark):
     import os
 
     from hhs_and_cms_data_pipeline_spark.operators.sources_sinks import (
-        _IO_DIR,
+        _tagged_io_path,
         k4_compact_small_files,
     )
     from tests.conftest import SF_SMOKE
 
     out = k4_compact_small_files(spark, SF_SMOKE)
     assert out.count() == 25
-    n_frag = len(glob.glob(os.path.join(_IO_DIR, "k4_fragmented", "*.parquet")))
-    pub = os.path.realpath(os.path.join(_IO_DIR, "k4_compacted"))
+    n_frag = len(glob.glob(os.path.join(_tagged_io_path("k4_fragmented", SF_SMOKE), "*.parquet")))
+    pub = os.path.realpath(_tagged_io_path("k4_compacted", SF_SMOKE))
     n_comp = len(glob.glob(os.path.join(pub, "*.parquet")))
     # 25 keys hash into 25 partitions with collisions; empty partitions
     # write no file, so "many" is ~16 — the point is many -> 1
@@ -409,3 +409,26 @@ def test_merge_rewrites_only_touched_partitions(spark):
             assert nlinks == {1}, f"touched partition {p} was not rewritten"
         else:
             assert min(nlinks) >= 2, f"untouched partition {p} was copied, not hardlinked"
+
+
+def test_time_travel_reads_dethroned_version(spark):
+    """K6: steps_back=1 returns v1, steps_back=0 returns v2 (doubled), and
+    asking past retention raises instead of guessing."""
+    import pytest as _pytest
+
+    from hhs_and_cms_data_pipeline_spark.operators.sources_sinks import (
+        _tagged_io_path,
+        k6_time_travel_read,
+    )
+    from hhs_and_cms_data_pipeline_spark.sinks import read_published_version
+    from tests.conftest import SF_SMOKE
+
+    v1 = {r["n_regionkey"]: r["n_nations"] for r in k6_time_travel_read(spark, SF_SMOKE).collect()}
+    path = _tagged_io_path("k6_versions", SF_SMOKE)
+    v2 = {
+        r["n_regionkey"]: r["n_nations"]
+        for r in read_published_version(spark, path, steps_back=0).collect()
+    }
+    assert v2 == {k: 2 * v for k, v in v1.items()}
+    with _pytest.raises(ValueError, match="time travel"):
+        read_published_version(spark, path, steps_back=5)

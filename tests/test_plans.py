@@ -324,3 +324,53 @@ def test_subtree_parser_stops_at_continuation_siblings():
     assert "HashAggregate" not in subs[0], "sibling absorbed into subtree"
     # and the audit now flags the unreduced fact-scan funnel
     assert unreduced_single_partition(plan)
+
+
+def test_runtime_bloom_filter_injection_available(spark):
+    """Catalyst's runtime bloom-filter join pruning (the automatic analogue
+    of a hand-built semi-join reducer) activates once the application-side
+    scan clears its size threshold — at 100 TB the thresholds pass on their
+    own; here we lower them to prove the rule fires and results are
+    unchanged. Guards against a session conf (ensure_session_conf) or
+    Spark upgrade silently disabling the rule this engine's big
+    fact-join posture counts on."""
+    import pyspark.sql.functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # AQE replans hide the injected filter from the static explain
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast joins skip bloom
+    }
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        li = table(spark, SF_SMOKE, "lineitem")
+        orders = table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfilter" in plan.lower() or "BloomFilter" in plan, (
+            "runtime bloom filter did not inject:\n" + plan[:2000]
+        )
+        n = joined.count()
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+        assert joined.count() == n  # semantics unchanged without the filter
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -67,3 +67,26 @@ def test_topk_cosine_separation_guards_rank_oracle():
             f"{min_gap:.2e} — the (rnk, vec_id) oracle for sim_topk_pandas_udf "
             "is no longer ulp-robust; switch it to a tolerance compare"
         )
+
+
+def test_partitioned_gemm_matches_builtin_knn(spark):
+    """SIM7's partial-top-k GEMM must rank identically to SIM4's exact
+    built-in k-NN join on the shared (probe, rank) grid — the merge of
+    per-partition top-k lists loses nothing."""
+    from hhs_and_cms_data_pipeline_spark.operators.similarity import (
+        _GEMM_K,
+        sim_knn_join,
+        sim_partitioned_knn_gemm,
+    )
+    from tests.conftest import SF_SMOKE
+
+    gemm = {
+        (r["probe_id"], r["rnk"]): r["vec_id"]
+        for r in sim_partitioned_knn_gemm(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        (r["probe_id"], r["rnk"]): r["vec_id"]
+        for r in sim_knn_join(spark, SF_SMOKE).collect()
+        if r["rnk"] <= _GEMM_K
+    }
+    assert gemm == exact and len(gemm) > 0
