@@ -31,8 +31,10 @@ from ..session import ensure_session_conf
 from ..sources import table
 from .text import (
     SQL_BIGRAMS,
+    SQL_QC_RAW,
     SQL_TOKS,
     bigram_multiset,
+    quality_raw_score,
     tokens,
     word_bigram_arrays,
     word_bigrams,
@@ -742,4 +744,91 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("copy_i").cast("long").alias("copy_id"))
         .orderBy("doc_id", "copy_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# PIPE1 — end-to-end curation pipeline: quality gate -> exact dedup ->
+# classifier -> shard assignment, composed exactly as a user would chain
+# the individual operators (C4 + D1 + TX8 + C6) in one job.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curation_end_to_end",
+    oracle=f"""
+    WITH passed AS (
+      SELECT doc_id, text, lang FROM documents
+      WHERE n_chars >= {_MIN_CHARS} AND n_chars <= {_MAX_CHARS}
+        AND len(string_split(text, ' ')) >= {_MIN_TOKENS}
+        AND CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)
+            <= {_MAX_AVG_TOKEN_LEN}),
+    uniq AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM passed)
+      WHERE rn = 1),
+    scored AS (
+      SELECT doc_id, lang, {SQL_QC_RAW} AS raw_score
+      FROM uniq)
+    SELECT doc_id, lang, raw_score,
+           strpos('0123456789abcdef', substr({_SQL_HASH_KEY}, 1, 1)) - 1
+             AS shard
+    FROM scored
+    WHERE raw_score >= 0
+    ORDER BY doc_id
+    """,
+    tags=("PIPE1",),
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline in one declarative job — the flow a
+    reference user runs nightly, chained instead of materialized between
+    stages: C4's quality gate (first-failing-rule filter), D1's exact dedup
+    (survivor = min doc_id per content hash), TX8's hashed-feature quality
+    classifier (keep raw_score >= 0), C6's deterministic shard assignment.
+
+    Composing rather than checkpointing matters at 100 TB: Catalyst fuses
+    the gate + classifier + shard columns into ONE map stage over the scan,
+    and the only shuffle in the whole pipeline is the content-hash window
+    for dedup (partitioned by md5(text) — never a global window). Each
+    stage's semantics stay bit-identical to its standalone operator, which
+    the composed oracle re-states end-to-end."""
+    ensure_session_conf(spark)
+    n_tok = F.size(F.split(F.col("text"), " "))
+    avg_tok_len = (F.length("text") - n_tok + F.lit(1)).cast("double") / n_tok.cast(
+        "double"
+    )
+    passed = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= _MIN_CHARS)
+            & (F.col("n_chars") <= _MAX_CHARS)
+            & (n_tok >= _MIN_TOKENS)
+            & (avg_tok_len <= _MAX_AVG_TOKEN_LEN)
+        )
+        .select("doc_id", "text", "lang")
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    uniq = (
+        passed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        uniq.select("doc_id", "lang", quality_raw_score().alias("raw_score"))
+        .filter(F.col("raw_score") >= 0)
+        .select(
+            "doc_id",
+            "lang",
+            "raw_score",
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"), F.substring(_hash_key(), 1, 1)
+                )
+                - 1
+            ).cast("long").alias("shard"),
+        )
+        .orderBy("doc_id")
     )

@@ -1130,7 +1130,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the index join cannot quadratically explode on hot spans; pair
     counting is a narrow (doc_a, doc_b) hash aggregate."""
     ensure_session_conf(spark)
-    docs = spread(table(spark, sf_dir, "documents"))
+    return substring_span_pairs(spread(table(spark, sf_dir, "documents")))
+
+
+def substring_span_pairs(docs: DataFrame) -> DataFrame:
+    """D11 core over any (doc_id, text) frame — factored out so property
+    tests can drive it with synthetic corpora (known shared spans in,
+    pairs out)."""
     toked = docs.select("doc_id", tokens().alias("toks"))
     n = F.size("toks")
     span_fp = F.transform(

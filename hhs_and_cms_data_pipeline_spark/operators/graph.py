@@ -1,8 +1,8 @@
 """Graph analytics over the co-occurrence graph implied by `lineitem`
 (parts are nodes; an undirected edge connects two parts that appear in the
 same order). Complements D8's connected components (min-label propagation,
-`dedup.py`) with triangle counting — the standard clustering-coefficient /
-community-density primitive.
+`dedup.py`) with triangle counting and local clustering coefficients — the
+standard community-density primitives.
 
 Scale posture (100 TB): the naive triangle join explodes on hub nodes. The
 classic fix (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
@@ -37,11 +37,10 @@ _SQL_EDGES = """
       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
 """
 
-
-@register(
-    "graph_triangle_counts",
-    oracle=f"""
-    WITH {_SQL_EDGES},
+# id-oriented triangle enumeration + per-corner counts (the declarative
+# statement of the semantics; Spark executes degree-oriented)
+_SQL_TRI_COUNTS = f"""
+    {_SQL_EDGES},
     tri AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
       FROM edges e1
@@ -54,44 +53,40 @@ _SQL_EDGES = """
     counts AS (
       SELECT part, COUNT(*) AS n_triangles
       FROM corners GROUP BY part)
-    SELECT part, n_triangles
-    FROM counts
-    ORDER BY n_triangles DESC, part
-    LIMIT {_TRI_TOP_K}
-    """,
-    tags=("GRAPH1",),
-)
-def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 parts by triangle participation in the co-purchase graph.
+"""
 
-    Execution is the degree-oriented wedge join (module docstring): edges
-    are re-oriented from the lower-(degree, id) endpoint to the higher, so
-    out-adjacency lists are O(sqrt(m)) and the wedge join cannot melt a
-    reducer on a hub part — the difference between "works at sf0.01" and
-    "works on a 100 TB co-occurrence graph". All integer arithmetic;
-    counts are orientation-invariant, so the id-oriented oracle matches
-    bit-for-bit.
-    """
-    ensure_session_conf(spark)
+
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-occurrence edges (u < v)."""
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
     a, b = li.alias("a"), li.alias("b")
-    und = (
+    return (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
     )
-    deg = (
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    """(n, deg) for every node of the undirected edge set."""
+    return (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _triangle_counts(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """(part, n_triangles) via the degree-oriented wedge join (module
+    docstring): orient low-(deg, id) -> high-(deg, id) so out-adjacency
+    stays O(sqrt(m)), enumerate each triangle once, count corners in ONE
+    pass (explode, not a 3-way union that would re-enumerate)."""
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
-    # orient low-(deg, id) -> high-(deg, id); ties cannot survive because the
-    # (deg, id) pair is a total order over nodes
+    # ties cannot survive: the (deg, id) pair is a total order over nodes
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -117,14 +112,82 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.dst").alias("c"),
         )
     )
-    corners = (
-        tri.select(F.col("a").alias("part"))
-        .unionAll(tri.select(F.col("b").alias("part")))
-        .unionAll(tri.select(F.col("c").alias("part")))
-    )
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+    return corners.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "graph_triangle_counts",
+    oracle=f"""
+    WITH {_SQL_TRI_COUNTS}
+    SELECT part, n_triangles
+    FROM counts
+    ORDER BY n_triangles DESC, part
+    LIMIT {_TRI_TOP_K}
+    """,
+    tags=("GRAPH1",),
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase graph.
+
+    Execution is the degree-oriented wedge join (module docstring) — the
+    difference between "works at sf0.01" and "works on a 100 TB
+    co-occurrence graph". All integer arithmetic; counts are
+    orientation-invariant, so the id-oriented oracle matches bit-for-bit.
+    """
+    ensure_session_conf(spark)
+    und = _cooccurrence_edges(spark, sf_dir)
     return (
-        corners.groupBy("part")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        _triangle_counts(und, _degrees(und))
         .orderBy(F.desc("n_triangles"), F.asc("part"))
+        .limit(_TRI_TOP_K)
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_SQL_TRI_COUNTS},
+    degs AS (
+      SELECT n AS part, COUNT(*) AS deg FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY 1)
+    SELECT d.part, d.deg,
+           COALESCE(c.n_triangles, 0) AS n_triangles,
+           CAST(2 * COALESCE(c.n_triangles, 0) AS DOUBLE)
+             / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS clustering_coeff
+    FROM degs d LEFT JOIN counts c USING (part)
+    WHERE d.deg >= 2
+    ORDER BY clustering_coeff DESC, part
+    LIMIT {_TRI_TOP_K}
+    """,
+    tags=("GRAPH2",),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH2: local clustering coefficient — for each part with degree >= 2,
+    the fraction of its neighbor pairs that are themselves connected:
+    2 * triangles(v) / (deg(v) * (deg(v) - 1)). Top-20 most-clustered parts
+    (tie-break part asc) — the per-node community-density score built
+    directly on GRAPH1's skew-proof triangle counts plus one degree join.
+    The division is one exact-int quotient in DOUBLE, bit-identical across
+    engines; everything upstream is integer."""
+    ensure_session_conf(spark)
+    und = _cooccurrence_edges(spark, sf_dir)
+    deg = _degrees(und)
+    tri = _triangle_counts(und, deg)
+    coeff = (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double") / (
+        F.col("deg") * (F.col("deg") - 1)
+    ).cast("double")
+    return (
+        deg.select(F.col("n").alias("part"), "deg")
+        .filter(F.col("deg") >= 2)
+        .join(tri, "part", "left")
+        .select(
+            "part",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            coeff.alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("clustering_coeff"), F.asc("part"))
         .limit(_TRI_TOP_K)
     )

@@ -633,3 +633,101 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(audio_energy_batches, AUDIO_ENERGY_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# MM6 — perceptual dHash over the sampled luminance grid + hash-bucket
+# image dedup. The difference hash (dHash): sample a 9x8 grid, emit one bit
+# per horizontally-adjacent pair (left > right), pack 64 bits. Identical
+# payloads always collide; near-identical payloads collide with high
+# probability — the standard cheap image-dedup key before pixelwise diff.
+# --------------------------------------------------------------------------
+
+_DH_COLS = 9  # grid width (8 comparisons per row)
+_DH_ROWS = 8
+
+
+def _dh_sql_g(i: str) -> str:
+    """DuckDB: grid sample i (0..71) as a byte value via MM3's stride."""
+    return (
+        f"(('0x' || substr(hx, 2*((({i} // {_DH_COLS}) * greatest(1, n // "
+        f"{_DH_COLS * _DH_ROWS}) + ({i} % {_DH_COLS})) % n) + 1, 2))"
+        "::UBIGINT)::BIGINT"
+    )
+
+
+@register(
+    "mm_dhash_dedup",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents),
+    bits AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), k ->
+               CASE WHEN {_dh_sql_g(f"((k // {_DH_COLS - 1}) * {_DH_COLS} + (k % {_DH_COLS - 1}))")}
+                       > {_dh_sql_g(f"((k // {_DH_COLS - 1}) * {_DH_COLS} + (k % {_DH_COLS - 1}) + 1)")}
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bs
+      FROM b),
+    packed AS (
+      SELECT doc_id,
+             lpad(lower(hex(list_reduce(bs[1:32], (acc, x) -> acc * 2 + x))), 8, '0')
+               || lpad(lower(hex(list_reduce(bs[33:64], (acc, x) -> acc * 2 + x))), 8, '0')
+               AS dhash
+      FROM bits)
+    SELECT doc_id, dhash,
+           COUNT(*) OVER (PARTITION BY dhash) AS n_bucket
+    FROM packed
+    ORDER BY doc_id
+    """,
+    tags=("MM6",),
+)
+def mm_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM6: difference-hash every payload (9x8 strided luminance grid, one
+    bit per adjacent-pair comparison, packed to 16 hex chars) and annotate
+    each doc with its hash-bucket size — bucket > 1 marks candidate
+    duplicate images for pixelwise verification.
+
+    Spark shape for 100 TB: the hash is pure per-row Column math (hex
+    substr + conv inside whole-stage codegen — no Python, no decode
+    round-trip for the fake-payload fixture; real image payloads route the
+    SAME grid through the mapInPandas decoder of mm_resize first). The only
+    shuffle is the bucket-count window keyed on the 16-char hash — exactly
+    the dedup_exact shape with a perceptual key instead of md5."""
+    ensure_session_conf(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hx = F.hex(F.encode(F.col("text"), "UTF-8"))
+    n = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    grid_n = _DH_COLS * _DH_ROWS
+
+    def g(i: F.Column) -> F.Column:
+        pos = (
+            (i / _DH_COLS).cast("long") * F.greatest(F.lit(1), (n / grid_n).cast("long"))
+            + (i % _DH_COLS)
+        ) % n
+        return F.conv(F.substring(hx, (pos * 2 + 1).cast("int"), 2), 16, 10).cast(
+            "long"
+        )
+
+    def bit(k: F.Column) -> F.Column:
+        i = (k / (_DH_COLS - 1)).cast("long") * _DH_COLS + (k % (_DH_COLS - 1))
+        return F.when(g(i) > g(i + 1), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(63)), bit)
+    pack = lambda arr: F.lpad(  # noqa: E731
+        F.lower(F.hex(F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a * 2 + x))),
+        8,
+        "0",
+    )
+    dhash = F.concat(pack(F.slice(bits, 1, 32)), pack(F.slice(bits, 33, 32)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dhash")
+    return (
+        docs.select("doc_id", dhash.alias("dhash"))
+        .withColumn("n_bucket", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )

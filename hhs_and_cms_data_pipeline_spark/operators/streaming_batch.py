@@ -380,29 +380,35 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ATTR_WINDOW_MIN = 30
 
 
-def click_purchase_attribution(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
-    """Shared join logic for the batch query and the streaming twin:
-    same-user purchases landing in [click_ts, click_ts + 30 min]."""
+def click_purchase_attribution(
+    clicks: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """Shared join logic for the batch queries and the streaming twins:
+    same-user purchases landing in [click_ts, click_ts + 30 min].
+    `how="left"` is the ST12 outer form — unattributed clicks survive with
+    NULL purchase columns (in streaming, emitted once the purchase
+    watermark passes the click's window)."""
     gap_us = F.unix_micros(F.col("pts").cast("timestamp")) - F.unix_micros(
         F.col("cts").cast("timestamp")
     )
-    return (
-        clicks.join(
-            purchases,
-            (clicks["cuid"] == purchases["puid"])
-            & (F.col("pts") >= F.col("cts"))
-            & (
-                F.col("pts")
-                <= F.col("cts") + F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTES")
-            ),
-        )
-        .select(
-            F.col("cuid").alias("user_id"),
-            F.col("click_id"),
-            F.col("purchase_id"),
-            gap_us.alias("gap_us"),
-        )
+    out = clicks.join(
+        purchases,
+        (clicks["cuid"] == purchases["puid"])
+        & (F.col("pts") >= F.col("cts"))
+        & (
+            F.col("pts")
+            <= F.col("cts") + F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTES")
+        ),
+        how,
+    ).select(
+        F.col("cuid").alias("user_id"),
+        F.col("click_id"),
+        F.col("purchase_id"),
+        gap_us.alias("gap_us"),
     )
+    if how == "inner":
+        return out
+    return out.withColumn("attributed", F.col("purchase_id").isNotNull())
 
 
 @register(
@@ -450,6 +456,58 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("pts"),
     )
     return click_purchase_attribution(clicks, purchases).orderBy(
+        "click_id", "purchase_id"
+    )
+
+
+@register(
+    "stream_outer_attribution",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           CAST(epoch_us(p.pts) - epoch_us(c.cts) AS BIGINT) AS gap_us,
+           p.purchase_id IS NOT NULL AS attributed
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.pts >= c.cts
+     AND p.pts <= c.cts + INTERVAL {_ATTR_WINDOW_MIN} MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("ST12",),
+)
+def stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST12: LEFT OUTER interval attribution — every click, attributed to
+    same-user purchases within 30 minutes when they exist, kept with NULL
+    purchase columns when they don't (the conversion-rate denominator ST8's
+    inner join silently drops).
+
+    The streaming form is Structured Streaming's left-outer stream-stream
+    join: both sides watermarked, the event-time range condition bounds
+    state, and the NULL rows for unmatched clicks are emitted only once the
+    purchase watermark has passed the click's attribution window — proven
+    against this batch plan in tests/test_streaming.py, including the
+    end-of-stream flush-sentinel pattern production pipelines use to force
+    the final watermark advance. Batch scale shape is identical to ST8:
+    hash-partition both sides on user_id, residual range predicate, no
+    cartesian."""
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuid"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("puid"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    return click_purchase_attribution(clicks, purchases, how="left").orderBy(
         "click_id", "purchase_id"
     )
 

@@ -563,6 +563,25 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QC_SALT = "qc1:"
 _QC_SCALE = 32768
 
+# the same per-document integer score as a reusable SQL fragment (TX8's
+# oracle and downstream composition queries must agree verbatim)
+SQL_QC_RAW = f"""list_sum(list_transform(string_split(text, ' '),
+             w -> CAST(CAST('0x' || substr(md5('{_QC_SALT}' || w), 1, 4)
+                       AS UBIGINT) AS BIGINT) - {_QC_SCALE}))"""
+
+
+def quality_raw_score(col: str = "text") -> F.Column:
+    """TX8's integer quality score as a reusable Column: sum of salted
+    md5-derived token weights. Exact in int64; mirrored by SQL_QC_RAW."""
+    weight = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.lit(_QC_SALT), w)), 1, 4), 16, 10)
+        .cast("long")
+        - F.lit(_QC_SCALE)
+    )
+    return F.aggregate(
+        F.transform(tokens(col), weight), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+
 
 @register(
     "text_quality_classifier",
@@ -598,14 +617,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     any partitioning and engine. Swapping in trained weights = replacing
     the md5 expression with a broadcast map lookup; the plan is unchanged."""
     ensure_session_conf(spark)
-    weight = lambda w: (  # noqa: E731
-        F.conv(F.substring(F.md5(F.concat(F.lit(_QC_SALT), w)), 1, 4), 16, 10)
-        .cast("long")
-        - F.lit(_QC_SCALE)
-    )
-    raw = F.aggregate(
-        F.transform(tokens(), weight), F.lit(0).cast("long"), lambda a, x: a + x
-    )
+    raw = quality_raw_score()
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     scored = docs.select(
         "doc_id",

@@ -432,3 +432,67 @@ def test_time_travel_reads_dethroned_version(spark):
     assert v2 == {k: 2 * v for k, v in v1.items()}
     with _pytest.raises(ValueError, match="time travel"):
         read_published_version(spark, path, steps_back=5)
+
+
+def test_atomic_publish_under_concurrent_writers_and_readers(spark, tmp_path):
+    """K2 commit protocol under contention: two writer threads republish the
+    same table while a reader loops; every read must observe exactly one
+    COMPLETE version (all rows share one tag and the tag's full row count)
+    — never a mix of versions, never a partial directory. This is the
+    multi-writer story merge_rewrite_partitions and the dashboards rely
+    on, exercised rather than asserted in prose."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sinks import (
+        read_published,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "contended")
+    counts = {tag: 40 + tag for tag in range(6)}
+
+    def publish(tag: int) -> None:
+        df = (
+            spark.range(counts[tag])
+            .select(F.lit(tag).alias("tag"), F.col("id"))
+            .repartition(4)  # multi-file versions: partial reads would show
+        )
+        write_parquet_atomic(df, path, gc_grace_seconds=120.0)
+
+    publish(0)
+    errors: list[str] = []
+
+    def writer(tags: list[int]) -> None:
+        try:
+            for t in tags:
+                publish(t)
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append(f"writer: {e}")
+
+    threads = [
+        threading.Thread(target=writer, args=([1, 3, 5],)),
+        threading.Thread(target=writer, args=([2, 4],)),
+    ]
+    for th in threads:
+        th.start()
+    seen = set()
+    for _ in range(12):
+        rows = read_published(spark, path).collect()
+        tags = {r["tag"] for r in rows}
+        if len(tags) != 1:
+            errors.append(f"mixed versions in one read: {sorted(tags)}")
+            break
+        tag = tags.pop()
+        if len(rows) != counts[tag]:
+            errors.append(f"partial version {tag}: {len(rows)}/{counts[tag]} rows")
+            break
+        seen.add(tag)
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    # the final published state is one complete version too
+    rows = read_published(spark, path).collect()
+    assert len({r["tag"] for r in rows}) == 1
+    assert seen, "reader never completed a read"

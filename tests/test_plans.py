@@ -374,3 +374,57 @@ def test_runtime_bloom_filter_injection_available(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_quality_classifier_is_pure_map(spark, specs):
+    plan = formatted_plan(specs["text_quality_classifier"].builder(spark, SF_SMOKE))
+    # hashed-feature scoring is per-row Column math: the output sort is the
+    # only exchange, there is no join, no aggregate, and no Python
+    assert count_exchanges(plan) <= 1
+    assert count_broadcast_joins(plan) == 0
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert scan_columns(plan, containing="text") <= {"doc_id", "text"}
+
+
+def test_substring_spans_fingerprints_are_map_only(spark, specs):
+    plan = formatted_plan(specs["dedup_substring_spans"].builder(spark, SF_SMOKE))
+    # span fingerprints are built per-row (transform over the token array):
+    # no explode-then-window — the first exchange in the plan is already
+    # keyed on the fingerprint (DF cap aggregate / index join), never a
+    # pre-shingling shuffle, and no cross join can appear
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert scan_columns(plan, containing="text") <= {"doc_id", "text"}
+    # generation+semi+pair-join+count+sort keyed exchanges stay bounded
+    assert count_data_shuffles(plan) <= 6
+
+
+def test_partitioned_gemm_shuffles_only_partial_topk(spark, specs):
+    plan = formatted_plan(specs["sim_partitioned_knn_gemm"].builder(spark, SF_SMOKE))
+    # the corpus never shuffles: the only keyed exchanges sit ABOVE the
+    # mapInPandas partial top-k (probe_id window + final sort), whose
+    # output is <= partitions x probes x k rows
+    assert "MapInPandas" in plan
+    assert count_data_shuffles(plan) <= 2
+    assert scan_columns(plan, containing="embedding") <= {"vec_id", "embedding"}
+
+
+def test_end_to_end_pipeline_fuses_into_two_shuffles(spark, specs):
+    plan = formatted_plan(specs["curation_end_to_end"].builder(spark, SF_SMOKE))
+    # gate + classifier + shard fuse into the scan's map stage; the only
+    # keyed exchanges are the content-hash dedup window and the output sort
+    assert count_data_shuffles(plan) <= 2
+    # the rn=1 dedup must push a partial top-1 below the shuffle, so each
+    # map task forwards one candidate row per content hash, not every dup
+    assert "WindowGroupLimit" in plan
+    assert count_broadcast_joins(plan) == 0
+    assert scan_columns(plan, containing="text") <= {
+        "doc_id", "text", "lang", "n_chars",
+    }
+
+
+def test_dhash_shuffles_only_on_hash_bucket(spark, specs):
+    plan = formatted_plan(specs["mm_dhash_dedup"].builder(spark, SF_SMOKE))
+    # the 64-bit dHash is per-row column math; only the bucket-count window
+    # (keyed on the 16-char hash) and the output sort may shuffle
+    assert count_data_shuffles(plan) <= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

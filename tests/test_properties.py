@@ -320,3 +320,31 @@ def test_winnowing_prefix_guarantee(spark, tmp_path):
     assert by_doc[1] & by_doc[2], (
         "documents sharing a w+k-1-token prefix must share a fingerprint"
     )
+
+
+def test_substring_spans_detects_exact_8token_overlap(spark):
+    """D11: two documents sharing a verbatim 8-token span pair up with the
+    exact count of shared distinct spans; 7-token overlap does NOT pair;
+    a span present in > DF-cap documents is boilerplate and never pairs."""
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        _SPAN_DF_CAP,
+        substring_span_pairs,
+    )
+
+    span8 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    span7 = "b1 b2 b3 b4 b5 b6 b7"
+    boiler = "c1 c2 c3 c4 c5 c6 c7 c8"
+    rows = [
+        (1, span8 + " x1 x2 x3"),
+        (2, "y1 y2 " + span8),
+        (3, span7 + " z1 z2 z3"),  # only 7 shared tokens with doc 4
+        (4, "w1 " + span7 + " w2"),
+    ]
+    # the boilerplate span appears in DF-cap + 1 extra docs => capped out
+    rows += [(100 + i, boiler + f" u{i}") for i in range(_SPAN_DF_CAP + 1)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_spans"]
+        for r in substring_span_pairs(docs).collect()
+    }
+    assert got == {(1, 2): 1}, got

@@ -391,3 +391,93 @@ def test_stream_upsert_sink_rejects_aggregates(spark, tmp_path):
         stream_upsert_sink(
             agg, str(tmp_path / "t"), ["window_start"], str(tmp_path / "c")
         )
+
+
+def test_stream_outer_interval_join_matches_batch(spark, tmp_path):
+    """ST12 streaming twin: left-outer stream-stream interval join. The
+    NULL rows for unattributed clicks only emit once the watermark passes
+    each click's attribution window, so a finite stream needs the
+    production flush pattern — a far-future sentinel event on each side
+    (excluded from results) that drags the final watermark forward; a
+    follow-up no-data micro-batch then evicts and emits the remaining
+    outer state. Result must equal the batch LEFT JOIN exactly."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
+        click_purchase_attribution,
+    )
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    stage = str(tmp_path / "staged")
+    ev = table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ev.coalesce(1).write.parquet(stage)
+    flush_ts = ev.agg(F.max("ts")).head()[0]
+    sentinels = spark.createDataFrame(
+        [(-1, "click"), (-2, "purchase")], "user_id long, event_type string"
+    ).select(
+        "user_id",
+        (F.lit(flush_ts) + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+        "event_type",
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(stage)
+    # the sentinel part-file must land in a LATER micro-batch than the data
+    # (watermarks advance at batch boundaries): push its mtime forward and
+    # cap each batch at one file
+    parts = sorted(
+        (p for p in os.listdir(stage) if p.endswith(".parquet")),
+        key=lambda p: os.path.getmtime(os.path.join(stage, p)),
+    )
+    os.utime(os.path.join(stage, parts[-1]), (_time.time() + 60,) * 2)
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+    def side(event_type, sentinel_uid, uid, eid, tsc):
+        return (
+            src.withWatermark("ts", "1 hour")
+            .filter(
+                (F.col("event_type") == event_type)
+                | (F.col("user_id") == sentinel_uid)
+            )
+            .select(
+                F.col("user_id").alias(uid),
+                F.col("event_id").alias(eid),
+                F.col("ts").alias(tsc),
+            )
+        )
+
+    clicks = side("click", -1, "cuid", "click_id", "cts")
+    purchases = side("purchase", -2, "puid", "purchase_id", "pts")
+    joined = click_purchase_attribution(clicks, purchases, how="left")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_stream_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_stream_outer").filter(F.col("user_id") >= 0)
+    batch = all_specs()["stream_outer_attribution"].builder(spark, SF_SMOKE)
+
+    def canon(rows):
+        return sorted(
+            (r["user_id"], r["click_id"], r["purchase_id"], r["gap_us"])
+            for r in rows
+        )
+
+    got, want = canon(out.collect()), canon(batch.collect())
+    assert len(want) > 0 and got == want
+    # the outer semantics actually exercised: some NULL purchase rows
+    assert any(r[2] is None for r in want)
