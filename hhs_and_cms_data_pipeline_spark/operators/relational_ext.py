@@ -490,3 +490,50 @@ def w6_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# XF2 — VARIANT (Spark 4 semi-structured type): parse the JSON payload ONCE
+# into a variant value, then use typed extraction. Against string payloads
+# get_json_object (XF1) re-parses per path; the VARIANT column parses once
+# and every variant_get is a binary-encoded field probe — the difference
+# between O(paths) and O(1) JSON parses per row at 100 TB.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+           MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+           MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("XF2",),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XF2: per-event-type stats over a typed field probed out of a VARIANT
+    column (`parse_json` once -> `try_variant_get('$.k', 'bigint')`).
+    Integer-exact aggregates; identical results to path-extraction on the
+    raw string, which is exactly the point — VARIANT changes the cost
+    model, not the semantics."""
+    ensure_session_conf(spark)
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

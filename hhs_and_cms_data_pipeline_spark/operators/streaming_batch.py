@@ -833,3 +833,82 @@ def stream_snapshot_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "event_type", "n_events", "sum_value")
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# ST13 — NATIVE session windows: F.session_window (Spark's built-in gap
+# sessionizer) instead of the lag+running-sum formulation (ST3). Boundary
+# semantics differ from the lag rule by one edge: session_window merges an
+# event iff it lands STRICTLY INSIDE [start, last_ts + gap) — an event at
+# exactly last_ts + gap starts a NEW session — whereas with_session_seq's
+# `diff > gap` keeps it. The oracle states the native (>=) rule.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_session_window_native",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WHERE ts IS NOT NULL),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum("value")} AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+    tags=("ST13",),
+)
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST13: per-user session aggregates via Spark's BUILT-IN
+    ``F.session_window(ts, '30 minutes')`` — the operator to reach for
+    before hand-rolling a sessionizer: in batch it compiles to a merging
+    session aggregation, and the identical expression runs as a streaming
+    query with watermark-driven state eviction (``session_window`` is the
+    one window type whose windows MERGE as late events bridge gaps).
+    Output is (user, session_start, session_end = last event + gap,
+    n_events, exact sum) — session_end is the eviction deadline the
+    streaming runtime uses, stated here in batch.
+
+    Scale shape: one hash exchange on user_id, sessions merged inside the
+    aggregation operator — no per-event window function pass, which makes
+    it cheaper than the lag+running-sum formulation (two window sorts) at
+    100 TB. The oracle re-states the merge rule declaratively (new session
+    iff gap >= 30 min)."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

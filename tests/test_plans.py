@@ -428,3 +428,23 @@ def test_dhash_shuffles_only_on_hash_bucket(spark, specs):
     # (keyed on the 16-char hash) and the output sort may shuffle
     assert count_data_shuffles(plan) <= 2
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_native_session_window_single_exchange(spark, specs):
+    plan = formatted_plan(
+        specs["stream_session_window_native"].builder(spark, SF_SMOKE)
+    )
+    # session merging happens inside the aggregation: one hash exchange on
+    # user_id (plus the output sort), never a per-event window pass
+    assert count_data_shuffles(plan) <= 2
+    assert "Window" not in plan.replace("SessionWindow", "").replace(
+        "session_window", ""
+    )
+
+
+def test_variant_stats_single_shuffle(spark, specs):
+    plan = formatted_plan(specs["variant_props_stats"].builder(spark, SF_SMOKE))
+    # parse_json + variant_get stay in the scan's map stage; one grouping
+    # exchange (partial-agg'd) plus the output sort
+    assert count_data_shuffles(plan) <= 2
+    assert scan_columns(plan, containing="props") <= {"event_type", "props"}

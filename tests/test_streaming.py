@@ -481,3 +481,60 @@ def test_stream_outer_interval_join_matches_batch(spark, tmp_path):
     assert len(want) > 0 and got == want
     # the outer semantics actually exercised: some NULL purchase rows
     assert any(r[2] is None for r in want)
+
+
+def test_native_session_window_stream_matches_batch(spark, tmp_path):
+    """ST13 twin: the identical F.session_window aggregation as a real
+    Structured Streaming query (complete mode — every merged session in
+    the final state) must equal the batch result."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.functions.exact import dsum
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.streaming.events import (
+        read_events_stream,
+    )
+
+    stream = (
+        read_events_stream(spark, SF_SMOKE)
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_stream_session_native")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_stream_session_native")
+    batch = all_specs()["stream_session_window_native"].builder(spark, SF_SMOKE)
+
+    def canon(rows):
+        return sorted(
+            (
+                r["user_id"],
+                str(r["session_start"]),
+                str(r["session_end"]),
+                r["n_events"],
+                repr(r["sum_value"]),
+            )
+            for r in rows
+        )
+
+    got, want = canon(out.collect()), canon(batch.collect())
+    assert len(want) > 0 and got == want
