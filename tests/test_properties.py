@@ -348,3 +348,46 @@ def test_substring_spans_detects_exact_8token_overlap(spark):
         for r in substring_span_pairs(docs).collect()
     }
     assert got == {(1, 2): 1}, got
+
+
+# random mini-corpora over a tiny vocabulary so shared 8-token spans and
+# boilerplate actually occur
+_span_vocab = st.sampled_from(list("abcdef"))
+_span_doc = st.lists(_span_vocab, min_size=1, max_size=24).map(" ".join)
+_span_corpus = st.lists(_span_doc, min_size=2, max_size=8)
+
+
+@given(texts=_span_corpus)
+@settings(**_SETTINGS)
+def test_substring_spans_match_bruteforce_model(spark, texts):
+    """D11 against a 10-line python reference model: for ANY corpus, the
+    distributed inverted-index pipeline must report exactly the pairs and
+    counts of the brute-force distinct-8-gram intersection (the DF cap is
+    irrelevant here: corpora are far below 50 docs per span)."""
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        _SPAN_K,
+        substring_span_pairs,
+    )
+
+    def grams(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + _SPAN_K])
+            for i in range(len(toks) - _SPAN_K + 1)
+        }
+
+    expect = {}
+    for i, ta in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            shared = grams(ta) & grams(texts[j])
+            if shared:
+                expect[(i, j)] = len(shared)
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_spans"]
+        for r in substring_span_pairs(docs).collect()
+    }
+    assert got == expect
