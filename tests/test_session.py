@@ -138,3 +138,34 @@ def test_coverage_inventory_in_sync():
     assert not untagged, f"tag these queries: {untagged}"
     assert not unoracled, f"write oracles for: {unoracled}"
     assert f"**{len(specs)} queries, {len(specs)} oracle-checked" in text
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_substring_spans",
+        "graph_triangle_counts",
+        "curation_end_to_end",
+        "mm_dhash_dedup",
+        "sim_partitioned_knn_gemm",
+        "stream_session_window_native",
+    ],
+)
+def test_round4_ops_partition_count_invariant(name, spark):
+    """The round-4 operators must produce identical rows under 7-way
+    shuffle parallelism (awkward, prime, != default 32): catches any
+    accidental dependence on partition boundaries — the partial-top-k
+    merge (SIM7), session merging (ST13), and window-based dedup (PIPE1)
+    are exactly the shapes where such bugs hide."""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    spec = all_specs()[name]
+    baseline = sorted(map(tuple, spec.builder(spark, SF_SMOKE).collect()))
+    good = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        skewed = sorted(map(tuple, spec.builder(spark, SF_SMOKE).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", good)
+    assert skewed == baseline and len(baseline) > 0
