@@ -790,11 +790,9 @@ _SQL_PLANES = ", ".join(
     "[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in _PLANES
 )
 
-
-@register(
-    "dedup_embedding_lsh",
-    oracle=f"""
-    WITH pls AS (SELECT [{_SQL_PLANES}]::DOUBLE[][] AS pl),
+# Shared oracle CTE text: (vec_id, band, sig) hyperplane band signatures for
+# every embedding — referenced by the D6 oracle and SIM8's bucketed k-NN.
+_SQL_EMB_BANDS_CTES = f"""pls AS (SELECT [{_SQL_PLANES}]::DOUBLE[][] AS pl),
     bits AS (
       SELECT e.vec_id, p.p AS plane,
              CASE WHEN {sql_emb_dot('e.embedding', 'pls.pl[p.p + 1]')} >= 0
@@ -804,7 +802,41 @@ _SQL_PLANES = ", ".join(
     bands AS (
       SELECT vec_id, CAST(plane // {_EMB_BAND_BITS} AS INT) AS band,
              string_agg(bit, '' ORDER BY plane) AS sig
-      FROM bits GROUP BY 1, 2),
+      FROM bits GROUP BY 1, 2)"""
+
+
+def hyperplane_bands(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, sig) hyperplane band signatures for an embedding
+    frame — the map-only signature stage shared by D6 (bucket self-join
+    dedup) and SIM8 (bucketed approximate k-NN join). Signatures are
+    per-row folds against literal +-1 planes, constant-folded by Catalyst;
+    mirrored by _SQL_EMB_BANDS_CTES."""
+
+    def _bit(p: int) -> F.Column:
+        plane = F.array(*[F.lit(v) for v in _PLANES[p]])
+        dot = emb_dot(F.col("embedding"), plane)
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[_bit(b * _EMB_BAND_BITS + r) for r in range(_EMB_BAND_BITS)]
+                ).alias("sig"),
+            )
+            for b in range(_EMB_BANDS)
+        ]
+    )
+    return emb.select("vec_id", F.explode(band_structs).alias("bs")).select(
+        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH {_SQL_EMB_BANDS_CTES},
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands a
@@ -854,26 +886,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    def _bit(p: int) -> F.Column:
-        plane = F.array(*[F.lit(v) for v in _PLANES[p]])
-        dot = emb_dot(F.col("embedding"), plane)
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[_bit(b * _EMB_BAND_BITS + r) for r in range(_EMB_BAND_BITS)]
-                ).alias("sig"),
-            )
-            for b in range(_EMB_BANDS)
-        ]
-    )
-    bands = emb.select("vec_id", F.explode(band_structs).alias("bs")).select(
-        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    bands = hyperplane_bands(emb)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

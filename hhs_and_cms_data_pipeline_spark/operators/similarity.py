@@ -26,7 +26,7 @@ from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import table
 from ..functions.exact import davg, dsum, sql_davg, sql_dsum
-from .dedup import SQL_EMB_NORMS, emb_dot, emb_norm2, sql_emb_dot
+from .dedup import SQL_EMB_NORMS, _SQL_EMB_BANDS_CTES, emb_dot, emb_norm2, sql_emb_dot
 
 _QUERY_VEC_ID = 0
 _TOP_K = 10
@@ -633,5 +633,105 @@ def sim_partitioned_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _GEMM_K)
         .select("probe_id", "rnk", "vec_id")
+        .orderBy("probe_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# SIM8 — LSH-bucketed approximate k-NN join: the blocked path SIM4's
+# broadcast design hands off to once the probe batch outgrows a broadcast
+# (SIM4 docstring: "for probe batches beyond ~1k, block with the
+# hyperplane-LSH buckets"). Candidates = corpus vectors sharing ANY
+# hyperplane band with the probe; exact cosine + rank on candidates only.
+# --------------------------------------------------------------------------
+
+_LSH_KNN_K = 5
+
+
+@register(
+    "sim_lsh_knn_join",
+    oracle=f"""
+    WITH {_SQL_EMB_BANDS_CTES},
+    cand AS (
+      SELECT DISTINCT p.vec_id AS probe_id, c.vec_id
+      FROM bands p
+      JOIN bands c ON p.band = c.band AND p.sig = c.sig
+                  AND p.vec_id <> c.vec_id
+      WHERE p.vec_id < {_KNN_N_PROBES}),
+    norms AS ({SQL_EMB_NORMS}),
+    scored AS (
+      SELECT cd.probe_id, cd.vec_id,
+             {sql_emb_dot('ec.embedding', 'ep.embedding')}
+               / (sqrt(nc.n2) * sqrt(np.n2)) AS cosine
+      FROM cand cd
+      JOIN embeddings ep ON ep.vec_id = cd.probe_id
+      JOIN embeddings ec ON ec.vec_id = cd.vec_id
+      JOIN norms nc ON cd.vec_id = nc.vec_id
+      JOIN norms np ON cd.probe_id = np.vec_id),
+    ranked AS (
+      SELECT probe_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cosine
+    FROM ranked WHERE rnk <= {_LSH_KNN_K}
+    ORDER BY probe_id, rnk
+    """,
+    tags=("SIM8",),
+)
+def sim_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM8: approximate k-NN for the probe batch restricted to
+    hyperplane-LSH bucket collisions — candidates are corpus vectors
+    sharing at least one of the 8 band signatures with the probe, scored
+    with the exact sequential-fold cosine and ranked per probe. The
+    oracle implements the SAME blocking, so the check is exact on the
+    approximate semantics; recall against the exact k-NN (SIM4) is
+    asserted separately in tests (a zero-recall bucket scheme cannot
+    hide behind an agreeing oracle — the D6 round-3 lesson).
+
+    Scale shape: band signatures are map-only (hyperplane_bands); the
+    candidate join is probe-bands (tiny) against corpus-bands keyed on
+    (band, sig) — cost scales with bucket occupancy, not corpus x probes.
+    This is the handoff SIM4 names for probe batches too large to
+    broadcast: both sides shard by bucket, no broadcast, no full scan
+    per probe."""
+    ensure_session_conf(spark)
+    from .dedup import hyperplane_bands
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bands = hyperplane_bands(emb)
+    p, c = bands.alias("p"), bands.alias("c")
+    cand = (
+        p.filter(F.col("p.vec_id") < _KNN_N_PROBES)
+        .join(
+            c,
+            (F.col("p.band") == F.col("c.band"))
+            & (F.col("p.sig") == F.col("c.sig"))
+            & (F.col("p.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("probe_id"), F.col("c.vec_id").alias("vec_id")
+        )
+        .distinct()
+    )
+    ep = emb.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        emb_norm2(F.col("embedding")).alias("p_n2"),
+    )
+    ec = emb.withColumn("n2", emb_norm2(F.col("embedding")))
+    cosine = emb_dot(F.col("embedding"), F.col("p_emb")) / (
+        F.sqrt(F.col("n2")) * F.sqrt(F.col("p_n2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.join(ep, "probe_id")
+        .join(ec, "vec_id")
+        .select("probe_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _LSH_KNN_K)
+        .select("probe_id", "rnk", "vec_id", "cosine")
         .orderBy("probe_id", "rnk")
     )

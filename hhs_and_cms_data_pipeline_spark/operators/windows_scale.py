@@ -991,3 +991,78 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# XS5 — Z-order clustering key: interleave the bits of two join/filter keys
+# into one sort key so a single sorted write clusters the data on BOTH
+# dimensions at once. Sorting the fact by z before the parquet write gives
+# row-group min/max skipping for predicates on EITHER key — the plain-
+# parquet version of Delta/Iceberg OPTIMIZE ZORDER BY.
+# --------------------------------------------------------------------------
+
+_Z_BITS = 16  # low 16 bits of each key -> 32-bit z-value
+
+
+def _z_value(a: F.Column, b: F.Column) -> F.Column:
+    """32-bit Morton interleave of the low 16 bits of a (even positions)
+    and b (odd positions). Unrolled shifts/masks — integer-exact, inside
+    whole-stage codegen, identical formula in the oracle."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long")
+            * F.lit(1 << (2 * i)).cast("long")
+            + F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+            * F.lit(1 << (2 * i + 1)).cast("long")
+        )
+    return z
+
+
+def _sql_z(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({a} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({b} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "xs5_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT l_orderkey, l_partkey, l_suppkey,
+             {_sql_z("l_partkey & 65535", "l_suppkey & 65535")} AS z
+      FROM lineitem)
+    SELECT z, l_orderkey, l_partkey, l_suppkey
+    FROM keyed
+    ORDER BY z, l_orderkey, l_partkey, l_suppkey
+    LIMIT 50
+    """,
+    tags=("XS5",),
+)
+def xs5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS5: Morton (Z-order) clustering key over (l_partkey, l_suppkey) —
+    the first 50 rows of the z-sorted fact, proving the interleave is
+    bit-identical across engines. In the write path the SAME expression
+    drives `df.repartitionByRange(N, "z").sortWithinPartitions("z")
+    .write.parquet(...)`: every row group then spans a small z-range,
+    i.e. a small rectangle in (partkey, suppkey) space, so parquet
+    min/max statistics prune scans filtered on EITHER key — two-
+    dimensional data skipping from a one-dimensional sort. The key is
+    pure per-row bit math (no shuffle of its own); the range partition
+    of the write is the only exchange."""
+    ensure_session_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    z = _z_value(
+        F.col("l_partkey").bitwiseAND(F.lit(65535)),
+        F.col("l_suppkey").bitwiseAND(F.lit(65535)),
+    )
+    return (
+        li.select(z.alias("z"), "l_orderkey", "l_partkey", "l_suppkey")
+        .orderBy("z", "l_orderkey", "l_partkey", "l_suppkey")
+        .limit(50)
+    )

@@ -77,3 +77,52 @@ def test_bucketed_gc_owner_liveness():
     assert _bkt_owner_alive(f"orders_bkt_{tag}")          # this process: alive
     assert not _bkt_owner_alive("orders_bkt_deadbeef_p999999999")  # dead pid
     assert not _bkt_owner_alive("orders_bkt_legacytag")   # pre-pid layout: collectable
+
+
+def test_zorder_layout_enables_file_skipping(spark, tmp_path):
+    """XS5's write-path claim, exercised: range-partitioning the fact by
+    the Morton key and writing parquet must produce files whose
+    (l_partkey min, max) footer stats let a partkey predicate skip most
+    files — versus a hash-spread layout of the SAME data where every file
+    spans nearly the full key range and nothing can be skipped."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.operators.windows_scale import _z_value
+    from hhs_and_cms_data_pipeline_spark.sources import table
+    from tests.conftest import SF_SMOKE
+
+    li = table(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_suppkey")
+    z = _z_value(
+        F.col("l_partkey").bitwiseAND(F.lit(65535)),
+        F.col("l_suppkey").bitwiseAND(F.lit(65535)),
+    )
+    keyed = li.select("l_partkey", "l_suppkey", z.alias("z"))
+    zdir, rdir = str(tmp_path / "zsorted"), str(tmp_path / "random")
+    keyed.repartitionByRange(8, "z").sortWithinPartitions("z").write.parquet(zdir)
+    keyed.repartition(8).write.parquet(rdir)
+
+    def overlap_fraction(d: str, lo: int, hi: int) -> float:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) >= 4, f"expected multiple files in {d}"
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("l_partkey")
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if min(mins) <= hi and max(maxs) >= lo:
+                hit += 1
+        return hit / len(files)
+
+    # a narrow partkey band: the z-clustered layout must localize it
+    zfrac = overlap_fraction(zdir, 0, 63)
+    rfrac = overlap_fraction(rdir, 0, 63)
+    assert rfrac == 1.0, "hash-spread layout should overlap everywhere"
+    assert zfrac <= 0.5, f"z-layout should skip most files, got {zfrac}"

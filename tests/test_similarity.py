@@ -90,3 +90,29 @@ def test_partitioned_gemm_matches_builtin_knn(spark):
         if r["rnk"] <= _GEMM_K
     }
     assert gemm == exact and len(gemm) > 0
+
+
+def test_lsh_knn_recall_is_nonzero_and_plausible(spark):
+    """SIM8's oracle implements the same lossy blocking, so an oracle match
+    alone can't prove the buckets ever surface true neighbors (the D6
+    round-3 vacuous-pass lesson). Assert real recall against the exact
+    k-NN: measured 18% (sf0.001) / 12% (sf0.01) — consistent with theory
+    for this RANDOM corpus whose top-5 cosines sit near 0.5 (per-band
+    collision ~0.65^8 ~ 3%, 8 bands ~22%); genuine near-duplicates
+    (cos >= 0.9) collide at ~94%. The floor guards collapse to zero."""
+    from hhs_and_cms_data_pipeline_spark.operators.similarity import (
+        sim_knn_join,
+        sim_lsh_knn_join,
+    )
+    from tests.conftest import SF_SMOKE
+
+    lsh = {
+        (r["probe_id"], r["vec_id"])
+        for r in sim_lsh_knn_join(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in sim_knn_join(spark, SF_SMOKE).collect()
+    }
+    assert len(exact) > 0 and len(lsh) > 0
+    assert len(lsh & exact) / len(exact) >= 0.05
