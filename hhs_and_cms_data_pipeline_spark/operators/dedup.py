@@ -18,7 +18,7 @@ as such — its blocked scale path is dedup_embedding_lsh (D6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1180,4 +1180,114 @@ def substring_span_pairs(docs: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# D12 — repeated-chunk REMOVAL: the cleaning step downstream of D11's pair
+# detection. Chunk every document into fixed 8-token blocks, keep only the
+# globally-first occurrence of each distinct chunk (min (doc_id, idx) —
+# deterministic), and reassemble each document from its surviving chunks.
+# This is the distributed form of the dedup-and-rewrite pass in
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+# 2022): repeated spans are dropped from all but one occurrence, the
+# corpus is rewritten, downstream training never sees the copies.
+# --------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 8
+
+
+@register(
+    "dedup_remove_repeated_chunks",
+    oracle=f"""
+    WITH tpos AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST((pos - 1) // {_CHUNK_TOKENS} AS BIGINT) AS idx,
+             string_agg(w, ' ' ORDER BY pos) AS chunk
+      FROM tpos GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, idx) AS rn
+      FROM chunks),
+    kept AS (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+             COUNT(*) FILTER (WHERE rn > 1) AS n_dropped,
+             COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+                        FILTER (WHERE rn = 1), '') AS cleaned_text
+      FROM ranked GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.n_dropped, 0) AS n_dropped,
+           COALESCE(k.cleaned_text, '') AS cleaned_text
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("D12",),
+)
+def dedup_remove_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: rewrite the corpus with globally-deduplicated 8-token chunks —
+    each distinct chunk survives only at its first (doc_id, idx)
+    occurrence; every document comes back with its kept-chunk text, kept
+    and dropped counts (docs can come back empty, never disappear).
+
+    Spark shape for 100 TB: chunking is MAP-ONLY (one transform+slice
+    pass per row — no token explode, no per-token window); the dedup
+    decision is one window keyed on the 32-hex chunk hash (high
+    cardinality — no skew); reassembly is a hash aggregate on doc_id with
+    an in-group sort of the surviving chunk structs. Three keyed
+    exchanges total for a full-corpus rewrite."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    toked = docs.select("doc_id", tokens().alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.ceil(n / F.lit(_CHUNK_TOKENS)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice("toks", i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS), " "
+        ),
+    )
+    chunks = toked.select(
+        "doc_id", F.posexplode(chunk_arr).alias("idx", "chunk")
+    ).select("doc_id", F.col("idx").cast("long").alias("idx"), "chunk")
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = ranked.groupBy("doc_id").agg(
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct(F.col("idx"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
     )

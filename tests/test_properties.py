@@ -391,3 +391,40 @@ def test_substring_spans_match_bruteforce_model(spark, texts):
         for r in substring_span_pairs(docs).collect()
     }
     assert got == expect
+
+
+def test_chunk_removal_conserves_and_cleans(spark):
+    """D12 invariants at the corpus level: per doc, kept + dropped =
+    ceil(n_tokens/8); cleaned_text is a subsequence of the original chunk
+    list; at least one chunk is dropped somewhere (the corpus has exact
+    dups); and the FIRST occurrence of every distinct chunk survives."""
+    import math
+
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        _CHUNK_TOKENS,
+        dedup_remove_repeated_chunks,
+    )
+    from hhs_and_cms_data_pipeline_spark.sources import table
+    from tests.conftest import SF_SMOKE
+
+    out = {r["doc_id"]: r for r in dedup_remove_repeated_chunks(spark, SF_SMOKE).collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    assert set(out) == set(texts)
+    dropped_total = 0
+    seen: set[str] = set()
+    for doc_id in sorted(texts):
+        toks = texts[doc_id].split(" ")
+        n_chunks = math.ceil(len(toks) / _CHUNK_TOKENS)
+        r = out[doc_id]
+        assert r["n_kept"] + r["n_dropped"] == n_chunks, doc_id
+        dropped_total += r["n_dropped"]
+        chunks = [
+            " ".join(toks[i * _CHUNK_TOKENS : (i + 1) * _CHUNK_TOKENS])
+            for i in range(n_chunks)
+        ]
+        expect_kept = [c for c in chunks if (c in seen, seen.add(c))[0] is False]
+        assert r["cleaned_text"] == " ".join(expect_kept), doc_id
+    assert dropped_total > 0

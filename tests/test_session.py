@@ -144,6 +144,7 @@ def test_coverage_inventory_in_sync():
     "name",
     [
         "dedup_substring_spans",
+        "dedup_remove_repeated_chunks",
         "graph_triangle_counts",
         "curation_end_to_end",
         "mm_dhash_dedup",
