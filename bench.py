@@ -48,7 +48,12 @@ def main() -> None:
         # clock; its per-round correctness cost is covered by the sf0.01
         # gate (~3s).
     ]
-    extended_specs = {n: all_[n] for n in extended_names if n in all_}
+    missing = [n for n in extended_names if n not in all_]
+    if missing:
+        raise KeyError(
+            f"extended bench names not in registry (renamed?): {missing}"
+        )
+    extended_specs = {n: all_[n] for n in extended_names}
 
     def timed_pack(pack: dict) -> dict[str, float]:
         # Warm EVERY query once (JVM/codegen/parquet-footer caches), then

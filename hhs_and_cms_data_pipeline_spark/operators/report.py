@@ -15,6 +15,7 @@ are bit-identical to the DuckDB oracle and invariant to partitioning.
 from __future__ import annotations
 
 import datetime
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -208,7 +209,12 @@ ORDER BY 1
 # The 5-newest-weeks set per (session, sf_dir): deterministic for fixed
 # input files, so computing it once per session is safe; recomputing it per
 # run was the r2 bench creep round-3 VERDICT item 7 flagged.
-_R2_WEEKS: dict[tuple[int, str], list] = {}
+# Keyed on the LIVE session object (weakly): a plain dict keyed on
+# id(spark) could serve a stale week set if a dead session's id were
+# recycled; the weak key also lets an entry die with its session.
+_R2_WEEKS: "weakref.WeakKeyDictionary[SparkSession, dict[str, list]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 @register(
@@ -241,8 +247,8 @@ def r2_recent_weeks_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_shipdate",
         )
     )
-    memo_key = (id(spark), sf_dir)
-    weeks = _R2_WEEKS.get(memo_key)
+    per_session = _R2_WEEKS.setdefault(spark, {})
+    weeks = per_session.get(sf_dir)
     if weeks is None:
         weeks = [
             r[0]
@@ -255,7 +261,7 @@ def r2_recent_weeks_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()
             )
         ]
-        _R2_WEEKS[memo_key] = weeks
+        per_session[sf_dir] = weeks
     disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     agg = [
         dsum("l_quantity", "sum_qty"),

@@ -614,13 +614,17 @@ def sim_partitioned_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos = (m @ p_mat.T) / (
                 np.sqrt((m * m).sum(axis=1))[:, None] * p_norm[None, :]
             )
-            cos[ids[:, None] == p_ids[None, :]] = -np.inf  # self-match
             out = []
             for j in range(len(p_ids)):
+                # EXCLUDE self-matches (masking them with -inf and slicing
+                # top-k would still emit them whenever a probe has fewer
+                # than k non-self rows — the oracle never contains them)
+                valid = ids != p_ids[j]
+                vids, vcos = ids[valid], cos[valid, j]
                 # exact local top-k with the global tie-break (cos desc, id asc)
-                order = np.lexsort((ids, -cos[:, j]))[: _GEMM_K]
+                order = np.lexsort((vids, -vcos))[: _GEMM_K]
                 for i in order:
-                    out.append((int(p_ids[j]), int(ids[i]), float(cos[i, j])))
+                    out.append((int(p_ids[j]), int(vids[i]), float(vcos[i])))
             yield pd.DataFrame(out, columns=["probe_id", "vec_id", "cosine"])
 
     partial = emb.mapInPandas(

@@ -20,6 +20,7 @@ import json
 import glob
 import os
 import shutil
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -329,7 +330,13 @@ MESSY_SCHEMA = T.StructType(
 # fixture for the session's lifetime, so the write-then-parse must happen
 # exactly once — re-writing the file under an existing cache entry would
 # leave the (stale) cached parse serving a different file.
-_MESSY_CACHE: dict[int, DataFrame] = {}
+# Weakly keyed on the live session object: a plain id(spark) key could
+# collide with a recycled id after the original session is GC'd, serving
+# a cached frame bound to a DEAD session; weak keys also evict entries
+# with their session instead of growing forever.
+_MESSY_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def messy_csv_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,8 +350,7 @@ def messy_csv_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tiny — nation is SF-invariant) and every downstream shape is then
     legal. Memoized per session so write+parse+cache happen exactly once
     and the cache can never serve a stale regeneration."""
-    key = id(spark)
-    df = _MESSY_CACHE.get(key)
+    df = _MESSY_CACHE.get(spark)
     if df is None:
         _write_messy_csv(spark, sf_dir)
         df = spark.read.csv(
@@ -354,7 +360,7 @@ def messy_csv_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="PERMISSIVE",
             columnNameOfCorruptRecord="_corrupt",
         ).cache()
-        _MESSY_CACHE[key] = df
+        _MESSY_CACHE[spark] = df
     return df
 
 
@@ -610,7 +616,12 @@ def k6_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tagged_io_path("k6_versions", sf_dir)
     # deterministic rerun: clear the link and any retained versions first
     for stale in glob.glob(f"{path}.__v__*") + glob.glob(f"{path}.__link__*"):
-        shutil.rmtree(stale, ignore_errors=True)
+        # rmtree refuses symlinks (crashed-publish .__link__ temps are
+        # links) — unlink those, rmtree real version dirs
+        if os.path.islink(stale):
+            os.unlink(stale)
+        else:
+            shutil.rmtree(stale, ignore_errors=True)
     if os.path.islink(path):
         os.unlink(path)
     v1 = (

@@ -18,6 +18,7 @@ partition-pruned to the incoming date range.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -159,6 +160,23 @@ def merge_rewrite_partitions(
     prev = os.path.realpath(path)
     # Dim-sized by contract: one row per touched partition.
     vals = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    # Dir names are built as raw f"{col}={v}" below. Spark escapes special
+    # characters in partition paths (Hive-style %XX) and writes NULL as
+    # __HIVE_DEFAULT_PARTITION__; a value this code names differently than
+    # Spark would silently MISS the touched-partition match — the old dir
+    # would be hardlink-carried over unchanged while the batch also lands
+    # in a new dir: duplicate keys in a published MERGE. Refuse loudly
+    # instead of corrupting (dates/ints/plain identifiers are the
+    # supported — and typical — partition domain).
+    for v in vals:
+        if v is None or not re.fullmatch(r"[A-Za-z0-9._-]+", str(v)):
+            raise ValueError(
+                f"unsupported partition value {v!r} for {partition_col}: "
+                "merge_rewrite_partitions only supports non-null values "
+                "matching [A-Za-z0-9._-]+ (Spark's path escaping would "
+                "name the partition dir differently and the rewrite "
+                "would silently duplicate rows)"
+            )
     touched = {f"{partition_col}={v}" for v in vals}
     data_dir = f"{path}.__v__{uuid.uuid4().hex}"
     os.makedirs(data_dir)
@@ -214,6 +232,8 @@ def read_published_version(
     every version is an immutable dir, the log orders them.
     """
     path = os.path.abspath(path)
+    if steps_back < 0:
+        raise ValueError(f"steps_back must be >= 0, got {steps_back}")
     if steps_back == 0:
         return read_published(spark, path)
     current = os.path.realpath(path)

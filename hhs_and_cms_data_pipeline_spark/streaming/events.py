@@ -52,8 +52,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
         os.makedirs(stage, exist_ok=True)
         link = os.path.join(stage, "events.parquet")
-        if not os.path.islink(link):
+        try:
             os.symlink(src, link)
+        except FileExistsError:
+            pass  # another process staged it first (same src => same target)
         src = stage
     schema = events_raw_schema(spark, src)
     stream = spark.readStream.schema(schema).format("parquet").load(src)

@@ -496,3 +496,41 @@ def test_atomic_publish_under_concurrent_writers_and_readers(spark, tmp_path):
     rows = read_published(spark, path).collect()
     assert len({r["tag"] for r in rows}) == 1
     assert seen, "reader never completed a read"
+
+
+def test_merge_refuses_escaped_partition_values(spark, tmp_path):
+    """Partition dir names are built as raw f"{col}={v}"; Spark escapes
+    special characters (and spells NULL __HIVE_DEFAULT_PARTITION__), so a
+    value the two sides name differently would silently duplicate rows.
+    The merge must refuse such values loudly."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sinks import (
+        merge_rewrite_partitions,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(4).select(
+        F.col("id").alias("k"), F.lit("a").alias("p"), F.lit(0).alias("v")
+    )
+    write_parquet_atomic(base, path, partition_by=["p"])
+    bad = spark.range(1).select(
+        F.col("id").alias("k"), F.lit("a:b").alias("p"), F.lit(1).alias("v")
+    )
+    with pytest.raises(ValueError, match="unsupported partition value"):
+        merge_rewrite_partitions(spark, bad, path, keys=["k"], partition_col="p")
+
+
+def test_time_travel_rejects_negative_steps(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sinks import (
+        read_published_version,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_parquet_atomic(spark.range(3), path)
+    with pytest.raises(ValueError, match="steps_back"):
+        read_published_version(spark, path, steps_back=-1)

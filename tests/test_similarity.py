@@ -116,3 +116,28 @@ def test_lsh_knn_recall_is_nonzero_and_plausible(spark):
     }
     assert len(exact) > 0 and len(lsh) > 0
     assert len(lsh & exact) / len(exact) >= 0.05
+
+
+def test_partitioned_gemm_excludes_self_on_tiny_corpus(spark, tmp_path):
+    """Regression: with fewer than k non-self candidates per probe, the old
+    -inf self-mask still emitted self-match rows from the local top-k; the
+    fix excludes self rows before ranking, so a 4-vector corpus yields
+    exactly 3 neighbors per probe and never (probe, probe)."""
+    import numpy as np
+    import pandas as pd
+
+    from hhs_and_cms_data_pipeline_spark.operators.similarity import (
+        sim_partitioned_knn_gemm,
+    )
+
+    rng = [[float(((i * 31 + j * 7) % 13) - 6) / 7.0 for j in range(64)] for i in range(4)]
+    pd.DataFrame(
+        {
+            "vec_id": list(range(4)),
+            "embedding": [np.asarray(r, dtype=np.float32) for r in rng],
+            "label": [0, 1, 0, 1],
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    out = sim_partitioned_knn_gemm(spark, str(tmp_path)).collect()
+    assert len(out) == 4 * 3
+    assert all(r["probe_id"] != r["vec_id"] for r in out)

@@ -426,15 +426,16 @@ def test_stream_outer_interval_join_matches_batch(spark, tmp_path):
         F.lit(-1).cast("long").alias("event_id"),
         "event_type",
     )
+    before = {p for p in os.listdir(stage) if p.endswith(".parquet")}
     sentinels.coalesce(1).write.mode("append").parquet(stage)
     # the sentinel part-file must land in a LATER micro-batch than the data
-    # (watermarks advance at batch boundaries): push its mtime forward and
-    # cap each batch at one file
-    parts = sorted(
-        (p for p in os.listdir(stage) if p.endswith(".parquet")),
-        key=lambda p: os.path.getmtime(os.path.join(stage, p)),
-    )
-    os.utime(os.path.join(stage, parts[-1]), (_time.time() + 60,) * 2)
+    # (watermarks advance at batch boundaries): identify it by SET DIFF
+    # (an mtime sort can tie on coarse-granularity filesystems and pick the
+    # data file), push its mtime forward, cap each batch at one file
+    (sentinel_part,) = {
+        p for p in os.listdir(stage) if p.endswith(".parquet")
+    } - before
+    os.utime(os.path.join(stage, sentinel_part), (_time.time() + 60,) * 2)
 
     src = (
         spark.readStream.schema("user_id long, ts timestamp, event_id long, event_type string")
