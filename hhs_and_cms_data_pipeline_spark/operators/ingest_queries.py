@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import dsum, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources.csvsrc import read_cms_quality, read_hhs_weekly
@@ -272,3 +273,96 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("customer_name_nonnull", F.col("v"), name_null))
     )
     return report.orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# ING3 — the reference's WHOLE nightly flow as one declarative job:
+# load-hhs (prep) + load-quality (normalize) + weekly-report (join + state
+# rollup), chained without intermediate materialization. A reference user
+# switching engines runs THIS — not the stage queries one by one.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ingest_to_report_e2e",
+    oracle=f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{_HHS_CSV}', header=true,
+        columns={{'hospital_pk':'VARCHAR','state':'VARCHAR','hospital_name':'VARCHAR',
+                 'address':'VARCHAR','city':'VARCHAR','zip':'VARCHAR',
+                 'fips_code':'VARCHAR','geocoded_hospital_address':'VARCHAR',
+                 'collection_week':'VARCHAR',{_SQL_METRIC_COLS}}})),
+    parsed AS (
+      SELECT hospital_pk, state,
+             CAST(collection_week AS DATE) AS collection_week,
+             {_SQL_SCRUB}
+      FROM raw),
+    deduped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hospital_pk
+                  ORDER BY collection_week NULLS LAST) AS rn
+      FROM parsed),
+    prepped AS (SELECT * FROM deduped WHERE rn = 1),
+    cms AS (
+      SELECT "Facility ID" AS facility_id,
+             CASE WHEN regexp_matches(trim("Hospital overall rating"), '^[0-9]+$')
+                       AND TRY_CAST(trim("Hospital overall rating") AS INTEGER)
+                           BETWEEN 1 AND 5
+                  THEN TRY_CAST(trim("Hospital overall rating") AS INTEGER)
+             END AS quality_rating
+      FROM read_csv('{_CMS_CSV}', header=true, all_varchar=true)),
+    joined AS (
+      SELECT p.state, p.all_adult_hospital_beds_7_day_avg AS beds,
+             c.quality_rating
+      FROM prepped p LEFT JOIN cms c ON p.hospital_pk = c.facility_id)
+    SELECT state,
+           COUNT(*) AS n_hospitals,
+           COUNT(quality_rating) AS n_rated,
+           {sql_dsum("beds")} AS total_adult_beds,
+           CASE WHEN COUNT(quality_rating) > 0
+                THEN CAST(SUM(quality_rating) AS DOUBLE)
+                     / CAST(COUNT(quality_rating) AS DOUBLE)
+           END AS avg_rating
+    FROM joined
+    GROUP BY state
+    ORDER BY state
+    """,
+    tags=("ING3",),
+)
+def ingest_to_report_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ING3: raw HHS CSV -> prep (scrub/parse/dedup) -> raw CMS CSV ->
+    normalize (guarded rating parse) -> hospital join -> per-state report
+    (hospital count, rated count, exact bed totals, average rating) — the
+    reference's three scripts (load-hhs.py, load-quality.py,
+    weekly-report.py) as ONE Catalyst plan.
+
+    Chaining instead of materializing means the prep projections, the
+    rating parse, and the join all fuse: the only exchanges are the
+    per-hospital dedup window and the state rollup. The oracle re-derives
+    the entire flow from the raw fixture CSVs independently."""
+    ensure_session_conf(spark)
+    _materialize()
+    prepped = prep_hhs(read_hhs_weekly(spark, _HHS_CSV)).select(
+        "hospital_pk",
+        "state",
+        F.col("all_adult_hospital_beds_7_day_avg").alias("beds"),
+    )
+    cms = normalize_cms(read_cms_quality(spark, _CMS_CSV), _RATING_DATE).select(
+        "facility_id", "quality_rating"
+    )
+    joined = prepped.join(
+        cms, prepped.hospital_pk == cms.facility_id, "left"
+    )
+    n_rated = F.count("quality_rating")
+    return (
+        joined.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_hospitals"),
+            n_rated.alias("n_rated"),
+            dsum("beds", "total_adult_beds"),
+            F.when(
+                n_rated > 0,
+                F.sum("quality_rating").cast("double") / n_rated.cast("double"),
+            ).alias("avg_rating"),
+        )
+        .orderBy("state")
+    )
