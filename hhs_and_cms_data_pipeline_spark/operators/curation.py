@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.exact import davg, sql_davg
 from ..registry import register
 from ..session import ensure_session_conf
-from ..sources import table
+from ..sources import spread, table
 from .text import (
     SQL_BIGRAMS,
     SQL_QC_RAW,
@@ -829,6 +829,82 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 - 1
             ).cast("long").alias("shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# C13 — leakage-safe train/val/test split: assignment happens at the
+# NEAR-DUP CLUSTER level (D8's connected components), so two near-duplicate
+# documents can never straddle a split boundary — the train/test
+# contamination that per-document random splits silently allow.
+# --------------------------------------------------------------------------
+
+# ~80/10/10 by the first 16 bits of a salted cluster hash.
+_SPLIT_TRAIN_HEX = "cccc"  # 52428/65536 ~ 80.0%
+_SPLIT_VAL_HEX = "e666"  # next ~10.0%
+
+
+from .dedup import _SQL_VERIFIED_PAIRS_CTES as _SQL_VPAIRS_CTES
+
+
+@register(
+    "curation_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_VPAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM vpairs),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc_id, e.dst
+      FROM reach JOIN edges e ON e.src = reach.r),
+    clusters AS (
+      SELECT doc_id, MIN(r) AS cluster_id
+      FROM reach GROUP BY doc_id),
+    hashed AS (
+      SELECT doc_id, cluster_id,
+             substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4) AS h
+      FROM clusters)
+    SELECT doc_id, cluster_id,
+           CASE WHEN h < '{_SPLIT_TRAIN_HEX}' THEN 'train'
+                WHEN h < '{_SPLIT_VAL_HEX}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
+    ORDER BY doc_id
+    """,
+    tags=("C13",),
+)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: deterministic ~80/10/10 train/val/test assignment keyed on the
+    near-dup CLUSTER id (D8's min-label components), never the document —
+    every member of a near-dup cluster shares its split, so evaluation can
+    never score on a paraphrase of a training document.
+
+    Spark shape: min_label_components (iterative, lineage-truncated) plus
+    one map-only salted-hash projection — the split itself adds ZERO
+    shuffles on top of clustering. Deterministic and partition-invariant:
+    the assignment is a pure function of cluster_id, reproducible on any
+    cluster and any engine (md5 thresholds mirrored in the oracle)."""
+    ensure_session_conf(spark)
+    from .dedup import min_label_components
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    labels = min_label_components(docs)
+    h = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))), 1, 4
+    )
+    return (
+        labels.select(
+            "doc_id",
+            "cluster_id",
+            F.when(h < _SPLIT_TRAIN_HEX, F.lit("train"))
+            .when(h < _SPLIT_VAL_HEX, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
         )
         .orderBy("doc_id")
     )

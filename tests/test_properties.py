@@ -428,3 +428,33 @@ def test_chunk_removal_conserves_and_cleans(spark):
         expect_kept = [c for c in chunks if (c in seen, seen.add(c))[0] is False]
         assert r["cleaned_text"] == " ".join(expect_kept), doc_id
     assert dropped_total > 0
+
+
+def test_leakage_safe_split_never_straddles_near_dups(spark):
+    """C13: both endpoints of every verified near-dup pair must land in the
+    same split (the whole point), all three splits are non-empty, and the
+    assignment is a pure function of cluster_id."""
+    from hhs_and_cms_data_pipeline_spark.operators.curation import (
+        curation_leakage_safe_split,
+    )
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        minhash_verified_pairs,
+    )
+    from hhs_and_cms_data_pipeline_spark.sources import spread, table
+    from tests.conftest import SF_SMOKE
+
+    assign = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in curation_leakage_safe_split(spark, SF_SMOKE).collect()
+    }
+    assert {s for _, s in assign.values()} == {"train", "val", "test"}
+    pairs = minhash_verified_pairs(
+        spread(table(spark, SF_SMOKE, "documents"))
+    ).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert assign[r["doc_a"]][1] == assign[r["doc_b"]][1], (r["doc_a"], r["doc_b"])
+    by_cluster = {}
+    for cid, split in assign.values():
+        by_cluster.setdefault(cid, set()).add(split)
+    assert all(len(s) == 1 for s in by_cluster.values())
