@@ -633,3 +633,60 @@ def k6_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = v1.withColumn("n_nations", F.col("n_nations") * 2)
     write_parquet_atomic(v2, path, gc_grace_seconds=3600.0)
     return read_published_version(spark, path, steps_back=1).orderBy("n_regionkey")
+
+
+# --------------------------------------------------------------------------
+# K7 — file manifest / stats table: per-file row counts and key min/max of
+# a published layout — the metadata surface (Delta `describe detail`,
+# Iceberg manifests) data-skipping planners read instead of data.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "k7_file_manifest",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+/[^/]+)$', 1) AS file_name,
+           COUNT(*) AS n_rows,
+           MIN(n_nationkey) AS min_key,
+           MAX(n_nationkey) AS max_key
+    FROM read_parquet('{os.path.join(_IO_DIR, "k1_nation")}/*/*.parquet',
+                      filename=true)
+    GROUP BY 1
+    ORDER BY min_key, file_name
+    """,
+    tags=("K7",),
+)
+def k7_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: the manifest of the K1 partitioned layout — one row per data
+    file with its row count and key range, computed distributed from the
+    data itself (`input_file_name()` + per-file aggregate). This is what a
+    data-skipping planner consults instead of data: a scan with
+    `n_nationkey = 7` prunes to files whose [min_key, max_key] covers 7.
+    In production the manifest is maintained INCREMENTALLY at write time
+    (each job appends its own files' stats — parquet footers already hold
+    them); this query is the bootstrap/repair path that rebuilds it with
+    one column-pruned pass over the table. Oracle: DuckDB's
+    read_parquet(filename=true) over the same files."""
+    ensure_session_conf(spark)
+    # (re)materialize the K1 layout — the builder is idempotent
+    k1_partitioned_append(spark, sf_dir)
+    path = os.path.join(_IO_DIR, "k1_nation")
+    return (
+        spark.read.parquet(path)
+        .select(
+            # keep the partition dir in the name: one write TASK reuses the
+            # same part-file basename in EVERY partition dir it writes, so a
+            # bare basename would silently merge distinct files
+            F.regexp_extract(F.input_file_name(), r"([^/]+/[^/]+)$", 1).alias(
+                "file_name"
+            ),
+            "n_nationkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("n_nationkey").alias("min_key"),
+            F.max("n_nationkey").alias("max_key"),
+        )
+        .orderBy("min_key", "file_name")
+    )
