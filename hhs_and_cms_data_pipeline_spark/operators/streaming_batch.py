@@ -912,3 +912,85 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# GX2 — COGROUPED map (groupBy().cogroup().applyInPandas): the two-input
+# Arrow escape hatch. Each user's clicks and purchases arrive as two
+# aligned pandas frames in one Python call — the shape for per-key merges
+# that need both sides at once (as-of context, feature joins against a
+# per-key history) when a relational formulation would be awkward.
+# Completes the Pandas-API surface next to pandas_udf (SIM3), mapInPandas
+# (MM*), applyInPandas (GX1), and applyInPandasWithState (ST4).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cogroup_click_context",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.purchase_id,
+           CAST(COUNT(c.cts) AS BIGINT) AS n_clicks_before
+    FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts
+    GROUP BY p.user_id, p.purchase_id
+    ORDER BY p.user_id, p.purchase_id
+    """,
+    tags=("GX2",),
+)
+def cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GX2: for every purchase, how many of the same user's clicks happened
+    at or before it — computed with the cogrouped-map API: one sorted
+    numpy searchsorted per user over BOTH event frames at once, instead of
+    the relational inequality join the oracle states (which Spark would
+    execute as an equi-join on user plus residual — fine, but O(clicks x
+    purchases) per user; the cogroup is O((c+p) log c) per user).
+
+    Scale shape: both sides hash-partition on user_id once; each Python
+    call receives one user's two frames via Arrow. Per-key state is
+    bounded by that user's history — the practical ceiling is the largest
+    single key, same as any grouped-map."""
+    import numpy as np
+    import pandas as pd
+
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # The two sides MUST carry disjoint column names: both derive from the
+    # same base plan, and a shared name ("ts") makes Catalyst bind the
+    # purchases side's reference to the CLICKS side's attribute id — the
+    # right child then silently loses its timestamp column (observed as a
+    # pruned-away ts under count()/projection plans). Disjoint names make
+    # the binding unambiguous under every plan shape.
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+
+    def merge(key, cdf, pdf):
+        n = len(pdf)
+        cts = np.sort(cdf["cts"].to_numpy(dtype="datetime64[us]"))
+        pts = pdf["pts"].to_numpy(dtype="datetime64[us]")
+        return pd.DataFrame(
+            {
+                "user_id": np.full(n, key[0], dtype="int64"),
+                "purchase_id": pdf["purchase_id"].to_numpy(dtype="int64"),
+                "n_clicks_before": np.searchsorted(cts, pts, side="right").astype("int64"),
+            }
+        )
+
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(merge, "user_id long, purchase_id long, n_clicks_before long")
+    )
+    return out.orderBy("user_id", "purchase_id")

@@ -539,3 +539,22 @@ def test_native_session_window_stream_matches_batch(spark, tmp_path):
 
     got, want = canon(out.collect()), canon(batch.collect())
     assert len(want) > 0 and got == want
+
+
+def test_cogroup_sides_survive_projection_plans(spark):
+    """Regression (GX2): both cogroup sides derived from the SAME base plan
+    with a shared column name ('ts') made Catalyst bind the purchases
+    side's timestamp to the clicks side's attribute id — under projected
+    plans the right child silently lost its column (KeyError under
+    count(); silently-zero values under a sum projection). With disjoint
+    per-side names, every plan shape must agree and values be real."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    df = all_specs()["cogroup_click_context"].builder(spark, SF_SMOKE)
+    n_full = len(df.collect())
+    assert df.count() == n_full and df.limit(1).count() == 1
+    total = df.agg(F.sum("n_clicks_before")).head()[0]
+    total_full = sum(r["n_clicks_before"] for r in df.collect())
+    assert total == total_full and total > 0
