@@ -150,6 +150,9 @@ def test_coverage_inventory_in_sync():
         "mm_dhash_dedup",
         "sim_partitioned_knn_gemm",
         "stream_session_window_native",
+        "cogroup_click_context",
+        "curation_leakage_safe_split",
+        "graph_clustering_coefficient",
     ],
 )
 def test_round4_ops_partition_count_invariant(name, spark):
