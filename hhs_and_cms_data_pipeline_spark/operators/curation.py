@@ -29,6 +29,7 @@ from ..functions.exact import davg, sql_davg
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
+from .dedup import _SQL_CLUSTERS_CTES, min_label_components
 from .text import (
     SQL_BIGRAMS,
     SQL_QC_RAW,
@@ -846,25 +847,10 @@ _SPLIT_TRAIN_HEX = "cccc"  # 52428/65536 ~ 80.0%
 _SPLIT_VAL_HEX = "e666"  # next ~10.0%
 
 
-from .dedup import _SQL_VERIFIED_PAIRS_CTES as _SQL_VPAIRS_CTES
-
-
 @register(
     "curation_leakage_safe_split",
     oracle=f"""
-    WITH RECURSIVE {_SQL_VPAIRS_CTES},
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM vpairs
-      UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM vpairs),
-    reach(doc_id, r) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT reach.doc_id, e.dst
-      FROM reach JOIN edges e ON e.src = reach.r),
-    clusters AS (
-      SELECT doc_id, MIN(r) AS cluster_id
-      FROM reach GROUP BY doc_id),
+    WITH RECURSIVE {_SQL_CLUSTERS_CTES},
     hashed AS (
       SELECT doc_id, cluster_id,
              substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4) AS h
@@ -890,8 +876,6 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assignment is a pure function of cluster_id, reproducible on any
     cluster and any engine (md5 thresholds mirrored in the oracle)."""
     ensure_session_conf(spark)
-    from .dedup import min_label_components
-
     docs = spread(table(spark, sf_dir, "documents"))
     labels = min_label_components(docs)
     h = F.substring(

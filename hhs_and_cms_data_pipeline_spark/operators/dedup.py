@@ -330,6 +330,23 @@ _SQL_VERIFIED_PAIRS_CTES = f"""{_SQL_CAND_CTES},
       WHERE CAST(n_shared AS DOUBLE)
               / CAST(sa.n + sb.n - n_shared AS DOUBLE) >= {_JACCARD_TAU})"""
 
+# Shared recursive-CTE text: connected-component labels over the verified
+# near-dup pair graph — `clusters` = (doc_id, cluster_id). ONE definition
+# used by the D8, D9, and C13 oracles (three verbatim copies previously had
+# to move in lockstep whenever the clustering semantics changed).
+_SQL_CLUSTERS_CTES = f"""{_SQL_VERIFIED_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM vpairs),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc_id, e.dst
+      FROM reach JOIN edges e ON e.src = reach.r),
+    clusters AS (
+      SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)"""
+
 
 @register(
     "dedup_minhash_lsh",
@@ -376,19 +393,9 @@ _CC_MAX_ITERS = 20
 @register(
     "dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_SQL_VERIFIED_PAIRS_CTES},
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM vpairs
-      UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM vpairs),
-    reach(doc_id, r) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT reach.doc_id, e.dst
-      FROM reach JOIN edges e ON e.src = reach.r)
-    SELECT doc_id, MIN(r) AS cluster_id
-    FROM reach
-    GROUP BY doc_id
+    WITH RECURSIVE {_SQL_CLUSTERS_CTES}
+    SELECT doc_id, cluster_id
+    FROM clusters
     ORDER BY doc_id
     """,
     tags=("D8",),
@@ -462,23 +469,12 @@ def min_label_components(docs: DataFrame) -> DataFrame:
 @register(
     "dedup_canonical_corpus",
     oracle=f"""
-    WITH RECURSIVE {_SQL_VERIFIED_PAIRS_CTES},
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM vpairs
-      UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM vpairs),
-    reach(doc_id, r) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT reach.doc_id, e.dst
-      FROM reach JOIN edges e ON e.src = reach.r),
-    labels AS (
-      SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    WITH RECURSIVE {_SQL_CLUSTERS_CTES},
     csizes AS (
-      SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1)
     SELECT l.doc_id, d.lang, d.source, d.n_chars,
            CAST(s.cluster_size AS BIGINT) AS cluster_size
-    FROM labels l
+    FROM clusters l
     JOIN csizes s USING (cluster_id)
     JOIN documents d ON d.doc_id = l.doc_id
     WHERE l.doc_id = l.cluster_id

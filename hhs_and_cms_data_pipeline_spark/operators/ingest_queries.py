@@ -293,13 +293,29 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  'fips_code':'VARCHAR','geocoded_hospital_address':'VARCHAR',
                  'collection_week':'VARCHAR',{_SQL_METRIC_COLS}}})),
     parsed AS (
-      SELECT hospital_pk, state,
+      SELECT hospital_pk, state, hospital_name, address, city,
+             zip AS zip_code, fips_code,
+             CAST(string_split(substr(geocoded_hospital_address, 8,
+                    length(geocoded_hospital_address) - 8), ' ')[1] AS DOUBLE)
+               AS longitude,
+             CAST(string_split(substr(geocoded_hospital_address, 8,
+                    length(geocoded_hospital_address) - 8), ' ')[2] AS DOUBLE)
+               AS latitude,
              CAST(collection_week AS DATE) AS collection_week,
              {_SQL_SCRUB}
       FROM raw),
     deduped AS (
+      -- the FULL total-order tiebreak of prep_hhs / the ING1 oracle: with
+      -- only collection_week, two same-pk same-week rows differing in
+      -- metrics would be picked arbitrarily and diverge from Spark
       SELECT *, ROW_NUMBER() OVER (PARTITION BY hospital_pk
-                  ORDER BY collection_week NULLS LAST) AS rn
+                  ORDER BY collection_week NULLS LAST,
+                           hospital_name NULLS LAST,
+                           state NULLS LAST, address NULLS LAST,
+                           city NULLS LAST, zip_code NULLS LAST,
+                           fips_code NULLS LAST, longitude NULLS LAST,
+                           latitude NULLS LAST,
+                           {", ".join(f"{m} NULLS LAST" for m in _METRICS)}) AS rn
       FROM parsed),
     prepped AS (SELECT * FROM deduped WHERE rn = 1),
     cms AS (

@@ -649,7 +649,7 @@ def k6_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows,
            MIN(n_nationkey) AS min_key,
            MAX(n_nationkey) AS max_key
-    FROM read_parquet('{os.path.join(_IO_DIR, "k1_nation")}/*/*.parquet',
+    FROM read_parquet('{os.path.join(_IO_DIR, "k7_nation")}/*/*.parquet',
                       filename=true)
     GROUP BY 1
     ORDER BY min_key, file_name
@@ -657,9 +657,10 @@ def k6_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("K7",),
 )
 def k7_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K7: the manifest of the K1 partitioned layout — one row per data
-    file with its row count and key range, computed distributed from the
-    data itself (`input_file_name()` + per-file aggregate). This is what a
+    """K7: the manifest of an atomically-published partitioned layout —
+    one row per data file with its row count and key range, computed
+    distributed from the data itself (`input_file_name()` + per-file
+    aggregate). This is what a
     data-skipping planner consults instead of data: a scan with
     `n_nationkey = 7` prunes to files whose [min_key, max_key] covers 7.
     In production the manifest is maintained INCREMENTALLY at write time
@@ -668,11 +669,19 @@ def k7_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one column-pruned pass over the table. Oracle: DuckDB's
     read_parquet(filename=true) over the same files."""
     ensure_session_conf(spark)
-    # (re)materialize the K1 layout — the builder is idempotent
-    k1_partitioned_append(spark, sf_dir)
-    path = os.path.join(_IO_DIR, "k1_nation")
+    # K7 owns its layout and publishes it ATOMICALLY (symlink swap):
+    # reusing k1's fixed path would let this oracle's file glob race k1's
+    # rmtree-then-rewrite in another process; here a concurrent republish
+    # leaves the old complete version readable until the swap.
+    path = os.path.join(_IO_DIR, "k7_nation")
+    src = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_parquet_atomic(
+        src, path, partition_by=["n_regionkey"], gc_grace_seconds=3600.0
+    )
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(os.path.realpath(path))
         .select(
             # keep the partition dir in the name: one write TASK reuses the
             # same part-file basename in EVERY partition dir it writes, so a

@@ -930,10 +930,10 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
-      FROM events WHERE event_type = 'click'),
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
     p AS (
       SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
-      FROM events WHERE event_type = 'purchase')
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
     SELECT p.user_id, p.purchase_id,
            CAST(COUNT(c.cts) AS BIGINT) AS n_clicks_before
     FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts
@@ -967,6 +967,11 @@ def cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right child then silently loses its timestamp column (observed as a
     # pruned-away ts under count()/projection plans). Disjoint names make
     # the binding unambiguous under every plan shape.
+    # null-ts rows are dropped on BOTH engines: numpy sorts NaT LAST where
+    # SQL comparisons against NULL are false — an untimed event would count
+    # every click on one engine and none on the other (mirrors the
+    # sessionize null-ts contract in with_session_seq)
+    ev = ev.filter(F.col("ts").isNotNull())
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("cts")
     )
