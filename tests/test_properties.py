@@ -458,3 +458,66 @@ def test_leakage_safe_split_never_straddles_near_dups(spark):
     for cid, split in assign.values():
         by_cluster.setdefault(cid, set()).add(split)
     assert all(len(s) == 1 for s in by_cluster.values())
+
+
+# random per-user click/purchase timelines on a small second grid
+_ev_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # user_id
+        st.integers(0, 50),           # minutes offset
+        st.booleans(),                # is_purchase
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(data=_ev_rows)
+@settings(**_SETTINGS)
+def test_cogroup_click_context_matches_bruteforce(spark, data):
+    """GX2 against a 5-line python model on ANY random timeline: for each
+    purchase, n_clicks_before must equal the count of same-user clicks at
+    or before it (ties included)."""
+    import datetime as _dt
+
+    from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
+        cogroup_click_context,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + _dt.timedelta(minutes=m),
+            u,
+            "purchase" if p else "click",
+            0.0,
+            "{}",
+        )
+        for i, (u, m, p) in enumerate(data)
+    ]
+    docs = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gx2_prop_")
+    try:
+        docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["user_id"], r["purchase_id"]): r["n_clicks_before"]
+            for r in cogroup_click_context(spark, d).collect()
+        }
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    expect = {}
+    for i, (u, m, p) in enumerate(data):
+        if p:
+            expect[(u, i)] = sum(
+                1 for j, (u2, m2, p2) in enumerate(data)
+                if u2 == u and not p2 and m2 <= m
+            )
+    assert got == expect
