@@ -191,3 +191,102 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("clustering_coeff"), F.asc("part"))
         .limit(_TRI_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# GRAPH3 — PageRank, fixed-point integer arithmetic (bit-exact across
+# engines). Floating-point PageRank cannot be differentially tested: SUM
+# over doubles is order-dependent and Spark/DuckDB reduce in different
+# orders. Instead ranks live in scaled BIGINT units (SCALE = 1e9 == rank
+# 1.0) and every step is integer: contribution = r // deg per out-edge,
+# update = BASE + (85 * sum(contribs)) // 100. Truncating integer division
+# is identical on both engines for the all-positive values here, so three
+# power-method iterations agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000  # fixed-point 1.0
+_PR_BASE = (15 * _PR_SCALE) // 100  # (1 - d) with d = 0.85
+_PR_ITERS = 3
+_PR_TOP_K = 20
+
+# One iteration as a CTE body: rank_prev(n, r) -> rank_next(n, r).
+# Every node of this graph has out-degree >= 1 (edges are the undirected
+# co-occurrence set doubled), so grouping by destination covers all nodes
+# and there is no dangling-mass term.
+def _sql_pr_iter(prev: str, nxt: str) -> str:
+    return f"""
+    {nxt} AS (
+      SELECT e.v AS n,
+             {_PR_BASE} + (85 * SUM({prev}.r // d.deg)) // 100 AS r
+      FROM dir e
+      JOIN {prev} ON e.u = {prev}.n
+      JOIN pr_deg d ON e.u = d.n
+      GROUP BY e.v)"""
+
+
+_SQL_PAGERANK = f"""
+    {_SQL_EDGES},
+    dir AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    pr_deg AS (SELECT u AS n, COUNT(*) AS deg FROM dir GROUP BY 1),
+    r0 AS (SELECT n, CAST({_PR_SCALE} AS BIGINT) AS r FROM pr_deg),
+    {_sql_pr_iter("r0", "r1")},
+    {_sql_pr_iter("r1", "r2")},
+    {_sql_pr_iter("r2", "r3")}
+"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_SQL_PAGERANK}
+    SELECT n AS part, r AS rank_fp
+    FROM r3
+    ORDER BY rank_fp DESC, part
+    LIMIT {_PR_TOP_K}
+    """,
+    tags=("GRAPH3",),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH3: top-20 parts by 3-iteration fixed-point PageRank (d=0.85)
+    over the co-purchase graph — the canonical iterative-centrality workload
+    the reference's relational surface has no analogue for.
+
+    Scale posture (100 TB / 1000 executors): this is the Pregel pattern as
+    pure DataFrame ops — each iteration is one join of the rank vector
+    against the out-edge list (both hash-partitioned on the source key, so
+    AQE reuses the exchange) plus one aggregation keyed on the destination.
+    The edge list + degrees are materialized ONCE via localCheckpoint
+    before iterating: without it every iteration's lineage would re-run the
+    O(n²)-ish co-occurrence self-join, and an unbounded iteration count
+    would stack an unbounded DAG (same lineage-truncation discipline as
+    D8's label propagation, dedup.py). The iteration count is fixed, so the
+    physical plan is static and AQE can plan each stage from runtime stats.
+    Integer fixed-point arithmetic (module comment) keeps the result
+    bit-identical to the DuckDB oracle — no float-sum order sensitivity.
+    """
+    ensure_session_conf(spark)
+    und = _cooccurrence_edges(spark, sf_dir)
+    dir_edges = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = dir_edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # (u, v, deg): out-edges annotated with the source's out-degree; the
+    # one frame every iteration joins against — materialize it once.
+    src = dir_edges.join(deg, "u").localCheckpoint(eager=False)
+    rank = deg.select(F.col("u"), F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        rank = (
+            src.join(rank, "u")
+            .select(F.col("v"), F.expr("r div deg").alias("c"))
+            .groupBy("v")
+            .agg(
+                (F.lit(_PR_BASE) + F.expr("(85 * sum(c)) div 100")).alias("r")
+            )
+            .select(F.col("v").alias("u"), "r")
+        )
+    return (
+        rank.select(F.col("u").alias("part"), F.col("r").alias("rank_fp"))
+        .orderBy(F.desc("rank_fp"), F.asc("part"))
+        .limit(_PR_TOP_K)
+    )
