@@ -1066,3 +1066,92 @@ def xs5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("z", "l_orderkey", "l_partkey", "l_suppkey")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# W7 — SCD Type-2 interval build over the per-user rating history. The
+# reference keeps quality ratings as an append-only history table and
+# derives "latest" at query time (Phase1_updated.ipynb cell-10 DDL;
+# weekly-report.py:308-331 DISTINCT ON). The other standard consumption
+# shape is the slowly-changing-dimension view: collapse consecutive equal
+# ratings into validity intervals [valid_from, valid_to) with an is_current
+# flag — what a warehouse would materialize to join facts AS OF any date.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w7_scd2_rating_intervals",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             (abs(CAST(floor(value) AS BIGINT)) % 5) + 1 AS rating
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL),
+    changes AS (
+      SELECT user_id, ts, event_id, rating,
+             LAG(rating) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_rating
+      FROM hist),
+    scd AS (
+      SELECT user_id, rating, ts AS valid_from,
+             LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS version
+      FROM changes
+      WHERE prev_rating IS NULL OR rating <> prev_rating)
+    SELECT user_id, rating, valid_from, valid_to, version,
+           valid_to IS NULL AS is_current
+    FROM scd
+    ORDER BY user_id, version
+    """,
+    tags=("W7",),
+)
+def w7_scd2_rating_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: SCD-2 validity intervals per user — each run of consecutive equal
+    ratings becomes one row [valid_from, valid_to) with a version number and
+    an is_current flag (valid_to IS NULL on the open interval).
+
+    Two stacked windows, both partitioned by user_id: (1) LAG change
+    detection keeps only rows where the rating differs from its
+    predecessor; (2) LEAD over the surviving change-points closes each
+    interval with the next one's start. Scale posture: user_id is
+    high-cardinality, so both windows sort within small per-user groups
+    after ONE hash exchange (the second window reuses the first's
+    partitioning — no extra shuffle), and no global window exists anywhere.
+    Ordering is total per user — ties on ts broken by event_id — so the
+    survivor set is deterministic (same contract as R3's DISTINCT ON
+    replacement, report.py). Null ts/value rows are dropped up front,
+    mirrored by the oracle's WHERE, pinning the NULLS FIRST/LAST divergence
+    the sessionize operators document (streaming_batch.py).
+    """
+    ensure_session_conf(spark)
+    hist = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.abs(F.floor("value").cast("bigint")) % 5 + 1).alias("rating"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    change_points = (
+        hist.withColumn("prev_rating", F.lag("rating").over(w))
+        .filter(
+            F.col("prev_rating").isNull()
+            | (F.col("rating") != F.col("prev_rating"))
+        )
+    )
+    return (
+        change_points.select(
+            "user_id",
+            "rating",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).alias("version"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
