@@ -537,3 +537,93 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# ER1 — entity-resolution candidate pairs: blocking + edit-distance score.
+# The reference dedups hospital/location identities on exact natural keys
+# only (helper_load_hhs.py:96,163 ON CONFLICT); real record linkage needs
+# fuzzy matching, and the scalable shape is block -> score -> threshold.
+# --------------------------------------------------------------------------
+
+_ER_BLOCK_LEN = 16
+_ER_MAX_EDIT = 1
+
+
+@register(
+    "er_customer_blocking",
+    oracle=f"""
+    WITH blocked AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             substr(c_name, 1, {_ER_BLOCK_LEN}) AS blk
+      FROM customer)
+    SELECT a.c_custkey AS custkey_a,
+           b.c_custkey AS custkey_b,
+           a.c_name AS name_a,
+           b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name) AS edit_distance,
+           a.c_nationkey = b.c_nationkey AS same_nation,
+           CAST(greatest(length(a.c_name), length(b.c_name))
+                  - levenshtein(a.c_name, b.c_name) AS DOUBLE)
+             / CAST(greatest(length(a.c_name), length(b.c_name)) AS DOUBLE)
+             AS name_similarity
+    FROM blocked a
+    JOIN blocked b
+      ON a.blk = b.blk
+     AND a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= {_ER_MAX_EDIT}
+    ORDER BY custkey_a, custkey_b
+    """,
+    tags=("ER1",),
+)
+def er_customer_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER1: fuzzy record-linkage candidates over customer names — the
+    block/score/threshold pattern (Fellegi-Sunter style blocking) that
+    replaces the quadratic all-pairs comparison.
+
+    Blocking key = name prefix (_ER_BLOCK_LEN chars): the self-join is an
+    equi-join on the block, so Spark shuffles each block to one partition
+    and the pair enumeration is bounded by the largest block, never n² over
+    the table — the same candidate-generation discipline as the dedup
+    suite's LSH bucket joins (dedup.py). Scoring is F.levenshtein (JVM
+    whole-stage codegen, identical semantics to DuckDB's levenshtein), and
+    the normalized similarity is an exact-int division in DOUBLE, so the
+    differential gate is bit-exact. At 100 TB the block key would be a
+    composite (e.g. phonetic code + region) chosen to keep the max block
+    size bounded; the structure here is that plan.
+    """
+    ensure_session_conf(spark)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, _ER_BLOCK_LEN).alias("blk"),
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    longest = F.greatest(
+        F.length(F.col("a.c_name")), F.length(F.col("b.c_name"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (lev <= _ER_MAX_EDIT),
+        )
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            lev.alias("edit_distance"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey")).alias(
+                "same_nation"
+            ),
+            ((longest - lev).cast("double") / longest.cast("double")).alias(
+                "name_similarity"
+            ),
+        )
+        .orderBy("custkey_a", "custkey_b")
+    )
