@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
-from .text import SQL_BIGRAMS, tokens, word_bigram_arrays, word_bigrams
+from .text import (
+    SQL_BIGRAMS,
+    SQL_TOKS,
+    bigram_multiset,
+    tokens,
+    word_bigram_arrays,
+    word_bigrams,
+)
 
 # --------------------------------------------------------------------------
 # Exact dedup: hash-groupBy, keep minimum doc_id (deterministic first-wins).
@@ -1286,4 +1293,138 @@ def dedup_remove_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D13 — tf-weighted cosine near-dup pairs over word bigrams. Complements
+# D2 (SET-semantics Jaccard over the same shingles) with the WEIGHTED
+# sparse-vector similarity: repeated shingles count, so a doc that repeats
+# a passage scores differently than under set overlap. All arithmetic is
+# integer until the final exact-int division, and the threshold test is a
+# pure integer inequality (25*dot^2 >= 16*|a|^2*|b|^2  <=>  cos >= 4/5),
+# so the differential gate is bit-exact with no float comparisons at all.
+# --------------------------------------------------------------------------
+
+# cos >= _COS_NUM/_COS_DEN; compared squared & cross-multiplied in BIGINT.
+_COS_NUM = 4
+_COS_DEN = 5
+
+_SQL_TF_COSINE = f"""
+    bg_ms AS (
+      SELECT doc_id,
+             w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      FROM ({SQL_TOKS})
+      QUALIFY bg IS NOT NULL),
+    tfv AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bg_ms GROUP BY 1, 2),
+    norms2 AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM tfv GROUP BY 1),
+    rare_bg AS (
+      SELECT bg FROM tfv GROUP BY 1 HAVING COUNT(*) <= {_STOP_SHINGLE_DF}),
+    cand_cos AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tfv a
+      JOIN rare_bg r ON a.bg = r.bg
+      JOIN tfv b ON a.bg = b.bg AND a.doc_id < b.doc_id),
+    dots AS (
+      SELECT c.doc_a, c.doc_b, SUM(a.tf * b.tf) AS dot
+      FROM cand_cos c
+      JOIN tfv a ON a.doc_id = c.doc_a
+      JOIN tfv b ON b.doc_id = c.doc_b AND a.bg = b.bg
+      GROUP BY 1, 2)
+"""
+
+
+@register(
+    "dedup_token_cosine",
+    oracle=f"""
+    WITH {_SQL_TF_COSINE}
+    SELECT d.doc_a, d.doc_b, d.dot,
+           CAST(d.dot * d.dot AS DOUBLE) / CAST(na.n2 * nb.n2 AS DOUBLE)
+             AS cos2
+    FROM dots d
+    JOIN norms2 na ON d.doc_a = na.doc_id
+    JOIN norms2 nb ON d.doc_b = nb.doc_id
+    WHERE {_COS_DEN * _COS_DEN} * d.dot * d.dot
+            >= {_COS_NUM * _COS_NUM} * na.n2 * nb.n2
+    ORDER BY d.doc_a, d.doc_b
+    """,
+    tags=("D13",),
+)
+def dedup_token_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13: near-dup pairs with tf-weighted bigram cosine >= 0.8.
+
+    Sparse-vector cosine via the inverted index: term-frequency vectors
+    never materialize as dense arrays — the dot product is a join of the
+    (doc, bigram, tf) relation with itself on the shingle key, restricted
+    to candidate pairs that share at least one sub-cap shingle (the same
+    stop-shingle document-frequency cap as D2: ultra-frequent shingles are
+    the inverted-index skew bomb; each surviving pair's dot still counts
+    ALL its shared shingles, so scores stay exact; the oracle implements
+    the identical cap). Squared norms are BIGINT sums; the threshold is the
+    cross-multiplied integer inequality 25*dot^2 >= 16*na2*nb2, and the
+    reported cos2 is one exact-int division in DOUBLE — bit-identical
+    across engines. At 100 TB every stage is a keyed shuffle on either
+    doc_id or the shingle (bounded per key by the df cap); nothing is
+    quadratic in the corpus.
+    """
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokens().alias("toks"))
+    tf = (
+        toked.select(
+            "doc_id", F.explode(bigram_multiset(F.col("toks"))).alias("bg")
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    rare = (
+        tf.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _STOP_SHINGLE_DF)
+        .select("bg")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    cand = (
+        a.join(rare, "bg", "semi")
+        .alias("a")
+        .join(
+            b,
+            (F.col("a.bg") == F.col("b.bg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    dots = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("a.bg") == F.col("b.bg")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.lit(_COS_DEN * _COS_DEN) * F.col("dot") * F.col("dot")
+            >= F.lit(_COS_NUM * _COS_NUM) * F.col("na2") * F.col("nb2")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            (
+                (F.col("dot") * F.col("dot")).cast("double")
+                / (F.col("na2") * F.col("nb2")).cast("double")
+            ).alias("cos2"),
+        )
+        .orderBy("doc_a", "doc_b")
     )
