@@ -1155,3 +1155,96 @@ def w7_scd2_rating_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "version")
     )
+
+
+# --------------------------------------------------------------------------
+# XA6 — ordered-set aggregates: deterministic MODE + exact MEDIAN by group.
+# Spark's F.mode and DuckDB's mode() both break frequency ties in
+# nondeterministic (encounter) order, so the differential contract uses the
+# explicit count -> rank formulation with a total tie-break (count DESC,
+# value ASC) — the only mode definition that is reproducible at all. The
+# median of an integer column is an exact order statistic (x or x.5), so
+# Spark's F.median and DuckDB's median agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa6_mode_median_by_group",
+    oracle="""
+    WITH rated AS (
+      SELECT event_type,
+             (abs(CAST(floor(value) AS BIGINT)) % 5) + 1 AS rating
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    freq AS (
+      SELECT event_type, rating, COUNT(*) AS cnt
+      FROM rated GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, rating, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY cnt DESC, rating ASC) AS rnk
+      FROM freq),
+    med AS (
+      SELECT event_type,
+             CAST(median(rating) AS DOUBLE) AS median_rating,
+             COUNT(*) AS n
+      FROM rated GROUP BY 1)
+    SELECT m.event_type,
+           r.rating AS mode_rating,
+           r.cnt AS mode_count,
+           m.median_rating,
+           m.n
+    FROM med m
+    JOIN ranked r ON m.event_type = r.event_type AND r.rnk = 1
+    ORDER BY m.event_type
+    """,
+    tags=("XA6",),
+)
+def xa6_mode_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA6: per event type, the most frequent rating (deterministic mode:
+    frequency ties broken by the smaller rating) and the exact median
+    rating.
+
+    Mode is count -> row_number(cnt DESC, rating ASC) = 1: one keyed
+    aggregation plus a window over the tiny (event_type, rating) frequency
+    frame — never a per-group sort of raw data. Median uses F.median
+    (exact single-pass order statistic; at 100 TB swap for
+    percentile_approx if the per-group value sets outgrow memory — the
+    frequency-table route here already reduces before any ranking).
+    """
+    ensure_session_conf(spark)
+    rated = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            (F.abs(F.floor("value").cast("bigint")) % 5 + 1).alias("rating"),
+        )
+    )
+    freq = rated.groupBy("event_type", "rating").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("rating")
+    )
+    mode = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("rating").alias("mode_rating"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+    med = rated.groupBy("event_type").agg(
+        F.median("rating").cast("double").alias("median_rating"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        med.join(mode, "event_type")
+        .select(
+            "event_type", "mode_rating", "mode_count", "median_rating", "n"
+        )
+        .orderBy("event_type")
+    )
