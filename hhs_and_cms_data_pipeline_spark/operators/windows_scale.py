@@ -1248,3 +1248,109 @@ def xa6_mode_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# XS6 — explicit Bloom-filter semi-join reduction. Spark's optimizer CAN
+# inject a runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter.*),
+# but only under a shuffle join whose application side exceeds a multi-GB
+# scan threshold — conditions a correctness-gate-sized input never meets
+# and that per-query session mutation shouldn't force. So the 100 TB
+# pattern is built explicitly from relational parts: hash the build-side
+# keys into a BITMAP RELATION (word_index -> bit_or of masks, ~2k rows),
+# broadcast it, prune the probe side map-only with two bitwise membership
+# probes, then run the exact semi-join over the survivors. The bloom stage
+# only ever REMOVES definite non-members (false positives survive to the
+# exact join), so the composition is semantically a plain semi-join — which
+# is exactly what the oracle states.
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 17  # 131072 bits = 2048 x 64-bit words
+_BLOOM_P = 2_147_483_647  # Mersenne prime 2^31 - 1; (k % P) * A stays < 2^62
+_BLOOM_HASHES = ((2_654_435_761, 1_013_904_223), (40_503, 69_621))
+
+
+def _with_bloom_probe(df: DataFrame, key_col: str, i: int) -> DataFrame:
+    """Append pw{i} (word index) and pm{i} (bit mask) for hash i of the key
+    column — pure integer Column arithmetic, engine-agnostic."""
+    a, b = _BLOOM_HASHES[i]
+    pos = ((F.col(key_col) % _BLOOM_P) * F.lit(a) + F.lit(b)) % _BLOOM_P % _BLOOM_BITS
+    return (
+        df.withColumn(f"_pos{i}", pos)
+        .withColumn(f"pw{i}", F.expr(f"_pos{i} div 64"))
+        .withColumn(f"pm{i}", F.expr(f"shiftleft(1L, cast(_pos{i} % 64 as int))"))
+        .drop(f"_pos{i}")
+    )
+
+
+def bloom_prefiltered_lineitem(spark: SparkSession, sf_dir: str):
+    """(pruned lineitem frame, urgent-order keys frame) — exposed for the
+    pruning-effectiveness test. The pruned frame still contains bloom false
+    positives; callers MUST finish with the exact semi-join."""
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bloom_words = None
+    for i in range(len(_BLOOM_HASHES)):
+        part = _with_bloom_probe(urgent, "o_orderkey", i).select(
+            F.col(f"pw{i}").alias("word"), F.col(f"pm{i}").alias("mask")
+        )
+        bloom_words = part if bloom_words is None else bloom_words.unionAll(part)
+    bloom = bloom_words.groupBy("word").agg(
+        F.expr("bit_or(mask)").alias("words")
+    )
+    pruned = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for i in range(len(_BLOOM_HASHES)):
+        b = F.broadcast(
+            bloom.select(
+                F.col("word").alias(f"w{i}"), F.col("words").alias(f"ws{i}")
+            )
+        )
+        pruned = (
+            _with_bloom_probe(pruned, "l_orderkey", i)
+            .join(b, F.col(f"pw{i}") == F.col(f"w{i}"), "inner")
+            .filter(F.col(f"pm{i}").bitwiseAND(F.col(f"ws{i}")) != 0)
+            .drop(f"pw{i}", f"pm{i}", f"w{i}", f"ws{i}")
+        )
+    return pruned, urgent
+
+
+@register(
+    "xs6_bloom_prefilter_join",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS urgent_revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    tags=("XS6",),
+)
+def xs6_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS6: revenue of lineitems belonging to URGENT orders, computed as
+    broadcast-bloom prune -> exact semi-join.
+
+    The build side collapses to a ~2048-row bitmap relation regardless of
+    key count; broadcasting it costs ~16 KB where broadcasting the key SET
+    would cost 8 bytes/key (prohibitive at 100 TB build sides). The probe
+    side is then filtered map-only — two integer hashes + bitwise AND
+    against the broadcast bitmap, inside whole-stage codegen — before the
+    only shuffle, so the exact semi-join sees ~priority-selectivity x
+    (1 + false-positive rate) of the fact table instead of all of it. The
+    multiplicative-mod hashes are engine-agnostic integer arithmetic (no
+    xxhash64 cross-engine dependency), and correctness never depends on
+    their quality: the final semi-join removes every false positive, which
+    is why the oracle is the plain IN-subquery.
+    """
+    ensure_session_conf(spark)
+    pruned, urgent = bloom_prefiltered_lineitem(spark, sf_dir)
+    survivors = pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey, "semi")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(rev, "urgent_revenue"),
+    )

@@ -126,3 +126,33 @@ def test_zorder_layout_enables_file_skipping(spark, tmp_path):
     rfrac = overlap_fraction(rdir, 0, 63)
     assert rfrac == 1.0, "hash-spread layout should overlap everywhere"
     assert zfrac <= 0.5, f"z-layout should skip most files, got {zfrac}"
+
+
+def test_bloom_prefilter_prunes_without_losing_matches(spark):
+    """XS6's broadcast-bitmap stage must (a) keep EVERY true match — bloom
+    filters have no false negatives — and (b) actually prune: the false-
+    positive passthrough among non-matching rows stays under 5% with the
+    2-hash/128Kbit sizing, so the exact semi-join sees a fraction of the
+    fact table. Guards the hash/bitmap arithmetic: a broken mask or word
+    index would silently degrade to pass-everything (still correct, no
+    longer a prefilter) or drop matches (caught here, not just by the
+    oracle's aggregate)."""
+    from hhs_and_cms_data_pipeline_spark.operators.windows_scale import (
+        bloom_prefiltered_lineitem,
+    )
+    from hhs_and_cms_data_pipeline_spark.sources import table
+    from tests.conftest import SF_SMOKE
+
+    pruned, urgent = bloom_prefiltered_lineitem(spark, SF_SMOKE)
+    li = table(spark, SF_SMOKE, "lineitem")
+    true_matches = li.join(
+        urgent, li.l_orderkey == urgent.o_orderkey, "semi"
+    ).count()
+    n_total = li.count()
+    n_pruned = pruned.count()
+    survivors = pruned.join(
+        urgent, pruned.l_orderkey == urgent.o_orderkey, "semi"
+    ).count()
+    assert survivors == true_matches, "bloom stage dropped true matches"
+    fp = (n_pruned - true_matches) / max(1, n_total - true_matches)
+    assert fp < 0.05, f"bloom passthrough too high: {fp:.3f}"
