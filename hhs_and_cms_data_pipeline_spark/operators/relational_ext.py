@@ -627,3 +627,112 @@ def er_customer_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey_a", "custkey_b")
     )
+
+
+# --------------------------------------------------------------------------
+# XA7 — approx_percentile next to the exact discrete percentile, checked by
+# contract (same pattern as XA2's HLL check): sketch internals differ
+# across engines, so the query asserts the Greenwald-Khanna rank-error
+# guarantee instead of the raw sketch value.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa7_approx_percentile_check",
+    oracle="""
+    SELECT quantile_disc(o_totalprice, 0.95) AS exact_p95,
+           TRUE AS approx_within_5pct
+    FROM orders
+    """,
+    tags=("XA7",),
+)
+def xa7_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA7: p95 of order value — exact discrete percentile plus a boolean
+    that the Greenwald-Khanna approx_percentile(accuracy=10000) lands
+    within 5% of it.
+
+    approx_percentile's merge across partitions is not reproducible across
+    engines (or even plan shapes), but its rank-error bound n/accuracy IS —
+    so, like XA2, the differential contract pins the guarantee, not the
+    sketch. At 100 TB the sketch is the only affordable route: single pass,
+    fixed memory, mergeable across executors, no per-group sort."""
+    ensure_session_conf(spark)
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    exact = F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)")
+    approx = F.expr("approx_percentile(o_totalprice, 0.95, 10000)")
+    return o.agg(
+        exact.alias("exact_p95"),
+        (F.abs(approx - exact) / exact <= F.lit(0.05)).alias(
+            "approx_within_5pct"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# XS7 — join-key skew profile: the diagnostic every 100 TB shuffle tuning
+# session starts with. Reports the heaviest join keys and their share of
+# the table — the numbers that decide between a plain shuffle join, AQE
+# skew splitting, and manual salting (XS1).
+# --------------------------------------------------------------------------
+
+_SKEW_TOP_K = 5
+
+
+@register(
+    "xs7_skew_profile",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys FROM per_key)
+    SELECT p.user_id, p.cnt,
+           CAST(p.cnt AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS share,
+           CAST(p.cnt AS DOUBLE)
+             / (CAST(t.n_rows AS DOUBLE) / CAST(t.n_keys AS DOUBLE))
+             AS skew_vs_mean,
+           t.n_keys
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY p.cnt DESC, p.user_id
+    LIMIT {_SKEW_TOP_K}
+    """,
+    tags=("XS7",),
+)
+def xs7_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS7: top-5 heaviest event join keys with their row share and
+    skew-vs-mean multiplier.
+
+    One keyed aggregation (partial-agg combines map-side, so the shuffle
+    carries one row per key), then a broadcast of the 1-row total for the
+    ratios — the per-key frame never funnels through a single partition
+    except for the final top-5. All ratios are exact-int divisions in
+    DOUBLE, bit-identical across engines. The skew_vs_mean column is the
+    decision number: keys at >> 1x mean are the ones AQE skew-join or XS1
+    salting exists for."""
+    ensure_session_conf(spark)
+    per_key = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = per_key.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n_rows").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.col("cnt").cast("double")
+                / (
+                    F.col("n_rows").cast("double")
+                    / F.col("n_keys").cast("double")
+                )
+            ).alias("skew_vs_mean"),
+            "n_keys",
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(_SKEW_TOP_K)
+    )
