@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import dsum, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
@@ -634,4 +635,74 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("raw_score") >= 0, F.lit("keep"))
         .otherwise(F.lit("drop"))
         .alias("label"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# TX9 — corpus-rarity score: a language-model-free surprisal proxy. True LM
+# scoring needs log-probabilities, and log() is not bit-reproducible across
+# engines (libm vs java.lang.Math) — so the score is the average INVERSE
+# unigram probability, sum(N / count(w)) / n_tokens: every term is one
+# exact-int division in DOUBLE and the sum rides the decimal route, making
+# the whole signal differentially testable. Monotonic in token rarity, so
+# it ranks documents the same way an LM-surprisal heuristic would.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_rarity_score",
+    oracle=f"""
+    WITH toks9 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    cnt9 AS (SELECT w, COUNT(*) AS cnt FROM toks9 GROUP BY 1),
+    tot9 AS (SELECT COUNT(*) AS n FROM toks9),
+    per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             {sql_dsum("CAST(x.n AS DOUBLE) / CAST(c.cnt AS DOUBLE)")}
+               AS rarity_sum
+      FROM toks9 t
+      JOIN cnt9 c ON t.w = c.w
+      CROSS JOIN tot9 x
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, rarity_sum,
+           rarity_sum / CAST(n_tokens AS DOUBLE) AS rarity
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    tags=("TX9",),
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX9: per-document average inverse unigram probability (module
+    comment) — high values mean the document leans on corpus-rare tokens,
+    the rarity half of a quality/novelty signal.
+
+    Shape at 100 TB: the unigram count table is vocabulary-sized (tiny next
+    to the corpus), so it BROADCASTS to the token stream — the only
+    shuffles are the two keyed aggregations (corpus counts; per-doc sums),
+    both with map-side partial aggregation. The corpus-total scalar rides
+    the same broadcast cross-join pattern as the uncorrelated scalar
+    subqueries (Q2). Per-term division is exact-int-over-exact-int in
+    DOUBLE; the per-doc sum goes through DECIMAL(38,6) so partition order
+    cannot perturb the result."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens()).alias("w"))
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    term = F.col("n").cast("double") / F.col("cnt").cast("double")
+    per_doc = (
+        toks.join(F.broadcast(cnt), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dsum(term, "rarity_sum"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "rarity_sum",
+        (F.col("rarity_sum") / F.col("n_tokens").cast("double")).alias("rarity"),
     ).orderBy("doc_id")
