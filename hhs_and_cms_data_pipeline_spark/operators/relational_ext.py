@@ -736,3 +736,184 @@ def xs7_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("user_id"))
         .limit(_SKEW_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# XT1 — time-series gap fill: dense hourly calendar spine per event type,
+# zero-filled counts, and last-observation-carried-forward sums. The
+# reference's weekly report silently skips weeks with no rows
+# (weekly-report.py:276-287 GROUP BY over present weeks only); a dense
+# spine is what dashboards and downstream models actually need.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xt1_gapfill_locf",
+    oracle=f"""
+    WITH ev AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             event_type, value
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+    spine_h AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    spine AS (SELECT h, event_type FROM spine_h CROSS JOIN types),
+    hourly AS (
+      SELECT h, event_type, COUNT(*) AS n,
+             {sql_dsum("value")} AS sum_value
+      FROM ev GROUP BY 1, 2)
+    SELECT s.h, s.event_type,
+           COALESCE(d.n, 0) AS n,
+           d.sum_value,
+           last_value(d.sum_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sum_value_locf
+    FROM spine s LEFT JOIN hourly d ON s.h = d.h AND s.event_type = d.event_type
+    ORDER BY s.event_type, s.h
+    """,
+    tags=("XT1",),
+)
+def xt1_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XT1: dense hourly series per event type — empty hours appear with
+    n=0, a NULL raw sum, and the last observed sum carried forward.
+
+    The spine is generated, not scanned: one scalar min/max aggregate, then
+    sequence() exploded against the 5-row type dim — O(hours x types) rows
+    regardless of fact size, so the LEFT JOIN against the pre-aggregated
+    hourly frame is spine-sized. LOCF is last(ignorenulls) over a per-type
+    window: partitioned by event_type, never global. At 100 TB the hourly
+    pre-aggregation is the only fact-sized stage, and it partial-aggregates
+    map-side before its one shuffle."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "event_type",
+            "value",
+        )
+    )
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine_h = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_h.crossJoin(F.broadcast(types))
+    hourly = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["h", "event_type"], "left")
+        .select(
+            "h",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            "sum_value",
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+# --------------------------------------------------------------------------
+# XA8 — weekly cohort retention: users grouped by first-activity week,
+# tracked by distinct activity in each subsequent week. The canonical
+# product-analytics rollup the reference's weekly trend (report R1) is one
+# step short of.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa8_cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS d
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type = 'purchase'),
+    firsts AS (
+      SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, e.d) AS day_offset
+      FROM ev e JOIN firsts f ON e.user_id = f.user_id),
+    sizes AS (
+      SELECT cohort_day, COUNT(*) AS cohort_size
+      FROM firsts GROUP BY 1)
+    SELECT a.cohort_day, a.day_offset,
+           COUNT(*) AS n_active,
+           s.cohort_size,
+           CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+             AS retention
+    FROM activity a JOIN sizes s ON a.cohort_day = s.cohort_day
+    GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+    ORDER BY a.cohort_day, a.day_offset
+    """,
+    tags=("XA8",),
+)
+def xa8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA8: classic retention triangle over purchase activity — per (first-
+    purchase day, day offset): distinct returning purchasers and their
+    share of the cohort. Daily purchase grain, not weekly all-events: the
+    uniform synthetic activity makes every coarser cut vacuously 100%
+    retained, and a retention operator that only ever reports 1.0 proves
+    nothing (the D6 lesson).
+
+    Two keyed aggregations (first day per user; distinct activity cells)
+    plus a broadcast join against the cohort-size dim (one row per day).
+    user_id is the partition key everywhere fact-sized, so no skew and no
+    global windows; retention is one exact-int division in DOUBLE. At
+    100 TB the distinct-activity reduction happens before anything is
+    joined — the cells frame is at most users x days, already tiny
+    relative to raw events."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
