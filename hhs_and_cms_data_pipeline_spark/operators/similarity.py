@@ -739,3 +739,168 @@ def sim_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "rnk", "vec_id", "cosine")
         .orderBy("probe_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# SIM9 — product quantization (PQ) + asymmetric-distance (ADC) search.
+# The 64-dim vectors split into 4 subspaces of 16 dims; each subspace
+# trains its own k=8 codebook (deterministic init = subvectors of the 8
+# smallest vec_ids, 2 Lloyd rounds — the SIM6 machinery keyed by an extra
+# `sub` column). A vector's code is then 4 bytes instead of 256, and query
+# distance is approximated as the sum of 4 table lookups (ADC): the memory
+# model that makes billion-vector search fit in RAM (Jegou et al., PAMI
+# 2011). Every cross-row float reduction rides the decimal route, so
+# training, encoding, the lookup table, and the final ranking are
+# bit-identical across engines and cluster sizes.
+# --------------------------------------------------------------------------
+
+_PQ_SUBS = 4  # M subspaces
+_PQ_SUBDIM = 16  # dims per subspace (4 x 16 = 64)
+_PQ_K = 8  # codes per subspace
+_PQ_ROUNDS = 2
+_PQ_TOP_K = 10
+_PQ_PROBE = 0  # query vector
+
+
+def _sql_pq_round(r: int, prev_cent: str) -> str:
+    """One Lloyd round per (vec, subspace): score -> assign (ties by code)
+    -> decimal-exact per-(sub, code, dim) means."""
+    d2 = sql_dsum(
+        "(CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)", scale=24
+    )
+    mean = sql_davg("CAST(e.v AS DOUBLE)", scale=18)
+    return f"""
+    ps{r} AS (
+      SELECT e.vec_id, e.sub, c.cl, {d2} AS d2
+      FROM pq_ex e JOIN {prev_cent} c ON e.i = c.i
+      GROUP BY 1, 2, 3),
+    pa{r} AS (
+      SELECT vec_id, sub, cl FROM (
+        SELECT vec_id, sub, cl,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, cl) AS rn
+        FROM ps{r}) WHERE rn = 1),
+    pc{r} AS (
+      SELECT a.cl, e.sub, e.i, {mean} AS c
+      FROM pq_ex e JOIN pa{r} a ON e.vec_id = a.vec_id AND e.sub = a.sub
+      GROUP BY 1, 2, 3)"""
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH pq_ex AS (
+      SELECT vec_id, i, (i - 1) // {_PQ_SUBDIM} AS sub, v FROM (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings)),
+    pc0 AS (
+      SELECT vec_id AS cl, sub, i, v AS c
+      FROM pq_ex WHERE vec_id < {_PQ_K}),
+    {_sql_pq_round(1, "pc0")},
+    {_sql_pq_round(2, "pc1")},
+    lut AS (
+      SELECT c.sub, c.cl,
+             {sql_dsum("(q.v - c.c) * (q.v - c.c)", scale=24)} AS lut_d2
+      FROM pc2 c
+      JOIN pq_ex q ON q.i = c.i AND q.vec_id = {_PQ_PROBE}
+      GROUP BY 1, 2),
+    adc AS (
+      SELECT a.vec_id,
+             MAX(CASE WHEN a.sub = 0 THEN a.cl END) AS code_s0,
+             MAX(CASE WHEN a.sub = 1 THEN a.cl END) AS code_s1,
+             MAX(CASE WHEN a.sub = 2 THEN a.cl END) AS code_s2,
+             MAX(CASE WHEN a.sub = 3 THEN a.cl END) AS code_s3,
+             {sql_dsum("l.lut_d2", scale=24)} AS adc_d2
+      FROM pa2 a JOIN lut l ON a.sub = l.sub AND a.cl = l.cl
+      WHERE a.vec_id <> {_PQ_PROBE}
+      GROUP BY 1)
+    SELECT vec_id, code_s0, code_s1, code_s2, code_s3, adc_d2
+    FROM adc
+    ORDER BY adc_d2, vec_id
+    LIMIT {_PQ_TOP_K}
+    """,
+    tags=("SIM9",),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM9: PQ-encode the corpus (4 subspaces x 8 codes, Lloyd-trained)
+    and return the query's ADC top-10 with each hit's code word.
+
+    Scale shape: training is SIM6's per-round two-shuffle pattern with the
+    subspace as an extra grouping key — the codebook relation stays
+    M x K x subdim rows (512 here) and BROADCASTS for scoring, so each
+    round costs two keyed shuffles of the exploded vector relation and
+    nothing else. Encoding reuses the final round's assignment; the ADC
+    lookup table is M x K rows built against the 64-row probe slice, also
+    broadcast; approximate distances then need only the 4-row-per-vector
+    code relation — the corpus's full float vectors are never touched at
+    query time, which is the entire point of PQ at 100 TB (4 bytes/vector
+    resident instead of 256). The final top-10 is orderBy+limit =
+    TakeOrderedAndProject, no single-partition exchange. Decimal-routed
+    sums make ranking ties and all float folds engine- and
+    partitioning-invariant.
+    """
+    from pyspark.sql import Window
+
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("i0", "v")).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        (F.col("i0") / _PQ_SUBDIM).cast("long").alias("sub"),
+        F.col("v").cast("double").alias("v"),
+    )
+    # codebooks: (cl, i, c) — i encodes the subspace, so joins on i alone
+    # are already subspace-aligned; `sub` rides along where grouping needs it
+    cent = ex.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cl"), "sub", "i", F.col("v").alias("c")
+    )
+    assign = None
+    for r in range(_PQ_ROUNDS):
+        diff = F.col("v") - F.col("c")
+        scored = (
+            ex.join(F.broadcast(cent.select("cl", "i", "c")), "i")
+            .groupBy("vec_id", "sub", "cl")
+            .agg(dsum(diff * diff, "d2", scale=24))
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cl")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "cl")
+        )
+        # recompute after EVERY round (incl. the last): the ADC lookup
+        # table must be built against the final means (oracle's pc2), not
+        # the previous round's codebook
+        cent = (
+            ex.join(assign, ["vec_id", "sub"])
+            .groupBy("cl", "sub", "i")
+            .agg(davg("v", "c", scale=18))
+        )
+    probe = ex.filter(F.col("vec_id") == _PQ_PROBE).select(
+        "i", F.col("v").alias("qv")
+    )
+    lut = (
+        cent.select("sub", "cl", "i", "c")
+        .join(F.broadcast(probe), "i")
+        .groupBy("sub", "cl")
+        .agg(
+            dsum(
+                (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")),
+                "lut_d2",
+                scale=24,
+            )
+        )
+    )
+    codes = [
+        F.max(F.when(F.col("sub") == s, F.col("cl"))).alias(f"code_s{s}")
+        for s in range(_PQ_SUBS)
+    ]
+    return (
+        assign.filter(F.col("vec_id") != _PQ_PROBE)
+        .join(F.broadcast(lut), ["sub", "cl"])
+        .groupBy("vec_id")
+        .agg(*codes, dsum("lut_d2", "adc_d2", scale=24))
+        .orderBy("adc_d2", "vec_id")
+        .limit(_PQ_TOP_K)
+    )
