@@ -44,6 +44,8 @@ def main() -> None:
         "dedup_substring_spans",
         "sim_partitioned_knn_gemm",
         "curation_end_to_end",
+        "graph_pagerank",
+        "sim_pq_adc_topk",
         # graph_triangle_counts is intentionally NOT here: ~34s at sf0.1
         # (honest wedge-join enumeration) would dominate the bench wall
         # clock; its per-round correctness cost is covered by the sf0.01
