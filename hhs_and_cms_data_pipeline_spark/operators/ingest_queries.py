@@ -382,3 +382,78 @@ def ingest_to_report_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# --------------------------------------------------------------------------
+# DQ2 — statistical outlier detection, sqrt-free. The reference's quality
+# gates are static rules (rating BETWEEN 1 AND 5, load-quality.py:158-174);
+# a scale pipeline also needs distributional checks. The z-score test
+# |x - mu| > 3*sigma is evaluated as (x - mu)^2 > 9 * sigma^2: no sqrt,
+# no libm — mu and E[x^2] come off the decimal route, so every engine and
+# partitioning computes the identical boolean for every row.
+# --------------------------------------------------------------------------
+
+_DQ_Z = 3  # flag beyond 3 sigma
+
+
+@register(
+    "dq_outlier_zscore",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS x
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             {sql_dsum("x")} / CAST(COUNT(*) AS DOUBLE) AS mu,
+             {sql_dsum("x * x", scale=12)} / CAST(COUNT(*) AS DOUBLE)
+               AS ex2
+      FROM vals GROUP BY 1)
+    SELECT v.event_id, v.event_type, v.x, s.mu,
+           (v.x - s.mu) * (v.x - s.mu) AS dev2,
+           s.ex2 - s.mu * s.mu AS var_pop
+    FROM vals v JOIN stats s ON v.event_type = s.event_type
+    WHERE (v.x - s.mu) * (v.x - s.mu)
+            > {_DQ_Z * _DQ_Z} * (s.ex2 - s.mu * s.mu)
+    ORDER BY v.event_type, v.event_id
+    """,
+    tags=("DQ2",),
+)
+def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ2: per-event-type 3-sigma outliers — rows whose squared deviation
+    from the group mean exceeds 9x the population variance.
+
+    One keyed aggregation produces the 5-row stats dim (count, decimal-
+    exact mean, decimal-exact mean of squares); it BROADCASTS back onto
+    the fact stream, so flagging is map-only — the shape that lets a
+    100 TB quality sweep run as scan + broadcast-join + filter with a
+    single tiny shuffle. The sqrt-free comparison (module comment) keeps
+    the emitted row set bit-deterministic; var_pop = E[x^2] - mu^2 is the
+    textbook one-pass identity, fine here because the decimal sums are
+    exact (no catastrophic cancellation of rounded partials)."""
+    ensure_session_conf(spark)
+    from ..sources import table as _table
+
+    vals = (
+        _table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_id", "event_type", F.col("value").cast("double").alias("x")
+        )
+    )
+    stats = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (dsum("x") / F.count(F.lit(1)).cast("double")).alias("mu"),
+        (dsum(F.col("x") * F.col("x"), scale=12) / F.count(F.lit(1)).cast("double")).alias(
+            "ex2"
+        ),
+    )
+    dev2 = (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+    var_pop = F.col("ex2") - F.col("mu") * F.col("mu")
+    return (
+        vals.join(F.broadcast(stats), "event_type")
+        .filter(dev2 > F.lit(_DQ_Z * _DQ_Z) * var_pop)
+        .select("event_id", "event_type", "x", "mu", dev2.alias("dev2"), var_pop.alias("var_pop"))
+        .orderBy("event_type", "event_id")
+    )
