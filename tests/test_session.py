@@ -153,6 +153,20 @@ def test_coverage_inventory_in_sync():
         "cogroup_click_context",
         "curation_leakage_safe_split",
         "graph_clustering_coefficient",
+        # round-4 continuation batch
+        "graph_pagerank",
+        "sim_pq_adc_topk",
+        "dedup_token_cosine",
+        "w7_scd2_rating_intervals",
+        "er_customer_blocking",
+        "xs6_bloom_prefilter_join",
+        "xt1_gapfill_locf",
+        "xa8_cohort_retention",
+        "xa6_mode_median_by_group",
+        "xa7_approx_percentile_check",
+        "xs7_skew_profile",
+        "dq_outlier_zscore",
+        "text_rarity_score",
     ],
 )
 def test_round4_ops_partition_count_invariant(name, spark):
