@@ -892,3 +892,57 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# C14 — quantile-based quality curation: keep each source's top half by
+# quality score. Absolute thresholds (C4's rule cascade) break when source
+# quality distributions differ; the FineWeb-style alternative filters by
+# WITHIN-SOURCE quantile so every source contributes its best documents.
+# percent_rank is (rank-1)/(n-1): with the total (score DESC, doc_id)
+# tie-break both engines assign identical exact-int ratios, so the cut is
+# bit-deterministic.
+# --------------------------------------------------------------------------
+
+_QUANTILE_KEEP = 0.5  # keep the top half per source
+
+
+@register(
+    "curation_quality_quantile",
+    oracle=f"""
+    WITH qscored AS (
+      SELECT doc_id, source, {SQL_QC_RAW} AS raw_score
+      FROM documents),
+    qranked AS (
+      SELECT doc_id, source, raw_score,
+             percent_rank() OVER (
+               PARTITION BY source
+               ORDER BY raw_score DESC, doc_id) AS pr
+      FROM qscored)
+    SELECT doc_id, source, raw_score, pr
+    FROM qranked
+    WHERE pr <= {_QUANTILE_KEEP}
+    ORDER BY doc_id
+    """,
+    tags=("C14",),
+)
+def curation_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: per-source top-half quality filter (module comment).
+
+    The score is TX8's integer-exact salted-hash quality signal
+    (quality_raw_score — map-only, no shuffle), so the only exchange is
+    the per-source window sort. source is a low-cardinality partition key;
+    at 100 TB the same cut runs as a two-pass rank (per-partition partial
+    histograms -> global threshold per source) — the window formulation
+    here is the semantic contract that plan must reproduce."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "source", quality_raw_score().alias("raw_score")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("raw_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= _QUANTILE_KEEP)
+        .orderBy("doc_id")
+    )

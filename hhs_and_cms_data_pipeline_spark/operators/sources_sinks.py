@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.exact import sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sinks import append_new_keys, read_published, write_parquet_atomic
@@ -698,4 +699,88 @@ def k7_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_nationkey").alias("max_key"),
         )
         .orderBy("min_key", "file_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# K8 — incremental aggregate maintenance (the materialized-view delta
+# algebra). A 100 TB pipeline cannot recompute its rollups from scratch
+# per batch; SUM/COUNT-style aggregates are mergeable, so the maintained
+# view is stored_agg FULL-OUTER-MERGE delta_agg with coalesced partials.
+# The oracle recomputes the aggregate over the full input — the merged
+# view must be indistinguishable from the from-scratch answer, which is
+# the defining property of correct IVM.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "k8_incremental_agg_merge",
+    oracle=f"""
+    SELECT user_id, event_type,
+           COUNT(*) AS n,
+           {sql_dsum("value")} AS sum_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("K8",),
+)
+def k8_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8: maintain a (user, event_type) rollup incrementally — aggregate
+    the 80% "already ingested" slice and the 20% "new batch" slice
+    SEPARATELY (split on a deterministic event_id hash), then merge the
+    partial aggregates with a full outer join + coalesced addition.
+
+    COUNT and decimal-routed SUM are commutative monoids, so
+    merge(agg(A), agg(B)) == agg(A union B) exactly — the property the
+    oracle checks by recomputing from scratch over the full table. At
+    100 TB this is the difference between touching one batch per refresh
+    and re-reading the corpus: the stored side never rescans, the delta
+    side is batch-sized, and the merge shuffles only aggregate rows (one
+    per group), not facts. The decimal route keeps the merged SUM
+    bit-identical to the from-scratch SUM no matter how the data is split.
+    """
+    ensure_session_conf(spark)
+    from ..sources import table as _table
+
+    ev = (
+        _table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    # deterministic 80/20 split standing in for "ingested so far" vs "new
+    # batch" (same md5-bucket scheme as the C1 sampler)
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    ) % 10
+    stored = ev.filter(bucket < 8)
+    delta = ev.filter(bucket >= 8)
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias(f"s_{tag}"),
+        )
+
+    merged = partial(stored, "a").join(
+        partial(delta, "b"), ["user_id", "event_type"], "full_outer"
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        merged.select(
+            "user_id",
+            "event_type",
+            (
+                F.coalesce(F.col("n_a"), F.lit(0))
+                + F.coalesce(F.col("n_b"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("s_a"), zero) + F.coalesce(F.col("s_b"), zero)
+            )
+            .cast("string")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id", "event_type")
     )
