@@ -448,3 +448,41 @@ def test_variant_stats_single_shuffle(spark, specs):
     # exchange (partial-agg'd) plus the output sort
     assert count_data_shuffles(plan) <= 2
     assert scan_columns(plan, containing="props") <= {"event_type", "props"}
+
+
+def test_bloom_prefilter_broadcasts_bitmap(spark, specs):
+    """XS6: both bitmap membership probes must be BROADCAST hash joins —
+    if the ~2048-row bloom relation ever shuffle-joins, the prefilter
+    costs more than the semi-join it exists to cheapen."""
+    plan = formatted_plan(specs["xs6_bloom_prefilter_join"].builder(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 2
+
+
+def test_rarity_score_broadcasts_vocab(spark, specs):
+    """TX9: the vocabulary-sized count table and the 1-row corpus total
+    must broadcast — the token stream is the only fact-sized input."""
+    plan = formatted_plan(specs["text_rarity_score"].builder(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 2
+
+
+def test_outlier_stats_broadcast(spark, specs):
+    """DQ2: the 5-row per-type stats dim broadcasts back onto the fact
+    stream so flagging stays map-side."""
+    plan = formatted_plan(specs["dq_outlier_zscore"].builder(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 1
+
+
+def test_scd2_windows_share_one_exchange(spark, specs):
+    """W7: both stacked windows partition on user_id — exactly one hash
+    exchange (plus the presentation sort's range exchange)."""
+    plan = formatted_plan(specs["w7_scd2_rating_intervals"].builder(spark, SF_SMOKE))
+    assert count_exchanges(plan) <= 2
+
+
+def test_quality_quantile_score_is_map_only(spark, specs):
+    """C14: scoring adds no shuffle of its own — the exchanges are
+    spread()'s round-robin fan-out of the tiny documents table, the
+    per-source window partitioning, and the presentation sort."""
+    plan = formatted_plan(specs["curation_quality_quantile"].builder(spark, SF_SMOKE))
+    assert count_exchanges(plan) <= 3
+    assert "hashpartitioning(source" in plan
