@@ -917,3 +917,134 @@ def xa8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# XJ3 — banded time-window join, the batch twin of the streaming interval
+# join (ST8). A naive time-range theta join is a per-user quadratic
+# nested-loop; the scale formulation BANDS time into window-width buckets
+# so each click joins purchases via an EQUI key (user, bucket) — the click
+# side is replicated into its own and the following bucket, the exact
+# range predicate then filters the candidates. Equivalent by construction:
+# any purchase within (t, t+W] lies in the click's bucket or the next one.
+# --------------------------------------------------------------------------
+
+_BAND_WINDOW_S = 1800  # 30-minute attribution window = bucket width
+
+
+@register(
+    "xj3_banded_time_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           date_diff('microsecond', CAST(c.ts AS TIMESTAMP),
+                     CAST(p.ts AS TIMESTAMP)) AS gap_micros
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click' AND ts IS NOT NULL) c
+    JOIN (SELECT * FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL {_BAND_WINDOW_S} SECOND
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("XJ3",),
+)
+def xj3_banded_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XJ3: purchases within 30 minutes after a click by the same user,
+    executed as a BANDED equi-join (module comment) — the oracle states
+    the plain theta join, the plan never runs one.
+
+    Each click explodes into exactly two (user, bucket) keys, so the join
+    is a hash shuffle on a composite equi key: candidate fan-out per key
+    is bounded by per-user-per-half-hour activity, not by per-user totals,
+    and AQE can split any residual hot bucket. At 100 TB this is the
+    difference between a nested-loop nobody can run and two scans plus one
+    keyed shuffle. The exact predicate re-checks the range, so band edges
+    add no false pairs; epoch arithmetic is integer, so gap_micros and
+    the row set are bit-deterministic."""
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.floor(F.unix_timestamp("ts") / _BAND_WINDOW_S).alias("b0"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.unix_timestamp("ts") / _BAND_WINDOW_S).alias("p_bucket"),
+    )
+    banded_clicks = clicks.select(
+        "click_id",
+        "user_id",
+        "c_ts",
+        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+    )
+    joined = banded_clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("bucket") == F.col("p_bucket")),
+    )
+    in_window = (F.col("p_ts") > F.col("c_ts")) & (
+        F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {_BAND_WINDOW_S} SECOND")
+    )
+    gap_micros = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+    return (
+        joined.filter(in_window)
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            gap_micros.cast("long").alias("gap_micros"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# XU2 — BAG-semantics set operations (EXCEPT ALL / INTERSECT ALL). XU1
+# covers the DISTINCT variants; the ALL variants preserve multiplicity
+# (SQL's min/difference-of-counts semantics), which is what reconciliation
+# jobs actually need — "how many order rows have no matching event row"
+# counts copies, not keys.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xu2_bag_setops",
+    oracle="""
+    SELECT 'except_all' AS op, COUNT(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders
+      EXCEPT ALL
+      SELECT user_id FROM events)
+    UNION ALL
+    SELECT 'intersect_all', COUNT(*) FROM (
+      SELECT o_custkey AS k FROM orders
+      INTERSECT ALL
+      SELECT user_id FROM events)
+    ORDER BY op
+    """,
+    tags=("XU2",),
+)
+def xu2_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XU2: multiset difference and intersection cardinalities between the
+    order owners and the event actors.
+
+    Spark's exceptAll/intersectAll compile to the count-difference plan
+    (aggregate each side per key, emit min/diff copies via generate) — one
+    keyed shuffle per side, no join explosion, the same shape the ALL
+    semantics force on every engine. Counts are exact integers."""
+    ensure_session_conf(spark)
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    e = table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    ex = o.exceptAll(e).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    ia = o.intersectAll(e).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    return ex.unionAll(ia).orderBy("op")
