@@ -203,14 +203,11 @@ def _substring_transform_for(s: int):
     return lambda d: F.substring(d, start, 8)
 
 
-def minhash_bands(arrays: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) LSH band-bucket relation from a (doc_id, bgs)
-    shingle-set frame: 16 min-hashes computed MAP-ONLY (array_min over a
-    per-element md5 transform — no explode, no groupBy, no shuffle), band
-    signatures as per-row concats exploded to one row per band. Everything
-    here is a narrow map stage; consumers add the only exchange (a bucket
-    join — self-join for within-corpus dedup, cross-set join for
-    incremental dedup)."""
+def minhash_signatures(arrays: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15) wide signature frame from a (doc_id, bgs) shingle-
+    set frame — MAP-ONLY (array_min over a per-element md5 transform: no
+    explode, no groupBy, no shuffle). Shared by the band builder below and
+    the D15 estimator-calibration query."""
     # One digest array per seed group, materialized as its own projection so
     # the 4 substring transforms below don't re-run md5 per extraction.
     digs = arrays.filter(F.size("bgs") > 0).select(
@@ -222,7 +219,7 @@ def minhash_bands(arrays: DataFrame) -> DataFrame:
     )
     # min over hex substrings of the exploded relation == array_min over the
     # same substrings element-wise: both are the lexicographic minimum.
-    mh = digs.select(
+    return digs.select(
         "doc_id",
         *[
             F.array_min(
@@ -231,6 +228,16 @@ def minhash_bands(arrays: DataFrame) -> DataFrame:
             for s in range(_N_HASHES)
         ],
     )
+
+
+def minhash_bands(arrays: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band-bucket relation from a (doc_id, bgs)
+    shingle-set frame: 16 min-hashes computed MAP-ONLY (minhash_signatures),
+    band signatures as per-row concats exploded to one row per band.
+    Everything here is a narrow map stage; consumers add the only exchange
+    (a bucket join — self-join for within-corpus dedup, cross-set join for
+    incremental dedup)."""
+    mh = minhash_signatures(arrays)
     n_bands = _N_HASHES // _BAND_SIZE
     band_structs = F.array(
         *[
@@ -1425,6 +1432,106 @@ def dedup_token_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("dot") * F.col("dot")).cast("double")
                 / (F.col("na2") * F.col("nb2")).cast("double")
             ).alias("cos2"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# D15 — MinHash estimator calibration: for every LSH candidate pair, the
+# signature-agreement estimate (matching slots / 16) next to the exact
+# Jaccard it estimates. The agreement fraction is an unbiased estimator of
+# Jaccard (Broder 1997); surfacing |estimate - exact| per pair is the
+# audit that tells you whether 16 hashes are enough BEFORE trusting the
+# banding thresholds at corpus scale. Both ratios are exact-int divisions
+# (n/16 is dyadic), so the whole report is bit-deterministic.
+# --------------------------------------------------------------------------
+
+_SQL_SLOT_MATCHES = """
+    slotm AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_match
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.doc_a
+      JOIN mh mb ON mb.doc_id = c.doc_b AND ma.seed = mb.seed
+      GROUP BY 1, 2)"""
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH {_SQL_CAND_CTES},
+    {_SQL_SLOT_MATCHES},
+    sizes15 AS (SELECT doc_id, COUNT(*) AS n FROM big GROUP BY 1),
+    shared15 AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN big a ON a.doc_id = c.doc_a
+      JOIN big b ON b.doc_id = c.doc_b AND a.bg = b.bg
+      GROUP BY 1, 2),
+    jac15 AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+               / CAST(sa.n + sb.n - COALESCE(s.n_shared, 0) AS DOUBLE)
+               AS jaccard
+      FROM cand c
+      LEFT JOIN shared15 s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+      JOIN sizes15 sa ON c.doc_a = sa.doc_id
+      JOIN sizes15 sb ON c.doc_b = sb.doc_id)
+    SELECT m.doc_a, m.doc_b,
+           CAST(m.n_match AS BIGINT) AS n_match,
+           CAST(m.n_match AS DOUBLE) / {_N_HASHES} AS minhash_est,
+           j.jaccard,
+           abs(CAST(m.n_match AS DOUBLE) / {_N_HASHES} - j.jaccard) AS abs_err
+    FROM slotm m
+    JOIN jac15 j ON m.doc_a = j.doc_a AND m.doc_b = j.doc_b
+    ORDER BY m.doc_a, m.doc_b
+    """,
+    tags=("D15",),
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15: per-candidate-pair MinHash-vs-exact-Jaccard calibration report
+    (module comment).
+
+    The signature frame is map-only (minhash_signatures); candidates come
+    from the same banded bucket join as D3, so the report costs one wide
+    16-column comparison per candidate — candidates are orders of
+    magnitude fewer than pairs, which is what makes auditing the estimator
+    affordable at corpus scale. Slot agreement is a per-row sum of 16
+    boolean ints; both reported ratios divide exact ints in DOUBLE and the
+    estimator error is one IEEE subtract of those — bit-identical across
+    engines."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    arrays = word_bigram_arrays(docs)
+    cand = minhash_candidates(arrays)
+    mh = minhash_signatures(arrays)
+    ma = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(_N_HASHES)],
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(_N_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_N_HASHES)
+    ).cast("long")
+    est = F.col("n_match").cast("double") / F.lit(_N_HASHES)
+    return (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .withColumn("n_match", n_match)
+        .select("doc_a", "doc_b", "n_match")
+        .join(exact_jaccard_of_pairs(cand, arrays), ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            est.alias("minhash_est"),
+            "jaccard",
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
         )
         .orderBy("doc_a", "doc_b")
     )
