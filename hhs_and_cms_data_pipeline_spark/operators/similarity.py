@@ -912,3 +912,119 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_d2", "vec_id")
         .limit(_PQ_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# SIM10 — k-NN label classification eval: the retrieval-quality metric on
+# top of SIM4's exact k-NN join. Each probe is classified by majority vote
+# among its 5 nearest neighbors' labels (ties to the smaller label); the
+# report compares prediction to the probe's own label. This is the
+# standard embedding-quality probe (kNN accuracy) run entirely as
+# relational ops — no model, no UDF.
+# --------------------------------------------------------------------------
+
+_EVAL_N_PROBES = 10
+_EVAL_K = 5
+
+
+@register(
+    "sim_knn_label_eval",
+    oracle=f"""
+    WITH norms AS ({SQL_EMB_NORMS}),
+    eprobes AS (
+      SELECT vec_id AS probe_id, embedding AS p_emb, label AS true_label
+      FROM embeddings WHERE vec_id < {_EVAL_N_PROBES}),
+    escored AS (
+      SELECT p.probe_id, e.vec_id, e.label,
+             {sql_emb_dot('e.embedding', 'p.p_emb')}
+               / (sqrt(n.n2) * sqrt(pn.n2)) AS cosine
+      FROM eprobes p
+      CROSS JOIN embeddings e
+      JOIN norms n  ON e.vec_id = n.vec_id
+      JOIN norms pn ON p.probe_id = pn.vec_id
+      WHERE e.vec_id <> p.probe_id),
+    eranked AS (
+      SELECT probe_id, vec_id, label,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM escored),
+    votes AS (
+      SELECT probe_id, label, COUNT(*) AS n_votes
+      FROM eranked WHERE rnk <= {_EVAL_K}
+      GROUP BY 1, 2),
+    pred AS (
+      SELECT probe_id, label AS predicted_label, n_votes FROM (
+        SELECT probe_id, label, n_votes,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY n_votes DESC, label) AS vr
+        FROM votes) WHERE vr = 1)
+    SELECT p.probe_id,
+           CAST(b.true_label AS BIGINT) AS true_label,
+           CAST(p.predicted_label AS BIGINT) AS predicted_label,
+           p.n_votes,
+           p.predicted_label = b.true_label AS correct
+    FROM pred p JOIN eprobes b ON p.probe_id = b.probe_id
+    ORDER BY p.probe_id
+    """,
+    tags=("SIM10",),
+)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM10: per-probe kNN(5) majority-vote classification vs the probe's
+    own label (module comment).
+
+    Same plan family as SIM4: probe batch broadcasts, corpus scores
+    map-side, per-probe top-k via the group-limit window; the vote is one
+    tiny (probe, label) aggregation over k*probes rows and the majority
+    pick is a second window with a total (votes DESC, label) order so ties
+    are deterministic. Cosines use the sequential fold (engine-identical),
+    so neighbor sets — and therefore the whole eval — are bit-stable."""
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    probes = emb.filter(F.col("vec_id") < _EVAL_N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("label").alias("true_label"),
+        emb_norm2(F.col("embedding")).alias("p_n2"),
+    )
+    scored = (
+        emb.withColumn("n2", emb_norm2(F.col("embedding")))
+        .crossJoin(F.broadcast(probes.select("probe_id", "p_emb", "p_n2")))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            (
+                emb_dot(F.col("embedding"), F.col("p_emb"))
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("p_n2")))
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _EVAL_K)
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("probe_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "probe_id", F.col("label").alias("predicted_label"), "n_votes"
+        )
+    )
+    return (
+        pred.join(F.broadcast(probes.select("probe_id", "true_label")), "probe_id")
+        .select(
+            "probe_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("predicted_label").cast("long").alias("predicted_label"),
+            "n_votes",
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("probe_id")
+    )
