@@ -731,3 +731,102 @@ def mm_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_bucket", F.count(F.lit(1)).over(w))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# MM7 — ViT-style patch extraction: one payload row fans out into P patch
+# rows, each with its byte range and exact mean intensity. The EXPLODING
+# mapInPandas shape (rows out > rows in) is the one multimodal pattern the
+# other MM jobs (1 row -> 1 row) don't exercise — it's how patch/tile/
+# frame extraction feeds a training pipeline, where downstream operators
+# consume patches, not images. Byte arithmetic only (quarter slices of the
+# payload; sum/len exact-int division), so the oracle re-derives the exact
+# result from the hex dump like MM2.
+# --------------------------------------------------------------------------
+
+_N_PATCHES = 4
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("patch", T.IntegerType(), False),
+        T.StructField("patch_len", T.LongType(), False),
+        T.StructField("mean_byte", T.DoubleType(), True),
+    ]
+)
+
+
+def patch_mean_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas patch worker: slice each payload into _N_PATCHES
+    contiguous byte ranges (last takes the remainder) and emit one row per
+    patch. A real ViT pipeline swaps the byte slices for pixel-grid tiles
+    and mean for a patch embedding; fan-out, schema, and batching are
+    identical."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n = len(data)
+            base = n // _N_PATCHES
+            for p in range(_N_PATCHES):
+                start = p * base
+                end = (p + 1) * base if p < _N_PATCHES - 1 else n
+                chunk = data[start:end]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "patch": p,
+                        "patch_len": len(chunk),
+                        "mean_byte": (sum(chunk) / len(chunk)) if chunk else None,
+                    }
+                )
+        yield pd.DataFrame(rows, columns=[f.name for f in PATCH_SCHEMA.fields])
+
+
+@register(
+    "mm_patch_means",
+    oracle=f"""
+    WITH b7 AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents),
+    grid AS (
+      SELECT doc_id, n, hx, unnest(range({_N_PATCHES})) AS patch
+      FROM b7),
+    ranges AS (
+      SELECT doc_id, CAST(patch AS INTEGER) AS patch,
+             patch * (n // {_N_PATCHES}) AS s,
+             CASE WHEN patch = {_N_PATCHES - 1}
+                  THEN n ELSE (patch + 1) * (n // {_N_PATCHES}) END AS e,
+             hx
+      FROM grid)
+    SELECT doc_id, patch,
+           CAST(e - s AS BIGINT) AS patch_len,
+           CASE WHEN e > s THEN
+             CAST(list_sum(list_transform(range(s, e),
+               i -> (('0x' || substr(hx, 2*i+1, 2))::UBIGINT)::BIGINT))
+               AS DOUBLE) / CAST(e - s AS DOUBLE)
+           END AS mean_byte
+    FROM ranges
+    ORDER BY doc_id, patch
+    """,
+    tags=("MM7",),
+)
+def mm_patch_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM7: quarter-patch byte statistics per document payload (module
+    comment).
+
+    Arrow-batched mapInPandas with fan-out: each input row yields
+    _N_PATCHES output rows inside the same batch — no shuffle, no
+    explode-then-regroup round trip; the patch rows land already
+    co-partitioned with their source payloads for whatever consumes them
+    next. mean_byte is one exact-int division, bit-identical to the
+    oracle's hex-dump re-derivation."""
+    ensure_session_conf(spark)
+    payloads = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return (
+        payloads.mapInPandas(patch_mean_batches, PATCH_SCHEMA)
+        .orderBy("doc_id", "patch")
+    )
