@@ -932,6 +932,48 @@ def xa8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BAND_WINDOW_S = 1800  # 30-minute attribution window = bucket width
 
 
+def banded_window_pairs(
+    clicks: DataFrame, purchases: DataFrame, window_s: int
+) -> DataFrame:
+    """(click_id, purchase_id, user_id, gap_micros) pairs where the purchase
+    falls in (c_ts, c_ts + window_s] for the same user — banded-equi-join
+    formulation over arbitrary (click_id, user_id, c_ts) / (purchase_id,
+    p_user, p_ts) frames. Exposed for the brute-force cross-check test.
+
+    Bucket width == window width, click replicated into (b0, b0+1): any
+    in-window purchase's second-truncated epoch lies within [sec(c),
+    sec(c)+window_s], which spans at most those two buckets — coverage is
+    exact, and the full-precision range predicate re-checks band edges."""
+    b0 = F.floor(F.unix_timestamp("c_ts") / window_s)
+    banded_clicks = clicks.select(
+        "click_id",
+        "user_id",
+        "c_ts",
+        F.explode(F.array(b0, b0 + 1)).alias("bucket"),
+    )
+    p = purchases.select(
+        "purchase_id",
+        "p_user",
+        "p_ts",
+        F.floor(F.unix_timestamp("p_ts") / window_s).alias("p_bucket"),
+    )
+    joined = banded_clicks.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("bucket") == F.col("p_bucket")),
+    )
+    in_window = (F.col("p_ts") > F.col("c_ts")) & (
+        F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window_s} SECOND")
+    )
+    gap_micros = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+    return joined.filter(in_window).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        gap_micros.cast("long").alias("gap_micros"),
+    )
+
+
 @register(
     "xj3_banded_time_join",
     oracle=f"""
@@ -970,38 +1012,14 @@ def xj3_banded_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         "user_id",
         F.col("ts").alias("c_ts"),
-        F.floor(F.unix_timestamp("ts") / _BAND_WINDOW_S).alias("b0"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
-        F.floor(F.unix_timestamp("ts") / _BAND_WINDOW_S).alias("p_bucket"),
     )
-    banded_clicks = clicks.select(
-        "click_id",
-        "user_id",
-        "c_ts",
-        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
-    )
-    joined = banded_clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("bucket") == F.col("p_bucket")),
-    )
-    in_window = (F.col("p_ts") > F.col("c_ts")) & (
-        F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {_BAND_WINDOW_S} SECOND")
-    )
-    gap_micros = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
-    return (
-        joined.filter(in_window)
-        .select(
-            "click_id",
-            "purchase_id",
-            "user_id",
-            gap_micros.cast("long").alias("gap_micros"),
-        )
-        .orderBy("click_id", "purchase_id")
+    return banded_window_pairs(clicks, purchases, _BAND_WINDOW_S).orderBy(
+        "click_id", "purchase_id"
     )
 
 

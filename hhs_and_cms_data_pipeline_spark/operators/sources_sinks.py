@@ -749,13 +749,22 @@ def k8_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_id", "user_id", "event_type", "value")
     )
-    # deterministic 80/20 split standing in for "ingested so far" vs "new
-    # batch" (same md5-bucket scheme as the C1 sampler)
-    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast(
-        "long"
-    ) % 10
-    stored = ev.filter(bucket < 8)
-    delta = ev.filter(bucket >= 8)
+    return incremental_agg_merged(ev, stored_buckets=8).orderBy(
+        "user_id", "event_type"
+    )
+
+
+def incremental_agg_merged(ev: DataFrame, stored_buckets: int) -> DataFrame:
+    """The K8 merge over an arbitrary (event_id, user_id, event_type,
+    value) frame, split `stored_buckets`/10 vs the rest on a deterministic
+    event_id md5 bucket (same scheme as the C1 sampler). Exposed so the
+    merge == full-recompute property can be tested at EVERY split point,
+    not just the registered 80/20."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10
+    ).cast("long") % 10
+    stored = ev.filter(bucket < stored_buckets)
+    delta = ev.filter(bucket >= stored_buckets)
 
     def partial(df: DataFrame, tag: str) -> DataFrame:
         return df.groupBy("user_id", "event_type").agg(
@@ -767,20 +776,15 @@ def k8_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial(delta, "b"), ["user_id", "event_type"], "full_outer"
     )
     zero = F.lit(0).cast("decimal(38,6)")
-    return (
-        merged.select(
-            "user_id",
-            "event_type",
-            (
-                F.coalesce(F.col("n_a"), F.lit(0))
-                + F.coalesce(F.col("n_b"), F.lit(0))
-            ).alias("n"),
-            (
-                F.coalesce(F.col("s_a"), zero) + F.coalesce(F.col("s_b"), zero)
-            )
-            .cast("string")
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .orderBy("user_id", "event_type")
+    return merged.select(
+        "user_id",
+        "event_type",
+        (
+            F.coalesce(F.col("n_a"), F.lit(0))
+            + F.coalesce(F.col("n_b"), F.lit(0))
+        ).alias("n"),
+        (F.coalesce(F.col("s_a"), zero) + F.coalesce(F.col("s_b"), zero))
+        .cast("string")
+        .cast("double")
+        .alias("sum_value"),
     )
