@@ -1354,3 +1354,102 @@ def xs6_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum(rev, "urgent_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# XA9 — per-group closed-form OLS trend: the grouped model-fit pattern as
+# pure relational algebra. slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) needs
+# only five mergeable sums per group — no grouped-map UDF, no per-group
+# iteration — so it scales exactly like any keyed aggregation. x is whole
+# seconds since 2024-01-01 (integer-exact); the y-sums ride the decimal
+# route; the final slope arithmetic is a fixed dag of single IEEE ops over
+# engine-identical inputs, hence bit-stable.
+# --------------------------------------------------------------------------
+
+_TREND_EPOCH = "2024-01-01 00:00:00"
+_TREND_TOP_K = 10
+
+
+@register(
+    "xa9_user_value_trend",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             date_diff('second', TIMESTAMP '{_TREND_EPOCH}',
+                       CAST(ts AS TIMESTAMP)) AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+    sums AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(x * x) AS sxx,
+             {sql_dsum("y")} AS sy,
+             {sql_dsum("x * y", scale=6)} AS sxy
+      FROM pts GROUP BY 1
+      HAVING COUNT(*) >= 2 AND COUNT(*) * SUM(x * x) > SUM(x) * SUM(x))
+    SELECT user_id, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+    FROM sums
+    ORDER BY slope DESC, user_id
+    LIMIT {_TREND_TOP_K}
+    """,
+    tags=("XA9",),
+)
+def xa9_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA9: the 10 users whose event values trend up most steeply —
+    per-user least-squares slope from five mergeable sums (module
+    comment).
+
+    One keyed aggregation with map-side partial sums, then scalar
+    arithmetic on the group rows and a TakeOrderedAndProject top-10: the
+    entire 'fit a model per group' step costs the same as a SUM per
+    group, which is why closed-form fits beat grouped-map UDFs wherever
+    they exist. x stays integer (whole seconds, exact in BIGINT through
+    sxx and sx*sx); y-sums go through DECIMAL(38,6); degenerate groups
+    (single point, or all points in one second) are excluded by the
+    HAVING guard on the denominator."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            (
+                (F.unix_micros("ts") - F.unix_micros(F.lit(_TREND_EPOCH).cast("timestamp")))
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("x"),
+            F.col("value").cast("double").alias("y"),
+        )
+    )
+    sums = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            dsum("y", "sy"),
+            dsum(F.col("x") * F.col("y"), "sxy", scale=6),
+        )
+        .filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        )
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        sums.select("user_id", "n", slope.alias("slope"))
+        .orderBy(F.desc("slope"), F.asc("user_id"))
+        .limit(_TREND_TOP_K)
+    )
