@@ -788,3 +788,115 @@ def incremental_agg_merged(ev: DataFrame, stored_buckets: int) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# K9 — snapshot changelog (CDC read): diff two published versions into the
+# insert/update/delete row set. The reference mutates in place (ON
+# CONFLICT upsert, helper_load_hhs.py:96,163) so history is unobservable;
+# with immutable published versions (K2/K6), the changelog is derivable
+# after the fact — the table_changes()/CDF read every downstream
+# incremental consumer wants.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "k9_snapshot_changelog",
+    oracle="""
+    WITH v1 AS (
+      SELECT n_nationkey, n_name FROM nation),
+    v2 AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 1 THEN n_name || '_X' ELSE n_name END
+               AS n_name
+      FROM nation WHERE n_nationkey % 5 <> 0
+      UNION ALL
+      SELECT 100 + r AS n_nationkey, 'NEW_' || CAST(100 + r AS VARCHAR)
+      FROM (SELECT unnest(range(3)) AS r)),
+    diff AS (
+      SELECT COALESCE(v2.n_nationkey, v1.n_nationkey) AS n_nationkey,
+             v1.n_name AS old_name,
+             v2.n_name AS new_name,
+             CASE
+               WHEN v1.n_nationkey IS NULL THEN 'insert'
+               WHEN v2.n_nationkey IS NULL THEN 'delete'
+               WHEN v1.n_name <> v2.n_name THEN 'update'
+               ELSE 'unchanged'
+             END AS change_type
+      FROM v1 FULL OUTER JOIN v2 USING (n_nationkey))
+    SELECT n_nationkey, change_type, old_name, new_name
+    FROM diff
+    WHERE change_type <> 'unchanged'
+    ORDER BY n_nationkey
+    """,
+    tags=("K9",),
+)
+def k9_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9: publish nation as v1, publish a mutated v2 (deletes: key%5=0,
+    updates: key%5=1 renamed, inserts: keys 100-102), then derive the
+    changelog by diffing the CURRENT published version against the
+    time-travel read one step back — a key-joined full outer diff
+    classified into insert/update/delete.
+
+    The oracle recomputes the change set symbolically from `nation`, so
+    the query only matches if the version store really serves BOTH
+    snapshots (a diff against the wrong version produces phantom rows).
+    At scale the diff is one co-partitioned full outer join on the
+    natural key — no state, no log shipping — and composes with K7's
+    manifest to skip unchanged partitions entirely."""
+    ensure_session_conf(spark)
+    from ..sinks import read_published_version
+
+    path = _tagged_io_path("k9_versions", sf_dir)
+    for stale in glob.glob(f"{path}.__v__*") + glob.glob(f"{path}.__link__*"):
+        if os.path.islink(stale):
+            os.unlink(stale)
+        else:
+            shutil.rmtree(stale, ignore_errors=True)
+    if os.path.islink(path):
+        os.unlink(path)
+    v1 = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_parquet_atomic(v1, path, gc_grace_seconds=3600.0)
+    inserts = spark.range(3).select(
+        (F.col("id") + 100).alias("n_nationkey"),
+        F.concat(F.lit("NEW_"), (F.col("id") + 100).cast("string")).alias(
+            "n_name"
+        ),
+    )
+    v2 = (
+        v1.filter(F.col("n_nationkey") % 5 != 0)
+        .select(
+            "n_nationkey",
+            F.when(
+                F.col("n_nationkey") % 5 == 1,
+                F.concat(F.col("n_name"), F.lit("_X")),
+            )
+            .otherwise(F.col("n_name"))
+            .alias("n_name"),
+        )
+        .unionAll(inserts)
+    )
+    write_parquet_atomic(v2, path, gc_grace_seconds=3600.0)
+    prev = read_published_version(spark, path, steps_back=1).select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("old_name")
+    )
+    curr = read_published_version(spark, path, steps_back=0).select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("new_name")
+    )
+    diff = prev.join(curr, prev.k1 == curr.k2, "full_outer")
+    change = (
+        F.when(F.col("k1").isNull(), "insert")
+        .when(F.col("k2").isNull(), "delete")
+        .when(F.col("old_name") != F.col("new_name"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        diff.select(
+            F.coalesce(F.col("k2"), F.col("k1")).alias("n_nationkey"),
+            change.alias("change_type"),
+            "old_name",
+            "new_name",
+        )
+        .filter(F.col("change_type") != "unchanged")
+        .orderBy("n_nationkey")
+    )
