@@ -167,6 +167,16 @@ def test_coverage_inventory_in_sync():
         "xs7_skew_profile",
         "dq_outlier_zscore",
         "text_rarity_score",
+        # later round-4 additions
+        "xj3_banded_time_join",
+        "xu2_bag_setops",
+        "dedup_minhash_estimate",
+        "sim_knn_label_eval",
+        "mm_patch_means",
+        "curation_quality_quantile",
+        "k8_incremental_agg_merge",
+        "k9_snapshot_changelog",
+        "xa9_user_value_trend",
     ],
 )
 def test_round4_ops_partition_count_invariant(name, spark):
