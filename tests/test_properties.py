@@ -687,3 +687,32 @@ def test_pagerank_covers_all_nodes_with_bounded_mass(spark):
     assert 0 < len(top) <= 20
     assert all(r["rank_fp"] >= _PR_BASE for r in top)
     assert all(r["rank_fp"] <= n_nodes * _PR_SCALE for r in top)
+
+
+def test_gapfill_locf_carries_last_observation(spark):
+    """XT1 invariants: the spine is dense (every (hour, type) cell between
+    the global bounds exists exactly once), n=0 cells carry a NULL raw sum,
+    and sum_value_locf always equals the most recent non-null raw sum at
+    or before the cell (NULL only before the first observation)."""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    rows = all_specs()["xt1_gapfill_locf"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_hours = {len(v) for v in by_type.values()}
+    assert len(n_hours) == 1, "every type must share the same dense spine"
+    for etype, cells in by_type.items():
+        cells.sort(key=lambda r: r["h"])
+        for prev, nxt in zip(cells, cells[1:]):
+            assert (nxt["h"] - prev["h"]).total_seconds() == 3600, "spine gap"
+        last_seen = None
+        for c in cells:
+            if c["n"] == 0:
+                assert c["sum_value"] is None
+            else:
+                assert c["sum_value"] is not None
+                last_seen = c["sum_value"]
+            assert c["sum_value_locf"] == last_seen
