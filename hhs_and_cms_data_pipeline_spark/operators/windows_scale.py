@@ -1453,3 +1453,75 @@ def xa9_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("slope"), F.asc("user_id"))
         .limit(_TREND_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# XA10 — event-transition matrix: per-user successor counts rolled up into
+# the (from, to) Markov transition table with row-normalized shares — the
+# sequence-modeling prep step (n-gram/transition statistics over event
+# streams) and the batch complement of ST7's per-session path strings.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa10_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2),
+    totals AS (
+      SELECT prev_type, SUM(n) AS row_total FROM trans GROUP BY 1)
+    SELECT t.prev_type, t.next_type, t.n,
+           CAST(t.n AS DOUBLE) / CAST(x.row_total AS DOUBLE) AS p
+    FROM trans t JOIN totals x ON t.prev_type = x.prev_type
+    ORDER BY t.prev_type, t.next_type
+    """,
+    tags=("XA10",),
+)
+def xa10_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA10: (from, to) transition counts and row-normalized probabilities
+    over each user's chronologically ordered event stream (ties broken by
+    event_id, the same total order every sequence operator here pins).
+
+    One user-partitioned LAG window (high-cardinality key, single hash
+    exchange) reduces the stream to successor pairs; the transition table
+    is then a 25-row aggregate and the row totals broadcast back for the
+    exact-int share division. At 100 TB only the window stage is
+    fact-sized — the matrix itself is |event_types|^2."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
