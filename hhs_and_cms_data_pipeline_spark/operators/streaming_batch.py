@@ -999,3 +999,140 @@ def cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(merge, "user_id long, purchase_id long, n_clicks_before long")
     )
     return out.orderBy("user_id", "purchase_id")
+
+
+# --------------------------------------------------------------------------
+# ST14 — streaming incremental rollup: K8's merge algebra applied per
+# micro-batch. Each batch partial-aggregates its rows and MERGES into the
+# published rollup store (full outer join + coalesced addition + atomic
+# republish) — update-semantics maintenance where ST11's complete-mode
+# sink rewrites from in-memory state. The store IS the state: a crashed
+# job resumes from the last published version, and any batch slicing
+# yields the identical rollup because COUNT and decimal SUM are
+# commutative monoids (the property the oracle checks by aggregating the
+# whole table at once).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_incremental_rollup",
+    oracle=f"""
+    SELECT user_id, event_type,
+           COUNT(*) AS n,
+           {sql_dsum("value")} AS sum_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("ST14",),
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST14: drain the staged event files as chronological micro-batches
+    (availableNow) and maintain the (user, type) rollup incrementally in a
+    published parquet store via foreachBatch (module comment).
+
+    Scale shape: each batch touches batch-sized data plus the rollup
+    (group-count-sized, not fact-sized); the merge is one co-partitioned
+    full outer join; publishes are atomic symlink swaps so concurrent
+    readers always see a complete version. The decimal column rides
+    parquet between batches and only converts to double at the read-out
+    edge, so the maintained store is bit-identical to the from-scratch
+    aggregate no matter how arrival slices the stream."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks import read_published, write_parquet_atomic
+    from ..streaming.events import events_raw_schema
+    from ..streaming.stateful import stage_chronological_files
+
+    ensure_session_conf(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"incr_stage_{tag}")
+    target = os.path.join(tempfile.gettempdir(), f"incr_rollup_{tag}")
+    # deterministic rerun: drop the previous run's published versions
+    import glob as _glob
+
+    for stale in _glob.glob(f"{target}.__v__*") + _glob.glob(f"{target}.__link__*"):
+        if os.path.islink(stale):
+            os.unlink(stale)
+        else:
+            shutil.rmtree(stale, ignore_errors=True)
+    if os.path.islink(target):
+        os.unlink(target)
+    ckpt = tempfile.mkdtemp(prefix="incr_ckpt_")
+    stage_chronological_files(spark, sf_dir, stage)
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, stage))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+
+    def _merge(batch_df, batch_id):
+        part = (
+            batch_df.filter(F.col("value").isNotNull())
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+            )
+        )
+        if os.path.islink(target):
+            stored = read_published(batch_df.sparkSession, target).select(
+                "user_id",
+                "event_type",
+                F.col("n").alias("n_a"),
+                F.col("s").alias("s_a"),
+            )
+            zero = F.lit(0).cast("decimal(38,6)")
+            merged = (
+                stored.join(
+                    part.select(
+                        "user_id",
+                        "event_type",
+                        F.col("n").alias("n_b"),
+                        F.col("s").alias("s_b"),
+                    ),
+                    ["user_id", "event_type"],
+                    "full_outer",
+                )
+                .select(
+                    "user_id",
+                    "event_type",
+                    (
+                        F.coalesce(F.col("n_a"), F.lit(0))
+                        + F.coalesce(F.col("n_b"), F.lit(0))
+                    ).alias("n"),
+                    (
+                        F.coalesce(F.col("s_a"), zero)
+                        + F.coalesce(F.col("s_b"), zero)
+                    ).alias("s"),
+                )
+            )
+        else:
+            merged = part
+        write_parquet_atomic(merged, target, gc_grace_seconds=3600.0)
+
+    q = (
+        raw.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"incr_rollup_{tag}")
+        .start()
+    )
+    q.awaitTermination()
+    # single-use checkpoint (availableNow drain over a fixed stage)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        read_published(spark, target)
+        .select(
+            "user_id",
+            "event_type",
+            "n",
+            F.col("s").cast("string").cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
