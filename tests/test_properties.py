@@ -716,3 +716,92 @@ def test_gapfill_locf_carries_last_observation(spark):
                 assert c["sum_value"] is not None
                 last_seen = c["sum_value"]
             assert c["sum_value_locf"] == last_seen
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=2, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_token_cosine_matches_integer_model(spark, docs):
+    """D13's Spark pipeline must reproduce an exact integer reference
+    model: tf vectors over word bigrams, dot products over shared
+    bigrams, and the cross-multiplied 25*dot^2 >= 16*|a|^2*|b|^2
+    threshold — on arbitrary tiny corpora where every bigram is under the
+    df cap, candidates are exactly the pairs sharing a bigram."""
+    from collections import Counter
+
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        _COS_DEN,
+        _COS_NUM,
+        _STOP_SHINGLE_DF,
+        bigram_multiset,
+        tokens,
+    )
+    from pyspark.sql import functions as SF
+
+    texts = [" ".join(ws) for ws in docs]
+    # integer reference model
+    tfs = []
+    for t in texts:
+        ws = t.split(" ")
+        tfs.append(Counter(" ".join(p) for p in zip(ws, ws[1:])))
+    expected = set()
+    for i in range(len(tfs)):
+        for j in range(i + 1, len(tfs)):
+            shared = set(tfs[i]) & set(tfs[j])
+            if not shared:
+                continue
+            dot = sum(tfs[i][w] * tfs[j][w] for w in shared)
+            na2 = sum(v * v for v in tfs[i].values())
+            nb2 = sum(v * v for v in tfs[j].values())
+            if _COS_DEN * _COS_DEN * dot * dot >= _COS_NUM * _COS_NUM * na2 * nb2:
+                expected.add((i, j, dot))
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    # re-run the operator's internals over this frame (the registered
+    # builder reads parquet; the pipeline from tf onward is identical)
+    toked = df.select("doc_id", tokens().alias("toks"))
+    tf = (
+        toked.select("doc_id", SF.explode(bigram_multiset(SF.col("toks"))).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(SF.count(SF.lit(1)).alias("tf"))
+    )
+    norms = tf.groupBy("doc_id").agg(SF.sum(SF.col("tf") * SF.col("tf")).alias("n2"))
+    rare = (
+        tf.groupBy("bg")
+        .agg(SF.count(SF.lit(1)).alias("df"))
+        .filter(SF.col("df") <= _STOP_SHINGLE_DF)
+        .select("bg")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    cand = (
+        a.join(rare, "bg", "semi")
+        .alias("a")
+        .join(b, (SF.col("a.bg") == SF.col("b.bg")) & (SF.col("a.doc_id") < SF.col("b.doc_id")))
+        .select(SF.col("a.doc_id").alias("doc_a"), SF.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    dots = (
+        cand.join(a, SF.col("a.doc_id") == SF.col("doc_a"))
+        .join(b, (SF.col("b.doc_id") == SF.col("doc_b")) & (SF.col("a.bg") == SF.col("b.bg")))
+        .groupBy("doc_a", "doc_b")
+        .agg(SF.sum(SF.col("a.tf") * SF.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(SF.col("doc_id").alias("doc_a"), SF.col("n2").alias("na2"))
+    nb = norms.select(SF.col("doc_id").alias("doc_b"), SF.col("n2").alias("nb2"))
+    got = {
+        (r["doc_a"], r["doc_b"], r["dot"])
+        for r in dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            SF.lit(_COS_DEN * _COS_DEN) * SF.col("dot") * SF.col("dot")
+            >= SF.lit(_COS_NUM * _COS_NUM) * SF.col("na2") * SF.col("nb2")
+        )
+        .collect()
+    }
+    assert got == expected
