@@ -900,3 +900,47 @@ def k9_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("change_type") != "unchanged")
         .orderBy("n_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# S9 — raw text-line source: spark.read.text + in-query parsing. The
+# log-file ingestion shape — no CSV reader in front, every line an opaque
+# string split by column expressions — which is how semi-structured feeds
+# (app logs, legacy exports) actually enter a lake before a schema exists.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s9_text_lines_scan",
+    oracle=f"""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_csv('{_NATION_CSV}', header=true)
+    ORDER BY n_nationkey
+    """,
+    tags=("S9",),
+)
+def s9_text_lines_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: ingest the nation CSV as RAW LINES (spark.read.text) and parse
+    with column expressions — header dropped by literal match, fields via
+    split(), typed casts in-query. The oracle reads the same file through
+    a CSV reader: the hand parse must reproduce it exactly.
+
+    This is deliberately the worst-tooling path (no quote handling — the
+    fixture is QUOTE_MINIMAL with comma-free fields, asserted by the
+    parse-count filter): at scale it is how one-off log formats are
+    bootstrapped before graduating to a real source. text() scans split
+    and parallelize like any file source; the parse is map-only."""
+    ensure_session_conf(spark)
+    _write_nation_csv(spark, sf_dir)
+    lines = spark.read.text(_NATION_CSV)
+    parts = F.split(F.col("value"), ",")
+    return (
+        lines.filter(F.col("value") != "n_nationkey,n_name,n_regionkey")
+        .filter(F.size(parts) == 3)  # comma-free fields by fixture contract
+        .select(
+            parts.getItem(0).cast("long").alias("n_nationkey"),
+            parts.getItem(1).alias("n_name"),
+            parts.getItem(2).cast("long").alias("n_regionkey"),
+        )
+        .orderBy("n_nationkey")
+    )
