@@ -1136,3 +1136,112 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# GX3 — grouped-map Theil-Sen robust trend: median of all pairwise slopes
+# per user. Unlike the closed-form OLS fit (XA9, five mergeable sums),
+# Theil-Sen has no aggregate decomposition — the per-group algorithm is
+# genuinely quadratic in the group and needs the rows in hand, which is
+# exactly the applyInPandas contract: one exchange on the group key, each
+# group as one Arrow batch, algorithm in numpy. The oracle enumerates the
+# same pair set relationally (a.x < b.x, equal-x pairs excluded) and takes
+# DuckDB's interpolated median — numpy's median uses the identical
+# (a+b)/2 midpoint rule, and every slope is one IEEE division of
+# identical inputs, so the report is bit-stable.
+# --------------------------------------------------------------------------
+
+THEIL_SEN_SCHEMA = (
+    "user_id BIGINT, n_points BIGINT, n_pairs BIGINT, ts_slope DOUBLE"
+)
+
+
+def _theil_sen_group(pdf):
+    import numpy as np
+
+    import pandas as pd
+
+    x = pdf["x"].to_numpy(dtype=np.int64)
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    order = np.argsort(x, kind="stable")
+    x, y = x[order], y[order]
+    dx = x[None, :] - x[:, None]
+    dy = y[None, :] - y[:, None]
+    mask = np.triu(dx != 0)  # upper triangle, equal-x pairs excluded
+    slopes = dy[mask] / dx[mask]
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_points": [len(x)],
+            "n_pairs": [int(slopes.size)],
+            "ts_slope": [float(np.median(slopes)) if slopes.size else None],
+        }
+    )
+
+
+@register(
+    "gx3_theil_sen_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
+                       CAST(ts AS TIMESTAMP)) AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+    pairs AS (
+      SELECT a.user_id,
+             (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS s
+      FROM pts a JOIN pts b
+        ON a.user_id = b.user_id AND a.x < b.x),
+    counts AS (
+      SELECT user_id, COUNT(*) AS n_points FROM pts GROUP BY 1)
+    SELECT c.user_id, c.n_points,
+           COUNT(p.s) AS n_pairs,
+           median(p.s) AS ts_slope
+    FROM counts c LEFT JOIN pairs p ON c.user_id = p.user_id
+    GROUP BY c.user_id, c.n_points
+    HAVING COUNT(p.s) > 0
+    ORDER BY c.user_id
+    """,
+    tags=("GX3",),
+)
+def gx3_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GX3: per-user Theil-Sen slope (median of pairwise slopes) via
+    grouped-map applyInPandas (module comment) — the robust counterpart of
+    XA9's OLS fit, kept when outliers would wreck least squares.
+
+    Scale shape: one hash exchange on user_id; each user's rows arrive as
+    one Arrow batch and the quadratic pair enumeration happens in numpy
+    against worker-local arrays — bounded by the largest single group
+    (tens of rows per user here), never by the table. Users whose points
+    all share one timestamp-second have no defined slope and are excluded
+    on both sides (HAVING n_pairs > 0 / empty-slopes skip)."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            (
+                (
+                    F.unix_micros("ts")
+                    - F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+                )
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("x"),
+            F.col("value").cast("double").alias("y"),
+        )
+    )
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_theil_sen_group, THEIL_SEN_SCHEMA)
+        .filter(F.col("n_pairs") > 0)
+        .orderBy("user_id")
+    )
