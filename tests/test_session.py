@@ -177,6 +177,10 @@ def test_coverage_inventory_in_sync():
         "k8_incremental_agg_merge",
         "k9_snapshot_changelog",
         "xa9_user_value_trend",
+        "xa10_event_transitions",
+        "stream_incremental_rollup",
+        "s9_text_lines_scan",
+        "gx3_theil_sen_trend",
     ],
 )
 def test_round4_ops_partition_count_invariant(name, spark):
