@@ -46,6 +46,7 @@ def main() -> None:
         "curation_end_to_end",
         "graph_pagerank",
         "sim_pq_adc_topk",
+        "gx3_theil_sen_trend",
         # graph_triangle_counts is intentionally NOT here: ~34s at sf0.1
         # (honest wedge-join enumeration) would dominate the bench wall
         # clock; its per-round correctness cost is covered by the sf0.01
