@@ -480,17 +480,15 @@ def test_cogroup_click_context_matches_bruteforce(spark, data):
     """GX2 against a 5-line python model on ANY random timeline: for each
     purchase, n_clicks_before must equal the count of same-user clicks at
     or before it (ties included)."""
-    import datetime as _dt
-
     from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
         cogroup_click_context,
     )
 
-    base = _dt.datetime(2024, 1, 1)
+    base = dt.datetime(2024, 1, 1)
     rows = [
         (
             i,
-            base + _dt.timedelta(minutes=m),
+            base + dt.timedelta(minutes=m),
             u,
             "purchase" if p else "click",
             0.0,
@@ -507,21 +505,30 @@ def test_cogroup_click_context_matches_bruteforce(spark, data):
     d = tempfile.mkdtemp(prefix="gx2_prop_")
     try:
         docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
-        got = {
-            (r["user_id"], r["purchase_id"]): r["n_clicks_before"]
+        # sorted row LIST, not a dict: a dict keyed on (user, purchase)
+        # would silently collapse duplicate output rows, so a double-emit
+        # bug could pass the "exact agreement" check
+        got = sorted(
+            (r["user_id"], r["purchase_id"], r["n_clicks_before"])
             for r in cogroup_click_context(spark, d).collect()
-        }
+        )
     finally:
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
-    expect = {}
-    for i, (u, m, p) in enumerate(data):
-        if p:
-            expect[(u, i)] = sum(
-                1 for j, (u2, m2, p2) in enumerate(data)
+    expect = sorted(
+        (
+            u,
+            i,
+            sum(
+                1
+                for j, (u2, m2, p2) in enumerate(data)
                 if u2 == u and not p2 and m2 <= m
-            )
+            ),
+        )
+        for i, (u, m, p) in enumerate(data)
+        if p
+    )
     assert got == expect
 
 
