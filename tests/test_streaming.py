@@ -265,13 +265,30 @@ def test_watermark_drops_late_rows_and_gates_emission(spark, tmp_path):
         )
     }
     assert len(got) > 0 and got == expect
-    # the duplicated first event (an 'error' in the first hour) stayed at 1
-    first_ws = str(
-        spark.createDataFrame(src.slice(0, 1).to_pandas())
+    # the duplicated FIRST event must have contributed nothing: its
+    # (window, type) count equals the count over the ORIGINAL rows alone.
+    # Derive both the window and the expected count from the data — the
+    # first hour holds exactly 1 matching event at sf0.001 but 6 at
+    # sf0.01, so a hard-coded `== 1` is an SF-dependent fixture
+    # assumption, not a semantics check.
+    first_pdf = src.slice(0, 1).to_pandas()
+    first_type = first_pdf["event_type"].iloc[0]
+    first_row = (
+        spark.createDataFrame(first_pdf)
         .select(F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"))
-        .head()["h"]
+        .head()
     )
-    assert got[(first_ws, "error")] == 1
+    first_ws = str(first_row["h"])
+    n_orig = (
+        spark.createDataFrame(src.to_pandas())
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        .filter(
+            (F.date_trunc("hour", F.col("ts")) == F.lit(first_row["h"]))
+            & (F.col("event_type") == first_type)
+        )
+        .count()
+    )
+    assert got[(first_ws, first_type)] == n_orig
 
 
 def test_transform_with_state_profile_matches_batch(spark, tmp_path):
