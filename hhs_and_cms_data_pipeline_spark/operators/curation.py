@@ -946,3 +946,104 @@ def curation_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") <= _QUANTILE_KEEP)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PIPE2 — near-dup-aware corpus build: cluster-canonical dedup (D9) ->
+# quality gate (C4 thresholds) -> within-source quality-quantile filter
+# (C14) -> shard assignment (C6), composed as one declarative job. PIPE1
+# exercises EXACT dedup in its chain; PIPE2 swaps in the MinHash/LSH
+# connected-component canonicalization — the order used in real pretraining
+# corpus builds (dedup the raw crawl first, then filter), and the chain
+# where a subtle interaction (e.g. the gate dropping a cluster's canonical
+# but not its duplicates) would corrupt the corpus if stages didn't
+# compose cleanly.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curation_neardup_corpus_build",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CLUSTERS_CTES},
+    canon AS (
+      SELECT d.doc_id, d.text, d.source, d.n_chars
+      FROM clusters l JOIN documents d ON d.doc_id = l.doc_id
+      WHERE l.doc_id = l.cluster_id),
+    gated AS (
+      SELECT doc_id, text, source FROM canon
+      WHERE n_chars >= {_MIN_CHARS} AND n_chars <= {_MAX_CHARS}
+        AND len(string_split(text, ' ')) >= {_MIN_TOKENS}
+        AND CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)
+            <= {_MAX_AVG_TOKEN_LEN}),
+    p2_scored AS (
+      SELECT doc_id, source, {SQL_QC_RAW} AS raw_score
+      FROM gated),
+    p2_ranked AS (
+      SELECT doc_id, source, raw_score,
+             percent_rank() OVER (
+               PARTITION BY source
+               ORDER BY raw_score DESC, doc_id) AS pr
+      FROM p2_scored)
+    SELECT doc_id, source, raw_score, pr,
+           strpos('0123456789abcdef', substr({_SQL_HASH_KEY}, 1, 1)) - 1
+             AS shard
+    FROM p2_ranked
+    WHERE pr <= 0.5
+    ORDER BY doc_id
+    """,
+    tags=("PIPE2",),
+)
+def curation_neardup_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPE2: the near-dup-aware pretraining corpus build (module comment).
+
+    Spark shape, stage by stage: min-label connected components over the
+    LSH-verified pair graph (iterative with lineage truncation — the one
+    genuinely iterative stage); survivors are the map-side
+    cluster_id == doc_id filter; the gate and the integer quality score
+    fuse into the same scan projection; the quantile cut is one
+    per-source window over the gated survivors; the shard key is
+    map-only hash arithmetic. Everything after clustering is a single
+    scan + one window exchange, which is what makes running the full
+    chain nightly over a 100 TB crawl plausible — and every stage's
+    semantics is the SAME as its standalone operator, restated end-to-end
+    by the composed oracle."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    labels = min_label_components(docs)
+    canon = (
+        docs.join(labels, "doc_id")
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id", "text", "source", "n_chars")
+    )
+    n_tok = F.size(F.split(F.col("text"), " "))
+    avg_tok_len = (F.length("text") - n_tok + F.lit(1)).cast("double") / n_tok.cast(
+        "double"
+    )
+    gated = canon.filter(
+        (F.col("n_chars") >= _MIN_CHARS)
+        & (F.col("n_chars") <= _MAX_CHARS)
+        & (n_tok >= _MIN_TOKENS)
+        & (avg_tok_len <= _MAX_AVG_TOKEN_LEN)
+    )
+    scored = gated.select(
+        "doc_id", "source", quality_raw_score().alias("raw_score")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("raw_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.5)
+        .select(
+            "doc_id",
+            "source",
+            "raw_score",
+            "pr",
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"), F.substring(_hash_key(), 1, 1)
+                )
+                - 1
+            ).cast("long").alias("shard"),
+        )
+        .orderBy("doc_id")
+    )
