@@ -181,6 +181,8 @@ def test_coverage_inventory_in_sync():
         "stream_incremental_rollup",
         "s9_text_lines_scan",
         "gx3_theil_sen_trend",
+        "sim_ivf_recall_report",
+        "curation_neardup_corpus_build",
     ],
 )
 def test_round4_ops_partition_count_invariant(name, spark):
