@@ -415,19 +415,27 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS ps_partkey, {sql_dsum('value')} AS part_value
     FROM scoped
     GROUP BY 1
-    HAVING {sql_dsum('value')} > (SELECT {sql_dsum('value')} * 0.001 FROM scoped)
+    HAVING {sql_dsum('value')} > (
+      SELECT {sql_dsum('value')} * 2.0 / COUNT(DISTINCT l_partkey)
+      FROM scoped)
     ORDER BY part_value DESC, ps_partkey
     """,
     tags=("TPCH11",),
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11: parts whose ASIA-supplied traded value exceeds 0.1% of the
-    regional total — per-group sum vs a scalar-subquery threshold. Stock
-    value is proxied by l_extendedprice * l_quantity (no partsupp). Both the
-    per-part and total sums ride one shuffle each over the region-pruned
-    fact; the scalar joins back as a 1-row broadcast, never a collect. The
-    threshold multiply stays sum-then-*0.001 to mirror the oracle's operand
-    order bit-for-bit."""
+    """TPC-H Q11: parts whose ASIA-supplied traded value exceeds TWICE the
+    mean per-part value — per-group sum vs a scalar-subquery threshold.
+    Stock value is proxied by l_extendedprice * l_quantity (no partsupp).
+
+    The spec's FRACTION is 0.0001/SF — it SCALES with data size precisely
+    so the predicate stays selective-but-nonempty; a fixed 0.001 went
+    vacuous at sf0.1 (part count grows 10x, every share shrinks below the
+    bar — caught by running the non-vacuity gate at sf0.1). 2x-the-mean is
+    the scale-free restatement: 19/91/957 rows at sf0.001/0.01/0.1. Both
+    the per-part and total sums ride one shuffle each over the
+    region-pruned fact; the scalar joins back as a 1-row broadcast, never
+    a collect. The threshold arithmetic stays sum * 2.0 / n_parts in that
+    exact order to mirror the oracle bit-for-bit."""
     ensure_session_conf(spark)
     asia = _regional_suppliers(spark, sf_dir, "ASIA").select("s_suppkey")
     li = table(spark, sf_dir, "lineitem").select(
@@ -439,7 +447,12 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = scoped.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
         dsum("value", "part_value")
     )
-    threshold = scoped.agg((dsum("value") * F.lit(0.001)).alias("threshold"))
+    threshold = scoped.agg(
+        (
+            dsum("value") * F.lit(2.0)
+            / F.countDistinct("l_partkey").cast("double")
+        ).alias("threshold")
+    )
     return (
         per_part.crossJoin(F.broadcast(threshold))
         .filter(F.col("part_value") > F.col("threshold"))
