@@ -457,3 +457,69 @@ def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "x", "mu", dev2.alias("dev2"), var_pop.alias("var_pop"))
         .orderBy("event_type", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# OBS1 — piggybacked pipeline observability: Spark's Observation API
+# attaches metric aggregates to a job so row counts / sums / bounds are
+# collected DURING the pass the pipeline already makes — no second scan,
+# no separate metrics job. That free-rider property is what makes
+# per-batch data-quality telemetry affordable at 100 TB; this query runs
+# an observed pass over lineitem and returns the observed metrics as the
+# result, with a plain-SQL oracle recomputing them independently.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "obs1_observed_scan_metrics",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum("l_quantity")} AS sum_qty,
+           CAST(MAX(l_shipdate) AS TIMESTAMP) AS max_shipdate,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey
+    FROM lineitem
+    """,
+    tags=("OBS1",),
+)
+def obs1_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBS1: metrics observed on a scan of lineitem (module comment) —
+    the Observation rides the job as accumulator-backed aggregates and is
+    read on the driver after ONE materializing pass.
+
+    The observed sum is decimal-routed exactly like every other
+    cross-engine aggregate (accumulator merge order is arbitrary; decimal
+    addition is associative-commutative, so the merged metric is
+    bit-stable). The 4-value result is re-shipped as a 1-row DataFrame —
+    the same driver-side scalar materialization class as the similarity
+    query-vector fetch (similarity.py), metrics-sized by construction."""
+    from pyspark.sql import Observation
+
+    ensure_session_conf(spark)
+    from ..sources import table as _table
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+        .cast("string")
+        .alias("sum_qty_str"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.min("l_orderkey").alias("min_orderkey"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                float(m["sum_qty_str"]),
+                m["max_shipdate"],
+                m["min_orderkey"],
+            )
+        ],
+        "n_rows bigint, sum_qty double, max_shipdate timestamp, min_orderkey bigint",
+    )
