@@ -437,22 +437,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_label_components(docs).orderBy("doc_id")
 
 
-def min_label_components(docs: DataFrame) -> DataFrame:
-    """(doc_id, cluster_id) connected-component labels over the MinHash-LSH
-    verified near-dup graph: iterative min-label propagation with
-    per-round lineage truncation (see dedup_clusters for the full scale
-    discussion). Shared by the cluster query (D8) and the canonical-corpus
-    query (D9)."""
-    pairs = minhash_verified_pairs(docs).select("doc_a", "doc_b")
+def label_propagation(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """(doc_id, cluster_id) connected-component labels over an arbitrary
+    undirected pair graph: iterative min-label propagation with per-round
+    lineage truncation and a loud iteration cap (O(diameter) rounds — see
+    dedup_clusters for the scale discussion). `nodes` is a 1-column id
+    frame named doc_id; `pairs` is (doc_a, doc_b). Shared by the near-dup
+    clustering (D8/D9) and the entity-consolidation query (ER2)."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = docs.select(
+    labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint(eager=True)
-    for _ in range(_CC_MAX_ITERS):
+    for _ in range(max_iters):
         prop = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "cluster_id"
         )
@@ -474,10 +476,19 @@ def min_label_components(docs: DataFrame) -> DataFrame:
             break
     else:
         raise RuntimeError(
-            f"min_label_components: no fixpoint after {_CC_MAX_ITERS} rounds "
+            f"label_propagation: no fixpoint after {max_iters} rounds "
             "(cluster diameter exceeds the cap)"
         )
     return labels
+
+
+def min_label_components(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) labels over the MinHash-LSH verified near-dup
+    graph — label_propagation specialized to the dedup pipeline's pair
+    generator. Shared by the cluster query (D8) and the canonical-corpus
+    query (D9)."""
+    pairs = minhash_verified_pairs(docs).select("doc_a", "doc_b")
+    return label_propagation(docs.select("doc_id"), pairs)
 
 
 @register(

@@ -1066,3 +1066,99 @@ def xu2_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("intersect_all").alias("op"), "n"
     )
     return ex.unionAll(ia).orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# ER2 — entity consolidation: ER1's fuzzy-match pairs closed into
+# connected components, every customer record mapped to a canonical
+# entity id (the component's minimum custkey) with the entity's record
+# count. Pairs alone don't deduplicate an identity graph — A~B and B~C
+# must land A, B, C in ONE entity even when A~C was never scored — which
+# is exactly transitive closure, the same min-label propagation the
+# near-dup doc clustering uses (dedup.label_propagation).
+# --------------------------------------------------------------------------
+
+# lev<=1 chains run through the 2-digit suffix grid (units/tens steps), so
+# component diameter ~ grid distance; 25 rounds covers it with slack and
+# still fails loudly if the graph ever degenerates.
+_ER2_MAX_ITERS = 25
+
+
+@register(
+    "er2_entity_consolidation",
+    oracle=f"""
+    WITH RECURSIVE blocked AS (
+      SELECT c_custkey, c_name,
+             substr(c_name, 1, {_ER_BLOCK_LEN}) AS blk
+      FROM customer),
+    er_pairs AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM blocked a
+      JOIN blocked b
+        ON a.blk = b.blk
+       AND a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= {_ER_MAX_EDIT}),
+    er_edges AS (
+      SELECT ka AS src, kb AS dst FROM er_pairs
+      UNION ALL
+      SELECT kb AS src, ka AS dst FROM er_pairs),
+    reach_er(k, r) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT reach_er.k, e.dst
+      FROM reach_er JOIN er_edges e ON e.src = reach_er.r),
+    ents AS (
+      SELECT k AS c_custkey, MIN(r) AS entity_id FROM reach_er GROUP BY k),
+    sizes_er AS (
+      SELECT entity_id, COUNT(*) AS entity_size FROM ents GROUP BY 1)
+    SELECT e.c_custkey, e.entity_id, s.entity_size,
+           e.c_custkey = e.entity_id AS is_canonical
+    FROM ents e JOIN sizes_er s USING (entity_id)
+    ORDER BY e.c_custkey
+    """,
+    tags=("ER2",),
+)
+def er2_entity_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER2: every customer labeled with its consolidated entity (module
+    comment) — the record-linkage pipeline's second half, where ER1's
+    pairwise candidates become entity keys downstream joins can use.
+
+    The pair graph reuses ER1's blocked candidate join; closure is the
+    shared min-label propagation (one hop per round, lineage truncated per
+    round, loud cap at 25 — the lev<=1 chains walk a 2-digit suffix grid,
+    so the diameter is grid-sized, not corpus-sized). The oracle states
+    the same closure as a recursive CTE. Output is customer-sized; entity
+    sizes join back from an entity-count frame."""
+    from .dedup import label_propagation
+
+    ensure_session_conf(spark)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 1, _ER_BLOCK_LEN).alias("blk"),
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= _ER_MAX_EDIT),
+    ).select(
+        F.col("a.c_custkey").alias("doc_a"), F.col("b.c_custkey").alias("doc_b")
+    )
+    nodes = cust.select(F.col("c_custkey").alias("doc_id"))
+    ents = label_propagation(nodes, pairs, max_iters=_ER2_MAX_ITERS).select(
+        F.col("doc_id").alias("c_custkey"), F.col("cluster_id").alias("entity_id")
+    )
+    sizes = ents.groupBy("entity_id").agg(F.count(F.lit(1)).alias("entity_size"))
+    return (
+        ents.join(sizes, "entity_id")
+        .select(
+            "c_custkey",
+            "entity_id",
+            "entity_size",
+            (F.col("c_custkey") == F.col("entity_id")).alias("is_canonical"),
+        )
+        .orderBy("c_custkey")
+    )
