@@ -1156,11 +1156,24 @@ THEIL_SEN_SCHEMA = (
 )
 
 
+# Exact Theil-Sen is quadratic in the group: cap it loudly (same contract
+# discipline as the capped exact embedding dedup, dedup.py D5) instead of
+# letting one hot entity quietly consume a worker. Beyond the cap the
+# right tools are slope sampling or the O(n log n) repeated-median.
+_THEIL_SEN_MAX_GROUP = 10_000
+
+
 def _theil_sen_group(pdf):
     import numpy as np
 
     import pandas as pd
 
+    if len(pdf) > _THEIL_SEN_MAX_GROUP:
+        raise ValueError(
+            f"gx3_theil_sen_trend: group of {len(pdf)} rows exceeds the "
+            f"exact-pair cap {_THEIL_SEN_MAX_GROUP}; sample slopes or use "
+            "repeated-median for groups this hot"
+        )
     x = pdf["x"].to_numpy(dtype=np.int64)
     y = pdf["y"].to_numpy(dtype=np.float64)
     order = np.argsort(x, kind="stable")
