@@ -1162,3 +1162,79 @@ def er2_entity_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# XF3 — nested/array analytics via higher-order functions, as a surface
+# row of its own. The engine uses transform/filter/aggregate/zip_with
+# internally everywhere (shingling, minhash, embedding dot products); this
+# query exposes the capability directly: collect each order's line
+# quantities into an ORDERED array, then compute per-order stats entirely
+# with array lambdas — no second aggregation, no explode round-trip. All
+# quantities are whole numbers (exact in double at any fold order), so
+# the cross-engine compare is exact without the decimal route.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xf3_array_higher_order",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+      FROM lineitem GROUP BY 1)
+    SELECT l_orderkey,
+           CAST(len(qtys) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(qtys, q -> q > 25)) AS BIGINT) AS n_heavy,
+           CAST(list_aggregate(qtys, 'sum') AS DOUBLE) AS total_qty,
+           CAST(list_aggregate(
+             list_transform(range(2, len(qtys) + 1),
+                            i -> qtys[i] - qtys[i - 1]),
+             'max') AS DOUBLE) AS max_step
+    FROM per_order
+    ORDER BY l_orderkey
+    """,
+    tags=("XF3",),
+)
+def xf3_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XF3: per-order line-quantity stats computed on a collected array
+    with higher-order lambdas — size, filtered count, sequential-fold sum,
+    and the max step between consecutive lines via zip_with of the array
+    against its own tail (NULL for single-line orders).
+
+    One groupBy builds the ordered array (sort_array over structs pins the
+    line order deterministically — collect_list alone is partition-order
+    dependent, and the synthetic data repeats l_linenumber within an
+    order, so the sort key must be the full (linenumber, quantity) pair
+    on BOTH engines); every derived stat is then a per-row lambda inside
+    whole-stage codegen. This is the nested-data idiom that avoids
+    explode -> aggregate round-trips at 100 TB: one shuffle total, and
+    downstream consumers get the array AND its stats from the same row."""
+    ensure_session_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("l_linenumber", "l_quantity"))
+            ),
+            lambda s: s["l_quantity"],
+        ).alias("qtys")
+    )
+    qtys = F.col("qtys")
+    n = F.size(qtys)
+    steps = F.zip_with(
+        F.slice(qtys, 2, n - F.lit(1)),
+        F.slice(qtys, 1, n - F.lit(1)),
+        lambda later, earlier: later - earlier,
+    )
+    return per_order.select(
+        "l_orderkey",
+        n.cast("long").alias("n_lines"),
+        F.size(F.filter(qtys, lambda q: q > 25)).cast("long").alias("n_heavy"),
+        F.aggregate(
+            qtys, F.lit(0.0), lambda acc, x: acc + x
+        ).alias("total_qty"),
+        F.array_max(steps).alias("max_step"),
+    ).orderBy("l_orderkey")
