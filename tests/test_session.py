@@ -183,6 +183,9 @@ def test_coverage_inventory_in_sync():
         "gx3_theil_sen_trend",
         "sim_ivf_recall_report",
         "curation_neardup_corpus_build",
+        "er2_entity_consolidation",
+        "obs1_observed_scan_metrics",
+        "xf3_array_higher_order",
     ],
 )
 def test_round4_ops_partition_count_invariant(name, spark):
