@@ -772,7 +772,7 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM passed)
       WHERE rn = 1),
     scored AS (
-      SELECT doc_id, lang, {SQL_QC_RAW} AS raw_score
+      SELECT doc_id, lang, CAST({SQL_QC_RAW} AS BIGINT) AS raw_score
       FROM uniq)
     SELECT doc_id, lang, raw_score,
            strpos('0123456789abcdef', substr({_SQL_HASH_KEY}, 1, 1)) - 1
@@ -911,7 +911,7 @@ _QUANTILE_KEEP = 0.5  # keep the top half per source
     "curation_quality_quantile",
     oracle=f"""
     WITH qscored AS (
-      SELECT doc_id, source, {SQL_QC_RAW} AS raw_score
+      SELECT doc_id, source, CAST({SQL_QC_RAW} AS BIGINT) AS raw_score
       FROM documents),
     qranked AS (
       SELECT doc_id, source, raw_score,
@@ -977,7 +977,7 @@ def curation_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
               / CAST(len(string_split(text, ' ')) AS DOUBLE)
             <= {_MAX_AVG_TOKEN_LEN}),
     p2_scored AS (
-      SELECT doc_id, source, {SQL_QC_RAW} AS raw_score
+      SELECT doc_id, source, CAST({SQL_QC_RAW} AS BIGINT) AS raw_score
       FROM gated),
     p2_ranked AS (
       SELECT doc_id, source, raw_score,

@@ -993,7 +993,7 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            dist.alias("edit_dist"),
+            dist.cast("long").alias("edit_dist"),
             rel.alias("rel_dist"),
         )
         .filter(F.col("rel_dist") <= _LEV_REL_MAX)
@@ -1356,7 +1356,7 @@ _SQL_TF_COSINE = f"""
     "dedup_token_cosine",
     oracle=f"""
     WITH {_SQL_TF_COSINE}
-    SELECT d.doc_a, d.doc_b, d.dot,
+    SELECT d.doc_a, d.doc_b, CAST(d.dot AS BIGINT) AS dot,
            CAST(d.dot * d.dot AS DOUBLE) / CAST(na.n2 * nb.n2 AS DOUBLE)
              AS cos2
     FROM dots d

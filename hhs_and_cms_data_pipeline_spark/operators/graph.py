@@ -240,7 +240,7 @@ _SQL_PAGERANK = f"""
     "graph_pagerank",
     oracle=f"""
     WITH {_SQL_PAGERANK}
-    SELECT n AS part, r AS rank_fp
+    SELECT n AS part, CAST(r AS BIGINT) AS rank_fp
     FROM r3
     ORDER BY rank_fp DESC, part
     LIMIT {_PR_TOP_K}

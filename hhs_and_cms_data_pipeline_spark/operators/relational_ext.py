@@ -617,7 +617,7 @@ def er_customer_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.c_custkey").alias("custkey_b"),
             F.col("a.c_name").alias("name_a"),
             F.col("b.c_name").alias("name_b"),
-            lev.alias("edit_distance"),
+            lev.cast("long").alias("edit_distance"),
             (F.col("a.c_nationkey") == F.col("b.c_nationkey")).alias(
                 "same_nation"
             ),

@@ -588,9 +588,10 @@ def quality_raw_score(col: str = "text") -> F.Column:
     "text_quality_classifier",
     oracle=f"""
     SELECT doc_id,
-           list_sum(list_transform(string_split(text, ' '),
+           CAST(list_sum(list_transform(string_split(text, ' '),
              w -> CAST(CAST('0x' || substr(md5('{_QC_SALT}' || w), 1, 4)
-                       AS UBIGINT) AS BIGINT) - {_QC_SCALE})) AS raw_score,
+                       AS UBIGINT) AS BIGINT) - {_QC_SCALE})) AS BIGINT)
+             AS raw_score,
            CAST(list_sum(list_transform(string_split(text, ' '),
              w -> CAST(CAST('0x' || substr(md5('{_QC_SALT}' || w), 1, 4)
                        AS UBIGINT) AS BIGINT) - {_QC_SCALE})) AS DOUBLE)

@@ -527,7 +527,12 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") < cutoff)
-        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderpriority",
+        )
     )
     li = (
         table(spark, sf_dir, "lineitem")
@@ -935,7 +940,10 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > _Q18_QTY)
     )
     o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
     )
     c = table(spark, sf_dir, "customer").select("c_custkey")
     return (
@@ -1150,7 +1158,7 @@ def w7_scd2_rating_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rating",
             F.col("ts").alias("valid_from"),
             F.lead("ts").over(w).alias("valid_to"),
-            F.row_number().over(w).alias("version"),
+            F.row_number().over(w).cast("long").alias("version"),
         )
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "version")
