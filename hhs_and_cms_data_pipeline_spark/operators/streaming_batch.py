@@ -1240,7 +1240,10 @@ def gx3_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            (
+            # FLOOR, not trunc-cast: matches date_diff's boundary-crossing
+            # count on both sides of the epoch (trunc diverges for
+            # pre-epoch timestamps; latent on this corpus, pinned anyway)
+            F.floor(
                 (
                     F.unix_micros("ts")
                     - F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))

@@ -15,7 +15,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, dsum, sql_dsum
+from ..functions.exact import davg, dsum, dsum_over, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
@@ -53,10 +53,7 @@ def w4_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("o_totalprice", "revenue"))
     )
     w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
-    ma7 = (
-        F.sum(F.col("revenue").cast("decimal(38,6)")).over(w).cast("string").cast("double")
-        / F.count(F.lit(1)).over(w).cast("double")
-    )
+    ma7 = dsum_over("revenue", w) / F.count(F.lit(1)).over(w).cast("double")
     return daily.withColumn("ma7", ma7).orderBy("d")
 
 
@@ -397,8 +394,14 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
         try:
             os.rename(staging, path)  # atomic publish
         except OSError:
-            shutil.rmtree(staging, ignore_errors=True)  # lost the race: a
-            # concurrent builder published the identical content first
+            shutil.rmtree(staging, ignore_errors=True)
+            # only a LOST RACE is benign (a concurrent builder published
+            # identical content first) — then `path` now exists. Any other
+            # rename failure (EXDEV mount boundary, EACCES, ...) must
+            # surface here, not as a baffling "path does not exist" from a
+            # reader far away.
+            if not os.path.isdir(path):
+                raise
     return path
 
 
@@ -1030,9 +1033,14 @@ def _z_value(a: F.Column, b: F.Column) -> F.Column:
 
 def _sql_z(a: str, b: str) -> str:
     terms = []
+    # arguments are parenthesized before interpolation: without it,
+    # "x & 65535 >> i" only parses as (x & 65535) >> i because DuckDB
+    # happens to give & and >> equal left-associative precedence — a
+    # caller passing any lower-precedence expression (or a future C-style
+    # oracle engine) would silently compute x & (65535 >> i)
     for i in range(_Z_BITS):
-        terms.append(f"(({a} >> {i}) & 1) * {1 << (2 * i)}")
-        terms.append(f"(({b} >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"((({a}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({b}) >> {i}) & 1) * {1 << (2 * i + 1)}")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
@@ -1094,7 +1102,7 @@ def xs5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
              (abs(CAST(floor(value) AS BIGINT)) % 5) + 1 AS rating
       FROM events
-      WHERE ts IS NOT NULL AND value IS NOT NULL),
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL),
     changes AS (
       SELECT user_id, ts, event_id, rating,
              LAG(rating) OVER (
@@ -1136,7 +1144,13 @@ def w7_scd2_rating_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     hist = (
         table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_id").isNotNull()  # ties order by event_id; Spark
+            # sorts NULLS FIRST, DuckDB NULLS LAST — pin it out (same
+            # contract as the sessionize operators)
+        )
         .select(
             "user_id",
             "ts",
@@ -1383,7 +1397,7 @@ _TREND_TOP_K = 10
     oracle=f"""
     WITH pts AS (
       SELECT user_id,
-             date_diff('second', TIMESTAMP '{_TREND_EPOCH}',
+             date_diff('minute', TIMESTAMP '{_TREND_EPOCH}',
                        CAST(ts AS TIMESTAMP)) AS x,
              CAST(value AS DOUBLE) AS y
       FROM events
@@ -1415,8 +1429,9 @@ def xa9_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on the group rows and a TakeOrderedAndProject top-10: the
     entire 'fit a model per group' step costs the same as a SUM per
     group, which is why closed-form fits beat grouped-map UDFs wherever
-    they exist. x stays integer (whole seconds, exact in BIGINT through
-    sxx and sx*sx); y-sums go through DECIMAL(38,6); degenerate groups
+    they exist. x stays integer (whole minutes, exact in BIGINT through
+    sxx and sx*sx with wide headroom); y-sums go through DECIMAL(38,6);
+    degenerate groups
     (single point, or all points in one second) are excluded by the
     HAVING guard on the denominator."""
     ensure_session_conf(spark)
@@ -1429,9 +1444,17 @@ def xa9_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            (
-                (F.unix_micros("ts") - F.unix_micros(F.lit(_TREND_EPOCH).cast("timestamp")))
-                / F.lit(1_000_000)
+            # FLOOR, not trunc-cast: date_diff counts boundary crossings,
+            # which is floor of the elapsed interval for timestamps on
+            # either side of the epoch (trunc diverges before it). Minute
+            # grain keeps sx*sx and n*sxx ~3600x further from int64
+            # overflow than second grain at the same event volume.
+            F.floor(
+                (
+                    F.unix_micros("ts")
+                    - F.unix_micros(F.lit(_TREND_EPOCH).cast("timestamp"))
+                )
+                / F.lit(60_000_000)
             )
             .cast("long")
             .alias("x"),
@@ -1481,7 +1504,7 @@ def xa9_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
       FROM events
       WHERE ts IS NOT NULL AND event_type IS NOT NULL
-        AND user_id IS NOT NULL),
+        AND user_id IS NOT NULL AND event_id IS NOT NULL),
     trans AS (
       SELECT prev_type, event_type AS next_type, COUNT(*) AS n
       FROM seq WHERE prev_type IS NOT NULL
@@ -1512,6 +1535,8 @@ def xa10_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").isNotNull()
             & F.col("event_type").isNotNull()
             & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()  # tie-break column: pin the
+            # NULLS FIRST/LAST divergence out
         )
         .select("user_id", "ts", "event_id", "event_type")
     )
