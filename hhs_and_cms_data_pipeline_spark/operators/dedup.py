@@ -471,6 +471,11 @@ def label_propagation(
             .filter(F.col("cluster_id") < F.col("old_cluster_id"))
             .count()
         )
+        # the changed-count above was the last consumer of the previous
+        # round's checkpointed labels: release its executor storage NOW —
+        # without this, up to max_iters corpus-sized checkpoint copies pile
+        # up until driver GC happens to collect the references
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -714,6 +719,29 @@ def emb_norm2(a: F.Column) -> F.Column:
     return emb_dot(a, a)
 
 
+
+def cosine_of_pairs(cand: DataFrame, emb: DataFrame) -> DataFrame:
+    """Exact cosine for each (vec_a, vec_b) candidate pair — the shared
+    verification tail of the all-pairs baseline (D5) and the banded
+    hyperplane LSH (D6), factored once like exact_jaccard_of_pairs so the
+    two paths cannot drift (norm handling, cast discipline, future
+    zero-norm guards live here)."""
+    with_norm = emb.withColumn("n2", emb_norm2(F.col("embedding")))
+    ea = with_norm.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("n2").alias("na"),
+    )
+    eb = with_norm.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb"),
+    )
+    cosine = emb_dot(F.col("ea"), F.col("eb")) / (F.sqrt("na") * F.sqrt("nb"))
+    return cand.join(ea, "vec_a").join(eb, "vec_b").select(
+        "vec_a", "vec_b", cosine.alias("cosine")
+    )
+
 _D5_MAX_ROWS = 20_000  # all-pairs ceiling: ~2e8 candidate pairs
 
 
@@ -757,23 +785,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_D5_MAX_ROWS} vectors (got {n}); use dedup_embedding_lsh (D6) — "
             "hyperplane-bucketed candidates — for large corpora"
         )
-    with_norm = emb.withColumn("n2", emb_norm2(F.col("embedding")))
-    a = with_norm.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("n2").alias("na"),
-    )
-    b = with_norm.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("n2").alias("nb"),
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cosine = emb_dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
-    )
+    ids = emb.select(F.col("vec_id").alias("vec_a"))
+    ids_b = emb.select(F.col("vec_id").alias("vec_b"))
+    cand = ids.join(ids_b, F.col("vec_a") < F.col("vec_b"))
     return (
-        pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
+        cosine_of_pairs(cand, emb)
         .filter(F.col("cosine") >= _COS_TAU)
         .orderBy("vec_a", "vec_b")
     )
@@ -919,22 +935,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    with_norm = emb.withColumn("n2", emb_norm2(F.col("embedding")))
-    ea = with_norm.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("n2").alias("na"),
-    )
-    eb = with_norm.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("n2").alias("nb"),
-    )
-    cosine = emb_dot(F.col("ea"), F.col("eb")) / (F.sqrt("na") * F.sqrt("nb"))
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        cosine_of_pairs(cand, emb)
         .filter(F.col("cosine") >= _COS_TAU)
         .orderBy("vec_a", "vec_b")
     )
@@ -1121,8 +1123,10 @@ _SQL_SPAN_CTES = f"""
     toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     tpos AS (
-      SELECT doc_id, t, generate_subscripts(t, 1) AS i
-      FROM (SELECT doc_id, unnest(t), t FROM toks) q(doc_id, w, t)),
+      -- generate_subscripts alone already yields len(t) zipped rows; the
+      -- previous inner unnest(t) multiplied that by len(t) again (len^2
+      -- rows per doc collapsed later by DISTINCT — pure wasted work)
+      SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
     spanfp AS (
       SELECT DISTINCT doc_id,
              substring(md5(array_to_string(t[i:i+{_SPAN_K}-1], ' ')), 1, 16) AS fp
@@ -1149,11 +1153,18 @@ _SQL_SPAN_CTES = f"""
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup: every document pair sharing >= 1 verbatim
-    8-token span, with the count of distinct shared spans — the
-    map-reduce-friendly stand-in for suffix-array substring dedup
+    SUB-CAP 8-token span, with the count of distinct shared sub-cap spans
+    — the map-reduce-friendly stand-in for suffix-array substring dedup
     (parity target: the reference's content-equality checks, e.g.
     helper_load_hhs.py:96's keyed upsert, generalized to sub-document
     granularity for corpus curation).
+
+    Counting contract: unlike D2/D13 (where the df cap restricts
+    CANDIDATES but each surviving pair's score still counts all shared
+    shingles), n_shared_spans here deliberately counts only spans under
+    the boilerplate cap — a span appearing in >50 documents is boilerplate
+    by definition and counting it would let template chrome dominate the
+    overlap signal. The oracle implements the identical contract.
 
     Spark shape for 100 TB: span fingerprints are MAP-ONLY per document
     (one sliding transform over the token array -> md5 -> 16-hex-char
@@ -1318,13 +1329,14 @@ def dedup_remove_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D13 — tf-weighted cosine near-dup pairs over word bigrams. Complements
 # D2 (SET-semantics Jaccard over the same shingles) with the WEIGHTED
 # sparse-vector similarity: repeated shingles count, so a doc that repeats
-# a passage scores differently than under set overlap. All arithmetic is
-# integer until the final exact-int division, and the threshold test is a
-# pure integer inequality (25*dot^2 >= 16*|a|^2*|b|^2  <=>  cos >= 4/5),
-# so the differential gate is bit-exact with no float comparisons at all.
+# a passage scores differently than under set overlap. All sums are exact
+# integers; the threshold compares the exactly-derived cos2 double against
+# the double nearest 16/25 — the same fixed IEEE dag on both engines and
+# overflow-free at any document size (the builder docstring records why
+# the cross-multiplied BIGINT form was rejected).
 # --------------------------------------------------------------------------
 
-# cos >= _COS_NUM/_COS_DEN; compared squared & cross-multiplied in BIGINT.
+# cos >= _COS_NUM/_COS_DEN; compared as cos2 >= (NUM/DEN)^2 in double.
 _COS_NUM = 4
 _COS_DEN = 5
 
@@ -1378,10 +1390,15 @@ def dedup_token_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingle document-frequency cap as D2: ultra-frequent shingles are
     the inverted-index skew bomb; each surviving pair's dot still counts
     ALL its shared shingles, so scores stay exact; the oracle implements
-    the identical cap). Squared norms are BIGINT sums; the threshold is the
-    cross-multiplied integer inequality 25*dot^2 >= 16*na2*nb2, and the
-    reported cos2 is one exact-int division in DOUBLE — bit-identical
-    across engines. At 100 TB every stage is a keyed shuffle on either
+    the identical cap). Squared norms and dots are exact integer sums; the
+    threshold compares the exactly-derived cos2 — two int-to-double casts,
+    one multiply, one divide, the same fixed IEEE dag on both engines —
+    against the double nearest 16/25, so the gate is bit-deterministic.
+    The earlier cross-multiplied BIGINT inequality was REJECTED: 25*dot^2
+    overflows int64 once any pair's dot exceeds ~6e8 (one boilerplate doc
+    with a ~28k-repeated bigram), aborting the whole job under ANSI,
+    while the double form is overflow-free at any document size. At
+    100 TB every stage is a keyed shuffle on either
     doc_id or the shingle (bounded per key by the df cap); nothing is
     quadratic in the corpus.
     """
