@@ -47,6 +47,20 @@ def _tagged_io_path(name: str, sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return os.path.join(_IO_DIR, f"{name}_{tag}")
 
+def _clear_published_versions(path: str) -> None:
+    """Deterministic-rerun reset for a write_parquet_atomic target: drop
+    retained version dirs, crashed-publish link temps, and the live
+    symlink. rmtree refuses symlinks (the .__link__ temps are links) —
+    unlink those, rmtree real dirs. Shared by K6 and K9."""
+    for stale in glob.glob(f"{path}.__v__*") + glob.glob(f"{path}.__link__*"):
+        if os.path.islink(stale):
+            os.unlink(stale)
+        else:
+            shutil.rmtree(stale, ignore_errors=True)
+    if os.path.islink(path):
+        os.unlink(path)
+
+
 _NATION_CSV = os.path.join(_IO_DIR, "nation.csv")
 _NATION_JSONL = os.path.join(_IO_DIR, "nation.jsonl")
 
@@ -57,6 +71,16 @@ NATION_SCHEMA = T.StructType(
         T.StructField("n_regionkey", T.LongType(), True),
     ]
 )
+
+
+def _atomic_write_text(path: str, write_fn) -> None:
+    """Write-to-temp + os.replace: a concurrent reader (Spark scan or the
+    DuckDB oracle in another process) can never observe a truncated
+    half-written fixture, which a plain open('w') rewrite allows."""
+    tmp = f"{path}.__tmp__{os.getpid()}"
+    with open(tmp, "w", newline="") as f:
+        write_fn(f)
+    os.replace(tmp, path)
 
 
 def _export_nation(spark: SparkSession, sf_dir: str) -> list[tuple]:
@@ -87,13 +111,18 @@ def _materialize_at_import() -> None:
         rows = sorted(zip(*[tbl.column(c).to_pylist() for c in
                             ("n_nationkey", "n_name", "n_regionkey")]))
         os.makedirs(_IO_DIR, exist_ok=True)
-        with open(_NATION_CSV, "w", newline="") as f:
+
+        def _wc(f):
             w = csv.writer(f, quoting=csv.QUOTE_MINIMAL)
             w.writerow(["n_nationkey", "n_name", "n_regionkey"])
             w.writerows(rows)
-        with open(_NATION_JSONL, "w") as f:
+
+        def _wj(f):
             for k, name, rk in rows:
                 f.write(json.dumps({"n_nationkey": k, "n_name": name, "n_regionkey": rk}) + "\n")
+
+        _atomic_write_text(_NATION_CSV, _wc)
+        _atomic_write_text(_NATION_JSONL, _wj)
     except Exception:
         pass  # builders re-materialize on call; import must never fail
 
@@ -103,20 +132,28 @@ _materialize_at_import()
 
 def _write_nation_csv(spark: SparkSession, sf_dir: str) -> None:
     os.makedirs(_IO_DIR, exist_ok=True)
-    with open(_NATION_CSV, "w", newline="") as f:
+    rows = _export_nation(spark, sf_dir)
+
+    def _w(f):
         w = csv.writer(f, quoting=csv.QUOTE_MINIMAL)
         w.writerow(["n_nationkey", "n_name", "n_regionkey"])
-        w.writerows(_export_nation(spark, sf_dir))
+        w.writerows(rows)
+
+    _atomic_write_text(_NATION_CSV, _w)
 
 
 def _write_nation_jsonl(spark: SparkSession, sf_dir: str) -> None:
     os.makedirs(_IO_DIR, exist_ok=True)
-    with open(_NATION_JSONL, "w") as f:
-        for k, name, rk in _export_nation(spark, sf_dir):
+    rows = _export_nation(spark, sf_dir)
+
+    def _w(f):
+        for k, name, rk in rows:
             f.write(
                 json.dumps({"n_nationkey": k, "n_name": name, "n_regionkey": rk})
                 + "\n"
             )
+
+    _atomic_write_text(_NATION_JSONL, _w)
 
 
 @register(
@@ -257,7 +294,10 @@ def k1_partitioned_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-tune. Partitioning by n_regionkey mirrors the date-partitioned
     fact-table layout that buys partition pruning at 100 TB."""
     ensure_session_conf(spark)
-    path = os.path.join(_IO_DIR, "k1_nation")
+    # SF-tagged like S6/K4/S7: an untagged rmtree-then-append path is the
+    # documented cross-process race (_tagged_io_path) — two SFs running k1
+    # concurrently would double-append or read a half-deleted dir
+    path = _tagged_io_path("k1_nation", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     src = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     for _ in range(2):  # second append must be a no-op
@@ -333,8 +373,12 @@ MESSY_SCHEMA = T.StructType(
 # leave the (stale) cached parse serving a different file.
 # Weakly keyed on the live session object: a plain id(spark) key could
 # collide with a recycled id after the original session is GC'd, serving
-# a cached frame bound to a DEAD session; weak keys also evict entries
-# with their session instead of growing forever.
+# a cached frame bound to a DEAD session. NOTE the eviction is only
+# best-effort: the cached DataFrame itself holds a strong reference to
+# its session, so an entry keeps its (discarded) session reachable and
+# never auto-evicts — accepted, because the leak is bounded at one
+# 26-row cached frame per SparkSession ever created in the process, and
+# real usage (driver, tests, bench) runs one session per process.
 _MESSY_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
     weakref.WeakKeyDictionary()
 )
@@ -416,7 +460,6 @@ def s6_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-trip is lossless (values, nullability, column order)."""
     ensure_session_conf(spark)
     path = _tagged_io_path("s6_nation_orc", sf_dir)
-    shutil.rmtree(path, ignore_errors=True)
     (
         table(spark, sf_dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
@@ -484,7 +527,6 @@ def s7_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (spark.read.schema(...) over the same files is the fast path)."""
     ensure_session_conf(spark)
     path = _tagged_io_path("s7_evolved", sf_dir)
-    shutil.rmtree(path, ignore_errors=True)
     src = table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -515,8 +557,11 @@ _MERGE_ID_OFFSET = 10**9
     "k5_merge_partition_rewrite",
     oracle=f"""
     WITH ev AS (
+      -- event_id guard: one NULL key in upd would turn NOT IN into
+      -- UNKNOWN-for-every-row and empty the carried-over branch, while the
+      -- Spark side's left_anti join (null-unsafe) would keep them
       SELECT event_id, CAST(ts AS DATE) AS event_date, event_type, value
-      FROM events WHERE ts IS NOT NULL),
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
     upd AS (
       SELECT event_id, event_date, event_type, value * 2 AS value
       FROM ev WHERE event_date = DATE '{_MERGE_DAY}'),
@@ -551,7 +596,7 @@ def k5_merge_partition_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
         .select(
             "event_id",
             "ts",
@@ -615,16 +660,7 @@ def k6_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks import read_published_version
 
     path = _tagged_io_path("k6_versions", sf_dir)
-    # deterministic rerun: clear the link and any retained versions first
-    for stale in glob.glob(f"{path}.__v__*") + glob.glob(f"{path}.__link__*"):
-        # rmtree refuses symlinks (crashed-publish .__link__ temps are
-        # links) — unlink those, rmtree real version dirs
-        if os.path.islink(stale):
-            os.unlink(stale)
-        else:
-            shutil.rmtree(stale, ignore_errors=True)
-    if os.path.islink(path):
-        os.unlink(path)
+    _clear_published_versions(path)  # deterministic rerun
     v1 = (
         table(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
@@ -670,10 +706,16 @@ def k7_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one column-pruned pass over the table. Oracle: DuckDB's
     read_parquet(filename=true) over the same files."""
     ensure_session_conf(spark)
-    # K7 owns its layout and publishes it ATOMICALLY (symlink swap):
-    # reusing k1's fixed path would let this oracle's file glob race k1's
-    # rmtree-then-rewrite in another process; here a concurrent republish
-    # leaves the old complete version readable until the swap.
+    # K7 owns its layout and publishes it ATOMICALLY (symlink swap), so a
+    # concurrent republish always leaves SOME complete version readable.
+    # Residual caveat (accepted): part-file basenames embed the write
+    # job's UUID, and the oracle globs through the LIVE symlink while
+    # Spark pins realpath at build time — so if another process
+    # republished between the two reads, file_name values would differ
+    # even though both versions are internally consistent. Harmless under
+    # the driver's single-process gate; a multi-process deployment would
+    # SF-tag the path (needs a per-SF oracle, which the static oracle
+    # string cannot express) or drop file names from the output.
     path = os.path.join(_IO_DIR, "k7_nation")
     src = table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -721,6 +763,7 @@ def k7_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum("value")} AS sum_value
     FROM events
     WHERE value IS NOT NULL
+      AND user_id IS NOT NULL AND event_type IS NOT NULL
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -746,7 +789,14 @@ def k8_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         _table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        # group keys must be non-null: the merge's full outer join is
+        # null-UNSAFE on its keys, so a NULL-keyed group would split into
+        # two rows while the oracle's GROUP BY merges it into one
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         .select("event_id", "user_id", "event_type", "value")
     )
     return incremental_agg_merged(ev, stored_buckets=8).orderBy(
@@ -848,13 +898,7 @@ def k9_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks import read_published_version
 
     path = _tagged_io_path("k9_versions", sf_dir)
-    for stale in glob.glob(f"{path}.__v__*") + glob.glob(f"{path}.__link__*"):
-        if os.path.islink(stale):
-            os.unlink(stale)
-        else:
-            shutil.rmtree(stale, ignore_errors=True)
-    if os.path.islink(path):
-        os.unlink(path)
+    _clear_published_versions(path)  # deterministic rerun
     v1 = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_parquet_atomic(v1, path, gc_grace_seconds=3600.0)
     inserts = spark.range(3).select(
