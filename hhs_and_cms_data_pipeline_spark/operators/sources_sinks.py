@@ -48,17 +48,11 @@ def _tagged_io_path(name: str, sf_dir: str) -> str:
     return os.path.join(_IO_DIR, f"{name}_{tag}")
 
 def _clear_published_versions(path: str) -> None:
-    """Deterministic-rerun reset for a write_parquet_atomic target: drop
-    retained version dirs, crashed-publish link temps, and the live
-    symlink. rmtree refuses symlinks (the .__link__ temps are links) —
-    unlink those, rmtree real dirs. Shared by K6 and K9."""
-    for stale in glob.glob(f"{path}.__v__*") + glob.glob(f"{path}.__link__*"):
-        if os.path.islink(stale):
-            os.unlink(stale)
-        else:
-            shutil.rmtree(stale, ignore_errors=True)
-    if os.path.islink(path):
-        os.unlink(path)
+    """K6/K9's deterministic-rerun reset — delegates to the sink-side
+    helper that owns the .__v__/.__link__ naming."""
+    from ..sinks import clear_published_versions
+
+    clear_published_versions(path)
 
 
 _NATION_CSV = os.path.join(_IO_DIR, "nation.csv")

@@ -29,6 +29,7 @@ from ..sources import table
            COUNT(*) AS n_events,
            {sql_dsum("value")} AS sum_value
     FROM events
+    WHERE ts IS NOT NULL  -- F.window silently drops null-ts rows
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -61,7 +62,9 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                (CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) AS BIGINT) - k.k)
                * 1800) AS TIMESTAMP) AS window_start,
              value
-      FROM events, (SELECT UNNEST([0, 1]) AS k) k)
+      FROM events, (SELECT UNNEST([0, 1]) AS k) k
+      WHERE ts IS NOT NULL)  -- F.window drops null-ts rows; the cross
+                             -- join would otherwise count them TWICE
     SELECT window_start, COUNT(*) AS n_events, {sql_dsum("value")} AS sum_value
     FROM expanded
     GROUP BY 1
@@ -220,10 +223,15 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"stateful_sessions_{tag}")
     ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
     stage_chronological_files(spark, sf_dir, stage)
-    final, _ = run_stateful_sessionize(spark, stage, ckpt, f"stateful_sessions_{tag}")
-    # final is served from the memory-sink table, not the checkpoint; the
-    # single-use checkpoint would otherwise leak one /tmp dir per run.
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        final, _ = run_stateful_sessionize(
+            spark, stage, ckpt, f"stateful_sessions_{tag}"
+        )
+    finally:
+        # final is served from the memory-sink table, not the checkpoint;
+        # the single-use checkpoint must go even when the drain FAILS, or
+        # every failed invocation leaks one /tmp dir
+        shutil.rmtree(ckpt, ignore_errors=True)
     return final
 
 
@@ -244,6 +252,7 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.ts IS NOT NULL  -- F.window drops null-ts rows
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -411,6 +420,27 @@ def click_purchase_attribution(
     return out.withColumn("attributed", F.col("purchase_id").isNotNull())
 
 
+def _click_purchase_frames(spark: SparkSession, sf_dir: str):
+    """Disjointly-named click/purchase frames shared by ST8 and ST12 — one
+    definition of the source shape so the two attribution variants cannot
+    drift (the aliasing exists for the same self-join binding hazard GX2
+    documents)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuid"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("puid"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    return clicks, purchases
+
+
 @register(
     "stream_interval_join",
     oracle=f"""
@@ -444,17 +474,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan holds; the streaming deployment bounds state by watermark
     instead of partitioning history."""
     ensure_session_conf(spark)
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("cuid"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("cts"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("puid"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("pts"),
-    )
+    clicks, purchases = _click_purchase_frames(spark, sf_dir)
     return click_purchase_attribution(clicks, purchases).orderBy(
         "click_id", "purchase_id"
     )
@@ -496,17 +516,7 @@ def stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partition both sides on user_id, residual range predicate, no
     cartesian."""
     ensure_session_conf(spark)
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("cuid"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("cts"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("puid"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("pts"),
-    )
+    clicks, purchases = _click_purchase_frames(spark, sf_dir)
     return click_purchase_attribution(clicks, purchases, how="left").orderBy(
         "click_id", "purchase_id"
     )
@@ -677,6 +687,10 @@ def _user_anomaly_profile(pdf):
     from the lower-median."""
     import pandas as pd
 
+    # NaN policy: the Spark-side filter drops NULL and NaN before the
+    # worker (matching the oracle's WHERE), so dropna() here is belt-and-
+    # braces for the NULL->NaN conversion only — it can no longer diverge
+    # the engines on genuine NaN doubles.
     vals = pdf["value"].dropna().sort_values().reset_index(drop=True)
     n = len(vals)
     if n == 0:
@@ -705,7 +719,9 @@ def _user_anomaly_profile(pdf):
       SELECT user_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
              COUNT(*) OVER (PARTITION BY user_id) AS n
-      FROM events WHERE value IS NOT NULL),
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND user_id IS NOT NULL),
     med AS (
       SELECT user_id, n, value AS med_lo
       FROM v WHERE rn = (n - 1) // 2 + 1),
@@ -750,7 +766,15 @@ def grouped_map_user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         table(spark, sf_dir, "events")
         .select("user_id", "value")
-        .filter(F.col("value").isNotNull())
+        # NaN is NOT NULL in Spark/DuckDB but pandas dropna() removes it:
+        # filter NaN (and the null grouping key — int(NaN) would crash the
+        # worker, the oracle would emit a NULL-user row) on BOTH sides so
+        # every surface computes over the identical value set
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & F.col("user_id").isNotNull()
+        )
     )
     return (
         ev.groupBy("user_id")
@@ -776,6 +800,7 @@ def grouped_map_user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            {sql_dsum("value")} AS sum_value
     FROM events
+    WHERE ts IS NOT NULL  -- F.window drops null-ts rows
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -807,9 +832,13 @@ def stream_snapshot_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_conf(spark)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    from ..sinks import clear_published_versions
+
     stage = os.path.join(tempfile.gettempdir(), f"snapshot_stage_{tag}")
     target = os.path.join(tempfile.gettempdir(), f"snapshot_counts_{tag}")
-    shutil.rmtree(target, ignore_errors=True)
+    # symlink-aware reset: a bare rmtree on the published SYMLINK raises
+    # and ignore_errors made that a silent no-op — dead code, not cleanup
+    clear_published_versions(target)
     ckpt = tempfile.mkdtemp(prefix="snapshot_ckpt_")
     stage_chronological_files(spark, sf_dir, stage)
     raw = (
@@ -930,10 +959,14 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
-      FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+      FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
     p AS (
       SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
-      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL)
     SELECT p.user_id, p.purchase_id,
            CAST(COUNT(c.cts) AS BIGINT) AS n_clicks_before
     FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts
@@ -970,8 +1003,10 @@ def cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-ts rows are dropped on BOTH engines: numpy sorts NaT LAST where
     # SQL comparisons against NULL are false — an untimed event would count
     # every click on one engine and none on the other (mirrors the
-    # sessionize null-ts contract in with_session_seq)
-    ev = ev.filter(F.col("ts").isNotNull())
+    # sessionize null-ts contract in with_session_seq). The null grouping
+    # key goes too: np.full(n, None, dtype="int64") would crash the worker
+    # while the oracle emitted a NULL-user row.
+    ev = ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("cts")
     )
@@ -1006,11 +1041,12 @@ def cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 # micro-batch. Each batch partial-aggregates its rows and MERGES into the
 # published rollup store (full outer join + coalesced addition + atomic
 # republish) — update-semantics maintenance where ST11's complete-mode
-# sink rewrites from in-memory state. The store IS the state: a crashed
-# job resumes from the last published version, and any batch slicing
-# yields the identical rollup because COUNT and decimal SUM are
-# commutative monoids (the property the oracle checks by aggregating the
-# whole table at once).
+# sink rewrites from in-memory state. The store IS the state: it records
+# the last applied batch_id, so foreachBatch's at-least-once redelivery
+# after a crash is a no-op instead of a double-count (an additive merge
+# alone is NOT idempotent), and any batch slicing yields the identical
+# rollup because COUNT and decimal SUM are commutative monoids (the
+# property the oracle checks by aggregating the whole table at once).
 # --------------------------------------------------------------------------
 
 
@@ -1022,6 +1058,7 @@ def cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum("value")} AS sum_value
     FROM events
     WHERE value IS NOT NULL
+      AND user_id IS NOT NULL AND event_type IS NOT NULL
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -1052,16 +1089,9 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"incr_stage_{tag}")
     target = os.path.join(tempfile.gettempdir(), f"incr_rollup_{tag}")
-    # deterministic rerun: drop the previous run's published versions
-    import glob as _glob
+    from ..sinks import clear_published_versions
 
-    for stale in _glob.glob(f"{target}.__v__*") + _glob.glob(f"{target}.__link__*"):
-        if os.path.islink(stale):
-            os.unlink(stale)
-        else:
-            shutil.rmtree(stale, ignore_errors=True)
-    if os.path.islink(target):
-        os.unlink(target)
+    clear_published_versions(target)  # deterministic rerun
     ckpt = tempfile.mkdtemp(prefix="incr_ckpt_")
     stage_chronological_files(spark, sf_dir, stage)
     raw = (
@@ -1072,24 +1102,40 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _merge(batch_df, batch_id):
+        # EXACTLY-ONCE under replay: foreachBatch is at-least-once, and an
+        # additive merge is NOT idempotent — a crash between the publish
+        # and the checkpoint commit re-delivers the same batch_id, and
+        # blindly re-adding it would double-count permanently. The store
+        # therefore records the last applied batch_id (a constant column,
+        # rows are group-count-sized) and a replayed batch becomes a no-op.
+        stored = None
+        if os.path.islink(target):
+            stored = read_published(batch_df.sparkSession, target)
+            last = stored.agg(F.max("last_batch_id")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already folded into the store
         part = (
-            batch_df.filter(F.col("value").isNotNull())
+            batch_df.filter(
+                F.col("value").isNotNull()
+                & F.col("user_id").isNotNull()
+                & F.col("event_type").isNotNull()
+            )
             .groupBy("user_id", "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
             )
         )
-        if os.path.islink(target):
-            stored = read_published(batch_df.sparkSession, target).select(
-                "user_id",
-                "event_type",
-                F.col("n").alias("n_a"),
-                F.col("s").alias("s_a"),
-            )
+        if stored is not None:
             zero = F.lit(0).cast("decimal(38,6)")
             merged = (
-                stored.join(
+                stored.select(
+                    "user_id",
+                    "event_type",
+                    F.col("n").alias("n_a"),
+                    F.col("s").alias("s_a"),
+                )
+                .join(
                     part.select(
                         "user_id",
                         "event_type",
@@ -1114,7 +1160,11 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             merged = part
-        write_parquet_atomic(merged, target, gc_grace_seconds=3600.0)
+        write_parquet_atomic(
+            merged.withColumn("last_batch_id", F.lit(int(batch_id))),
+            target,
+            gc_grace_seconds=3600.0,
+        )
 
     q = (
         raw.writeStream.foreachBatch(_merge)
@@ -1158,9 +1208,12 @@ THEIL_SEN_SCHEMA = (
 
 # Exact Theil-Sen is quadratic in the group: cap it loudly (same contract
 # discipline as the capped exact embedding dedup, dedup.py D5) instead of
-# letting one hot entity quietly consume a worker. Beyond the cap the
-# right tools are slope sampling or the O(n log n) repeated-median.
-_THEIL_SEN_MAX_GROUP = 10_000
+# letting one hot entity quietly consume a worker. The cap bounds MEMORY,
+# not just CPU: the vectorized pair enumeration materializes two n x n
+# matrices plus a mask, ~2.5 GB at n=10k but ~100 MB at n=2k — a cap the
+# worker can actually honor. Beyond it the right tools are slope sampling
+# or the O(n log n) repeated-median.
+_THEIL_SEN_MAX_GROUP = 2_000
 
 
 def _theil_sen_group(pdf):

@@ -286,3 +286,21 @@ def append_new_keys(
         return n
     finally:
         to_insert.unpersist()
+
+
+def clear_published_versions(path: str) -> None:
+    """Deterministic-rerun reset for a write_parquet_atomic target: drop
+    retained version dirs, crashed-publish link temps, and the live
+    symlink. rmtree refuses symlinks (the .__link__ temps are links) —
+    unlink those, rmtree real dirs. A bare shutil.rmtree(path) is a silent
+    no-op on the published SYMLINK, which is why callers must use this."""
+    import glob as _glob
+    import shutil as _shutil
+
+    for stale in _glob.glob(f"{path}.__v__*") + _glob.glob(f"{path}.__link__*"):
+        if os.path.islink(stale):
+            os.unlink(stale)
+        else:
+            _shutil.rmtree(stale, ignore_errors=True)
+    if os.path.islink(path):
+        os.unlink(path)

@@ -134,6 +134,12 @@ def run_stateful_sessionize(
     )
     stream = (
         normalize_events_ts(raw)
+        # null-ts rows are DROPPED to match the oracle's WHERE ts IS NOT
+        # NULL (_SQL_SESSIONIZED_CTES): without the filter, unix_micros
+        # yields NULL -> pandas NaN -> astype("int64") raises inside the
+        # Python worker, failing the whole stream where the batch twin
+        # succeeds
+        .filter(F.col("ts").isNotNull())
         # int64 micros in-flight: Arrow-exact for the pandas state fold.
         .select("user_id", F.unix_micros("ts").alias("ts"), "event_id")
     )
