@@ -34,6 +34,38 @@ _NPROBE = 2  # cells probed by the IVF search
 
 _SQL_Q = f"SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}"
 
+# Shared IVF coarse-quantizer CTE text (SIM2's search and SIM11's recall
+# report — ONE definition so the cell-selection semantics cannot drift).
+# v is cast to DOUBLE before the VARCHAR hop on BOTH engines: DuckDB
+# renders a FLOAT as its shortest FLOAT string ("0.1") while Spark's
+# decimal cast sees the double-extension value (0.10000000149...), so a
+# raw-float hop diverges the centroids by ~1e-7 relative — verified
+# empirically; the SIM6/SIM9 k-means machinery always did this.
+_SQL_IVF_CELL_CTES = f"""ex AS (
+      SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+    cent AS (
+      SELECT label, i,
+             CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR)
+                  AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS c
+      FROM ex GROUP BY 1, 2),
+    qx AS (
+      SELECT generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    cell AS (
+      SELECT cent.label,
+             CAST(CAST(SUM(CAST(CAST((cent.c - qx.qv)
+                           * (cent.c - qx.qv) AS VARCHAR)
+                           AS DECIMAL(38,24))) AS VARCHAR) AS DOUBLE) AS d2
+      FROM cent JOIN qx ON cent.i = qx.i
+      GROUP BY 1
+      ORDER BY d2, label
+      LIMIT {_NPROBE})"""
+
+
 
 @register(
     "sim_topk_bruteforce",
@@ -85,31 +117,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_topk",
     oracle=f"""
-    WITH ex AS (
-      SELECT vec_id, label, unnest(embedding) AS v,
-             generate_subscripts(embedding, 1) AS i
-      FROM embeddings),
-    cent AS (
-      -- float -> VARCHAR -> DECIMAL: the shortest-roundtrip string parses to
-      -- the same exact decimal on both engines (DuckDB's direct
-      -- double->DECIMAL cast is computed in double and diverges by ulps)
-      SELECT label, i,
-             CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR)
-                  AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE) AS c
-      FROM ex GROUP BY 1, 2),
-    qx AS (
-      SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS qv
-      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
-    cell AS (
-      SELECT cent.label,
-             CAST(CAST(SUM(CAST(CAST((cent.c - CAST(qx.qv AS DOUBLE))
-                           * (cent.c - CAST(qx.qv AS DOUBLE)) AS VARCHAR)
-                           AS DECIMAL(38,24))) AS VARCHAR) AS DOUBLE) AS d2
-      FROM cent JOIN qx ON cent.i = qx.i
-      GROUP BY 1
-      ORDER BY d2, label
-      LIMIT {_NPROBE}),
+    WITH {_SQL_IVF_CELL_CTES},
     q AS ({_SQL_Q}),
     norms AS ({SQL_EMB_NORMS}),
     dots AS (
@@ -141,9 +149,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     ex = emb.select(
         "vec_id", "label", F.posexplode(F.col("embedding")).alias("i0", "v")
-    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "v")
-    # float -> string -> decimal on BOTH engines: cross-row sums are exact
-    # and identical (the direct double->decimal cast is imprecise in DuckDB)
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        # DOUBLE first: davg's direct decimal cast of a raw FLOAT quantizes
+        # the double-extension digits while the oracle's VARCHAR hop parses
+        # the shortest FLOAT string — centroids then differ ~1e-7 relative
+        # (masked only while cell-ranking gaps are large). Double-widening
+        # is exact, and both engines then agree bitwise (see
+        # _SQL_IVF_CELL_CTES).
+        F.col("v").cast("double").alias("v"),
+    )
     cent = ex.groupBy("label", "i").agg(davg("v", "c", scale=18))
     q = ex.filter(F.col("vec_id") == _QUERY_VEC_ID).select("i", F.col("v").alias("qv"))
     diff = F.col("c") - F.col("qv").cast("double")
@@ -504,9 +521,14 @@ def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_conf(spark)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # materialized once, like SIM9: every Lloyd round's scoring and means
+    # join back to this frame; without lineage truncation the DAG re-reads
+    # and re-explodes the parquet per reference (the measured 11.7s -> ~4s
+    # difference SIM9 documents)
     ex = (
         emb.select("vec_id", F.posexplode("embedding").alias("i0", "v"))
         .select("vec_id", (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v"))
+        .localCheckpoint(eager=False)
     )
     cent = ex.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cl"), "i", F.col("v").alias("c")
@@ -621,8 +643,14 @@ def sim_partitioned_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # than k non-self rows — the oracle never contains them)
                 valid = ids != p_ids[j]
                 vids, vcos = ids[valid], cos[valid, j]
-                # exact local top-k with the global tie-break (cos desc, id asc)
-                order = np.lexsort((vids, -vcos))[: _GEMM_K]
+                # exact local top-k with the global tie-break (cos desc, id
+                # asc). NaN pins FIRST, not dropped: Spark/DuckDB ORDER BY
+                # DESC both treat NaN as the LARGEST double, while lexsort
+                # sorts NaN last — a zero-norm vector (cos = 0/0 = NaN)
+                # would silently vanish from the partial top-k and diverge
+                # this operator from SIM4 and its own oracle.
+                sort_key = np.where(np.isnan(vcos), -np.inf, -vcos)
+                order = np.lexsort((vids, sort_key))[: _GEMM_K]
                 for i in order:
                     out.append((int(p_ids[j]), int(vids[i]), float(vcos[i])))
             yield pd.DataFrame(out, columns=["probe_id", "vec_id", "cosine"])
@@ -718,10 +746,15 @@ def sim_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ep = emb.select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("p_emb"),
-        emb_norm2(F.col("embedding")).alias("p_n2"),
+    # probe frame restricted to the probe batch BEFORE the join: building
+    # it over the whole corpus re-ran the norm fold for every vector and
+    # shuffled the full table to serve 10 probes
+    ep = F.broadcast(
+        emb.filter(F.col("vec_id") < _KNN_N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            emb_norm2(F.col("embedding")).alias("p_n2"),
+        )
     )
     ec = emb.withColumn("n2", emb_norm2(F.col("embedding")))
     cosine = emb_dot(F.col("embedding"), F.col("p_emb")) / (
@@ -1057,28 +1090,7 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
       ORDER BY d.dot / (sqrt(n.n2) * sqrt(qn.n2)) DESC, d.vec_id
       LIMIT {_TOP_K}),
-    ex AS (
-      SELECT vec_id, label, unnest(embedding) AS v,
-             generate_subscripts(embedding, 1) AS i
-      FROM embeddings),
-    cent AS (
-      SELECT label, i,
-             CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR)
-                  AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE) AS c
-      FROM ex GROUP BY 1, 2),
-    qx AS (
-      SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS qv
-      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
-    cell AS (
-      SELECT cent.label,
-             CAST(CAST(SUM(CAST(CAST((cent.c - CAST(qx.qv AS DOUBLE))
-                           * (cent.c - CAST(qx.qv AS DOUBLE)) AS VARCHAR)
-                           AS DECIMAL(38,24))) AS VARCHAR) AS DOUBLE) AS d2
-      FROM cent JOIN qx ON cent.i = qx.i
-      GROUP BY 1
-      ORDER BY d2, label
-      LIMIT {_NPROBE}),
+    {_SQL_IVF_CELL_CTES},
     ivf_dots AS (
       SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
       FROM embeddings e
@@ -1121,8 +1133,17 @@ def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuously-green approximate path with no registered accuracy metric
     was exactly the D6 failure mode in rounds 1-3."""
     ensure_session_conf(spark)
-    exact_ids = sim_topk_bruteforce(spark, sf_dir).select("vec_id")
-    ivf_ids = sim_ivf_topk(spark, sf_dir).select(F.col("vec_id").alias("v2"))
+    # the two top-10 frames are each referenced twice (overlap join + own
+    # count); without materialization every reference re-runs the whole
+    # search lineage — checkpointing 10-row frames costs nothing
+    exact_ids = (
+        sim_topk_bruteforce(spark, sf_dir).select("vec_id").localCheckpoint(eager=False)
+    )
+    ivf_ids = (
+        sim_ivf_topk(spark, sf_dir)
+        .select(F.col("vec_id").alias("v2"))
+        .localCheckpoint(eager=False)
+    )
     overlap = exact_ids.join(ivf_ids, exact_ids.vec_id == F.col("v2"))
     return (
         exact_ids.agg(F.count(F.lit(1)).alias("n_exact"))
