@@ -870,7 +870,8 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     every member of a near-dup cluster shares its split, so evaluation can
     never score on a paraphrase of a training document.
 
-    Spark shape: min_label_components (iterative, lineage-truncated) plus
+    Spark shape: min_label_components (alternating star contraction,
+    O(log n) rounds, lineage-truncated) plus
     one map-only salted-hash projection — the split itself adds ZERO
     shuffles on top of clustering. Deterministic and partition-invariant:
     the assignment is a pure function of cluster_id, reproducible on any
@@ -997,9 +998,9 @@ def curation_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_neardup_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIPE2: the near-dup-aware pretraining corpus build (module comment).
 
-    Spark shape, stage by stage: min-label connected components over the
-    LSH-verified pair graph (iterative with lineage truncation — the one
-    genuinely iterative stage); survivors are the map-side
+    Spark shape, stage by stage: star-contraction connected components over
+    the LSH-verified pair graph (O(log n) rounds with lineage truncation —
+    the one genuinely iterative stage); survivors are the map-side
     cluster_id == doc_id filter; the gate and the integer quality score
     fuse into the same scan projection; the quantile cut is one
     per-source window over the gated survivors; the shard key is

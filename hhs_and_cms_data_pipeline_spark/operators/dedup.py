@@ -421,16 +421,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the operator a curation pipeline actually keeps: pick one
     survivor per cluster (`cluster_id == doc_id`), drop the rest.
 
-    Spark shape: iterative min-label propagation — per round, each node
-    takes min(own label, neighbors' labels) via one join + one groupBy.min,
-    `localCheckpoint` truncating the lineage each round, and a driver-side
-    scalar convergence check (count of lowered labels; the only driver data
-    is that one long). Rounds = O(cluster diameter), tiny for near-dup
-    chains. At 100 TB the same loop holds (edges ≪ docs after LSH
-    verification); for graphs with giant components, swap the round body for
-    the large-star/small-star steps of Kiveris et al. 2014 — same loop,
-    fewer rounds. The oracle is the same fixpoint via DuckDB's recursive CTE
-    (min reachable id).
+    Spark shape: alternating large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is two (groupBy.min + join) steps over the EDGE relation only,
+    `localCheckpoint` truncating the lineage each round, and an exact
+    driver-side convergence check (edge count + set difference, both
+    edge-relation-sized). Rounds are O(log n) on real graphs (O(log² n)
+    worst case) regardless of component diameter, so a pathological
+    near-dup chain (boilerplate pages A~B~C~…) contracts instead of
+    timing out the way one-hop min-label propagation would. At 100 TB the
+    loop touches only the verified pair graph (≪ corpus after LSH
+    verification). The oracle is the same fixpoint via DuckDB's recursive
+    CTE (min reachable id).
     """
     ensure_session_conf(spark)
     docs = spread(table(spark, sf_dir, "documents"))
@@ -440,12 +442,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def label_propagation(
     nodes: DataFrame, pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
 ) -> DataFrame:
-    """(doc_id, cluster_id) connected-component labels over an arbitrary
-    undirected pair graph: iterative min-label propagation with per-round
-    lineage truncation and a loud iteration cap (O(diameter) rounds — see
-    dedup_clusters for the scale discussion). `nodes` is a 1-column id
-    frame named doc_id; `pairs` is (doc_a, doc_b). Shared by the near-dup
-    clustering (D8/D9) and the entity-consolidation query (ER2)."""
+    """(doc_id, cluster_id) connected-component labels via one-hop min-label
+    propagation: O(diameter) rounds, loud cap. KEPT AS THE REFERENCE
+    IMPLEMENTATION ONLY — registered queries (D8/D9/ER2/PIPE2) all route
+    through alternating_star_components, which converges in O(log n) rounds
+    independent of diameter; the property suite uses this function as the
+    contrast case (a 200-node path exceeds its cap where the star algorithm
+    finishes in ≤ ⌈log₂ n⌉ rounds). `nodes` is a 1-column id frame named
+    doc_id; `pairs` is (doc_a, doc_b)."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -487,13 +491,119 @@ def label_propagation(
     return labels
 
 
+# Alternating star contraction finishes in O(log² n) rounds worst-case and
+# O(log n) in practice (Kiveris et al. 2014, Thm 4.1) — 60 rounds covers a
+# graph far beyond 2^60 nodes, so hitting this cap means a bug, not scale.
+_STAR_CC_MAX_ROUNDS = 60
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star step (Kiveris et al. 2014): for every node u, connect
+    each strictly-larger neighbor v to m = min(Γ(u) ∪ {u}). Input/output are
+    directed edge frames (src, dst) with src > dst; output preserves
+    connectivity and strictly reduces large-neighbor potential. Two
+    exchanges: the groupBy computing m per node and the join fanning it
+    back out — both over the EDGE relation, never the corpus."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.col("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star step (Kiveris et al. 2014): for every node u over its
+    smaller neighbors S (all dst < src here), connect each v ∈ S ∪ {u},
+    v ≠ m, to m = min(S). Same two-exchange shape as _large_star."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = edges.join(mins, "src")
+    rewired = joined.filter(F.col("dst") != F.col("m")).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    own = mins.select("src", F.col("m").alias("dst"))
+    return rewired.union(own).distinct()
+
+
+def alternating_star_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = _STAR_CC_MAX_ROUNDS,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id) connected-component labels over an arbitrary
+    undirected pair graph via alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Converges in O(log n) rounds in practice — independent of
+    component diameter — to a star forest whose centers are the component
+    minima, so labels match min-label propagation's fixpoint exactly.
+
+    Scale posture (100 TB): every step is groupBy.min + join over the EDGE
+    relation only (the corpus-sized node frame is touched once, in the
+    final left join); per-round `localCheckpoint` truncates lineage and the
+    previous round's storage is unpersisted as soon as its last consumer
+    (the convergence check) finishes. Convergence is exact: edge count
+    plus a one-sided exceptAll emptiness check (counts already equal), both
+    edge-sized. `nodes` is a 1-column id frame named doc_id; `pairs` is
+    (doc_a, doc_b). Shared by D8/D9 (near-dup clusters), ER2 (entity
+    consolidation), and PIPE2 (near-dup corpus build). If `rounds_out` is
+    given, the number of completed rounds is appended (test hook)."""
+    edges = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("src"),
+            F.least("doc_a", "doc_b").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        n_new = new_edges.count()
+        converged = n_new == n_edges and new_edges.exceptAll(edges).isEmpty()
+        edges.unpersist()
+        edges, n_edges = new_edges, n_new
+        if converged:
+            # the pass that confirms the fixpoint contracted nothing — only
+            # contraction rounds count toward the O(log n) bound
+            break
+        rounds += 1
+    else:
+        raise RuntimeError(
+            f"alternating_star_components: no fixpoint after {max_rounds} "
+            "rounds (algorithmically impossible below ~2^60 nodes — "
+            "indicates corrupt edge input)"
+        )
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # At the star-forest fixpoint every non-root has exactly one out-edge,
+    # straight to its component minimum; the groupBy.min is belt-and-braces
+    # (it is a no-op on a star forest) and keeps the join 1:1 by contract.
+    roots = edges.groupBy("src").agg(F.min("dst").alias("root"))
+    return nodes.join(
+        roots, nodes["doc_id"] == roots["src"], "left"
+    ).select(
+        "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
+    )
+
+
 def min_label_components(docs: DataFrame) -> DataFrame:
     """(doc_id, cluster_id) labels over the MinHash-LSH verified near-dup
-    graph — label_propagation specialized to the dedup pipeline's pair
-    generator. Shared by the cluster query (D8) and the canonical-corpus
-    query (D9)."""
+    graph — alternating_star_components specialized to the dedup pipeline's
+    pair generator. Shared by the cluster query (D8), the canonical-corpus
+    query (D9), and the curation pipeline (PIPE2)."""
     pairs = minhash_verified_pairs(docs).select("doc_a", "doc_b")
-    return label_propagation(docs.select("doc_id"), pairs)
+    return alternating_star_components(docs.select("doc_id"), pairs)
 
 
 @register(

@@ -1074,14 +1074,9 @@ def xu2_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entity id (the component's minimum custkey) with the entity's record
 # count. Pairs alone don't deduplicate an identity graph — A~B and B~C
 # must land A, B, C in ONE entity even when A~C was never scored — which
-# is exactly transitive closure, the same min-label propagation the
-# near-dup doc clustering uses (dedup.label_propagation).
+# is exactly transitive closure, the same star-contraction backbone the
+# near-dup doc clustering uses (dedup.alternating_star_components).
 # --------------------------------------------------------------------------
-
-# lev<=1 chains run through the 2-digit suffix grid (units/tens steps), so
-# component diameter ~ grid distance; 25 rounds covers it with slack and
-# still fails loudly if the graph ever degenerates.
-_ER2_MAX_ITERS = 25
 
 
 @register(
@@ -1124,12 +1119,12 @@ def er2_entity_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise candidates become entity keys downstream joins can use.
 
     The pair graph reuses ER1's blocked candidate join; closure is the
-    shared min-label propagation (one hop per round, lineage truncated per
-    round, loud cap at 25 — the lev<=1 chains walk a 2-digit suffix grid,
-    so the diameter is grid-sized, not corpus-sized). The oracle states
-    the same closure as a recursive CTE. Output is customer-sized; entity
-    sizes join back from an entity-count frame."""
-    from .dedup import label_propagation
+    shared alternating large-star/small-star contraction (Kiveris et al.
+    2014 — O(log n) rounds regardless of chain diameter, lineage truncated
+    per round). The oracle states the same closure as a recursive CTE.
+    Output is customer-sized; entity sizes join back from an entity-count
+    frame."""
+    from .dedup import alternating_star_components
 
     ensure_session_conf(spark)
     cust = table(spark, sf_dir, "customer").select(
@@ -1148,7 +1143,7 @@ def er2_entity_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.c_custkey").alias("doc_a"), F.col("b.c_custkey").alias("doc_b")
     )
     nodes = cust.select(F.col("c_custkey").alias("doc_id"))
-    ents = label_propagation(nodes, pairs, max_iters=_ER2_MAX_ITERS).select(
+    ents = alternating_star_components(nodes, pairs).select(
         F.col("doc_id").alias("c_custkey"), F.col("cluster_id").alias("entity_id")
     )
     sizes = ents.groupBy("entity_id").agg(F.count(F.lit(1)).alias("entity_size"))

@@ -199,6 +199,79 @@ def test_dedup_clusters_consistent_with_pairs(spark):
         assert labels[r["doc_a"]] == labels[r["doc_b"]]
 
 
+def test_star_components_beat_diameter_on_path_graph(spark):
+    """The connected-components backbone (alternating large-star/small-star,
+    Kiveris et al. 2014) must converge in O(log n) rounds INDEPENDENT of
+    component diameter: on a 200-node path graph — the worst case for
+    one-hop propagation, and the shape a boilerplate-heavy near-dup chain
+    takes at corpus scale — it must (a) label every node with the component
+    minimum 0, (b) finish within ceil(log2 n) contraction rounds, where
+    (c) the O(diameter) min-label reference implementation blows through
+    the same budget and raises its loud cap error."""
+    import math
+
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        alternating_star_components,
+        label_propagation,
+    )
+
+    n = 200
+    budget = math.ceil(math.log2(n))  # 8
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id: long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a: long, doc_b: long"
+    )
+
+    rounds: list[int] = []
+    labels = alternating_star_components(nodes, pairs, rounds_out=rounds)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds[0] <= budget, f"took {rounds[0]} rounds, budget {budget}"
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        label_propagation(nodes, pairs, max_iters=budget).count()
+
+
+def test_star_components_random_graph_matches_model(spark):
+    """Star-contraction labels equal a driver-side union-find ground truth
+    on a deterministic random graph with mixed component shapes (chains,
+    a clique, singletons) — guards the rewiring steps against subtle
+    connectivity loss or spurious merges."""
+    import random
+
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        alternating_star_components,
+    )
+
+    rng = random.Random(42)
+    n = 120
+    edges = [(i, i + 1) for i in range(0, 30)]  # chain 0..30
+    edges += [(a, b) for a in range(40, 48) for b in range(a + 1, 48)]  # clique
+    edges += [(rng.randrange(60, 100), rng.randrange(60, 100)) for _ in range(25)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id: long")
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in alternating_star_components(nodes, pairs).collect()
+    }
+    assert got == want
+
+
 def test_chunk_windows_cover_every_word(spark):
     """C11 invariant: the chunk windows tile each document — starts advance
     by exactly the stride, the first starts at 0, and the last window
