@@ -1206,14 +1206,20 @@ THEIL_SEN_SCHEMA = (
 )
 
 
-# Exact Theil-Sen is quadratic in the group: cap it loudly (same contract
-# discipline as the capped exact embedding dedup, dedup.py D5) instead of
-# letting one hot entity quietly consume a worker. The cap bounds MEMORY,
-# not just CPU: the vectorized pair enumeration materializes two n x n
-# matrices plus a mask, ~2.5 GB at n=10k but ~100 MB at n=2k — a cap the
-# worker can actually honor. Beyond it the right tools are slope sampling
-# or the O(n log n) repeated-median.
+# Exact Theil-Sen is quadratic in the group. Below the cap the vectorized
+# pair enumeration materializes two n x n matrices plus a mask (~100 MB at
+# n=2k — a budget the worker can honor; ~2.5 GB at n=10k — one it can't).
+# ABOVE the cap the group degrades to deterministic slope sampling instead
+# of failing: a hash-seeded RNG (seeded from the group key, so the result
+# is partition-invariant and rerun-stable) draws a fixed budget of random
+# point pairs and the estimate is the median of the sampled slopes —
+# memory O(budget), never O(n^2), and quantile error O(1/sqrt(budget))
+# (~0.1% of the slope distribution at 500k draws). n_pairs still reports
+# the TRUE defined-slope pair count (n*(n-1)/2 minus equal-x pairs,
+# computed from value counts) so the column's meaning never changes; only
+# ts_slope becomes an estimate for hot groups.
 _THEIL_SEN_MAX_GROUP = 2_000
+_THEIL_SEN_SAMPLE_PAIRS = 500_000
 
 
 def _theil_sen_group(pdf):
@@ -1221,25 +1227,42 @@ def _theil_sen_group(pdf):
 
     import pandas as pd
 
-    if len(pdf) > _THEIL_SEN_MAX_GROUP:
-        raise ValueError(
-            f"gx3_theil_sen_trend: group of {len(pdf)} rows exceeds the "
-            f"exact-pair cap {_THEIL_SEN_MAX_GROUP}; sample slopes or use "
-            "repeated-median for groups this hot"
-        )
     x = pdf["x"].to_numpy(dtype=np.int64)
     y = pdf["y"].to_numpy(dtype=np.float64)
     order = np.argsort(x, kind="stable")
     x, y = x[order], y[order]
-    dx = x[None, :] - x[:, None]
-    dy = y[None, :] - y[:, None]
-    mask = np.triu(dx != 0)  # upper triangle, equal-x pairs excluded
-    slopes = dy[mask] / dx[mask]
+    n = len(x)
+    if n <= _THEIL_SEN_MAX_GROUP:
+        dx = x[None, :] - x[:, None]
+        dy = y[None, :] - y[:, None]
+        mask = np.triu(dx != 0)  # upper triangle, equal-x pairs excluded
+        slopes = dy[mask] / dx[mask]
+        n_pairs = int(slopes.size)
+    else:
+        # hot-group degradation: sampled Theil-Sen (see module constant)
+        _, counts = np.unique(x, return_counts=True)
+        n_pairs = int(n * (n - 1) // 2 - np.sum(counts * (counts - 1) // 2))
+        seed = (int(pdf["user_id"].iloc[0]) * 0x9E3779B97F4A7C15 + 1) % (
+            1 << 63
+        )
+        rng = np.random.default_rng(seed)
+        i = rng.integers(0, n, _THEIL_SEN_SAMPLE_PAIRS)
+        j = rng.integers(0, n, _THEIL_SEN_SAMPLE_PAIRS)
+        dx = x[j] - x[i]
+        keep = dx != 0  # drops self-pairs and equal-x draws
+        slopes = (y[j] - y[i])[keep] / dx[keep]
+        if n_pairs > 0 and slopes.size == 0:
+            # astronomically unlikely (defined pairs exist but 500k draws
+            # all hit equal-x); fall back to the exact count contract
+            raise ValueError(
+                "gx3_theil_sen_trend: sampled zero defined slopes from a "
+                f"group of {n} rows with {n_pairs} defined pairs"
+            )
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],
-            "n_points": [len(x)],
-            "n_pairs": [int(slopes.size)],
+            "n_points": [n],
+            "n_pairs": [n_pairs],
             "ts_slope": [float(np.median(slopes)) if slopes.size else None],
         }
     )
@@ -1280,9 +1303,13 @@ def gx3_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash exchange on user_id; each user's rows arrive as
     one Arrow batch and the quadratic pair enumeration happens in numpy
     against worker-local arrays — bounded by the largest single group
-    (tens of rows per user here), never by the table. Users whose points
-    all share one timestamp-second have no defined slope and are excluded
-    on both sides (HAVING n_pairs > 0 / empty-slopes skip)."""
+    (tens of rows per user here), never by the table. Hot groups past
+    _THEIL_SEN_MAX_GROUP degrade to deterministic sampled Theil-Sen
+    (hash-seeded fixed pair budget, O(budget) memory) instead of erroring —
+    see the constant's comment for the accuracy math; the test corpus never
+    crosses the cap, so the oracle compares against the exact path. Users
+    whose points all share one timestamp-second have no defined slope and
+    are excluded on both sides (HAVING n_pairs > 0 / empty-slopes skip)."""
     ensure_session_conf(spark)
     ev = (
         table(spark, sf_dir, "events")
