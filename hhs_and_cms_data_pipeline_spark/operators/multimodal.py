@@ -76,10 +76,11 @@ FRAME_FEATURE_SCHEMA = T.StructType(
 
 
 def _parse_bmp(data: bytes) -> dict:
-    """Pure-Python decoder for uncompressed 24-bit BITMAPINFOHEADER BMPs —
-    the dependency-free real-codec path. Returns RGB pixel bytes in
-    top-down row order. Strict header validation (magic, file size, bpp,
-    compression) so arbitrary byte payloads can never false-positive."""
+    """Dependency-free decoder for uncompressed 24-bit BITMAPINFOHEADER
+    BMPs: stdlib header parse + numpy-vectorized pixel reshape/channel
+    swap (no per-pixel Python). Returns RGB pixel bytes in top-down row
+    order. Strict header validation (magic, file size, bpp, compression)
+    so arbitrary byte payloads can never false-positive."""
     import struct
 
     if len(data) < 54 or data[:2] != b"BM":
@@ -111,20 +112,18 @@ def _parse_bmp(data: bytes) -> dict:
     # the full pixel area in-payload bounds the allocation by len(data).
     if len(data) < off + row_sz * (h - 1) + w * 3:
         raise ValueError("BMP payload shorter than declared pixel geometry")
-    px = bytearray(w * h * 3)
-    for r in range(h):
-        src = h - 1 - r if bottom_up else r
-        start = off + src * row_sz
-        row = data[start : start + w * 3]
-        if len(row) < w * 3:
-            raise ValueError("truncated BMP pixel data")
-        for x in range(w):  # BGR -> RGB
-            o = 3 * x
-            d = 3 * (r * w + x)
-            px[d] = row[o + 2]
-            px[d + 1] = row[o + 1]
-            px[d + 2] = row[o]
-    return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(px)}
+    import numpy as np
+
+    # numpy row reshape + channel-reverse slice — no per-pixel Python (the
+    # geometry check above guarantees every row's w*3 bytes are present;
+    # only the final row's PADDING may be truncated, hence the zero-fill)
+    avail = min(len(data) - off, row_sz * h)
+    buf = np.zeros(row_sz * h, dtype=np.uint8)
+    buf[:avail] = np.frombuffer(data, dtype=np.uint8, count=avail, offset=off)
+    rows = buf.reshape(h, row_sz)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return {"width": w, "height": h, "mode": "RGB", "pixels": rows[:, :, ::-1].tobytes()}
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -132,9 +131,10 @@ _PNG_MAX_PIXELS = 1 << 22  # 4M px (~12 MB RGB): bounds alloc for forged headers
 
 
 def _parse_png(data: bytes) -> dict:
-    """Pure-Python decoder for non-interlaced 8-bit RGB (color type 2) PNGs:
-    chunk walk -> zlib inflate -> per-row unfilter (None/Sub/Up/Average/
-    Paeth). stdlib only (struct + zlib). Returns RGB pixel bytes top-down,
+    """Dependency-free decoder for non-interlaced 8-bit RGB (color type 2)
+    PNGs: chunk walk -> zlib inflate -> per-row numpy unfilter (None/Sub/Up
+    vectorized; Average/Paeth per-byte, see the unfilter comment). stdlib
+    struct + zlib + numpy. Returns RGB pixel bytes top-down,
     same contract as _parse_bmp. Strict validation: bad magic, unsupported
     variants, and geometry/payload mismatches all raise ValueError, so
     arbitrary byte payloads can never false-positive; inflate is capped at
@@ -180,39 +180,54 @@ def _parse_png(data: bytes) -> dict:
         raise ValueError(f"bad PNG deflate stream: {e}") from None
     if len(raw) != need or extra:
         raise ValueError("PNG pixel data length mismatch")
-    px = bytearray(stride * h)
+    import numpy as np
+
+    # Unfilter with numpy per row: None is a copy, Sub is a per-channel
+    # prefix sum mod 256 (cumsum in uint32, truncate to uint8), Up is one
+    # wrapping uint8 add against the reconstructed previous row. Average
+    # and Paeth carry a sequential dependence on the reconstructed LEFT
+    # neighbor (the floor-average / predictor choice has no prefix-scan
+    # form), so those rows fall back to a per-byte loop over Python ints —
+    # in a real deployment an encoder-side filter policy or a codec lib
+    # removes even that; the common None/Sub/Up rows are loop-free.
+    raw_a = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    px = np.empty((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
-        f = raw[r * (stride + 1)]
-        row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        d0 = r * stride
-        # row[i-3] below is always the already-RECONSTRUCTED left neighbor:
-        # the loop mutates row in place left-to-right.
+        f = int(raw_a[r, 0])
+        row = raw_a[r, 1:]
+        up = px[r - 1] if r else zero_row
         if f == 0:  # None
-            pass
+            px[r] = row
         elif f == 1:  # Sub
-            for i in range(3, stride):
-                row[i] = (row[i] + row[i - 3]) & 0xFF
+            px[r] = (
+                np.cumsum(row.reshape(-1, 3).astype(np.uint32), axis=0)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
         elif f == 2:  # Up
-            if r:
+            px[r] = row + up  # uint8 wraps mod 256
+        elif f in (3, 4):  # Average / Paeth: sequential left dependency
+            cur = bytearray(row.tobytes())
+            upb = up.tobytes()
+            if f == 3:
                 for i in range(stride):
-                    row[i] = (row[i] + px[d0 - stride + i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = row[i - 3] if i >= 3 else 0
-                b = px[d0 - stride + i] if r else 0
-                row[i] = (row[i] + ((a + b) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - 3] if i >= 3 else 0
-                b = px[d0 - stride + i] if r else 0
-                c = px[d0 - stride + i - 3] if (r and i >= 3) else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                row[i] = (row[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) & 0xFF
+                    a = cur[i - 3] if i >= 3 else 0
+                    cur[i] = (cur[i] + ((a + upb[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = cur[i - 3] if i >= 3 else 0
+                    b = upb[i]
+                    c = upb[i - 3] if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    cur[i] = (
+                        cur[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                    ) & 0xFF
+            px[r] = np.frombuffer(bytes(cur), dtype=np.uint8)
         else:
             raise ValueError("bad PNG filter byte")
-        px[d0 : d0 + stride] = row
-    return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(px)}
+    return {"width": w, "height": h, "mode": "RGB", "pixels": px.tobytes()}
 
 
 def decode_image(payload: bytes) -> dict:
@@ -236,19 +251,22 @@ def decode_image(payload: bytes) -> dict:
 
 def fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in decoder: derives plausible frame metadata and a
-    16-bin byte histogram from the raw bytes. Pure function of the payload."""
+    16-bin byte histogram from the raw bytes. Pure function of the payload;
+    histogram/mean are numpy bincount/sum (bit-identical to the old Python
+    loop: exact int counts, one IEEE division each)."""
+    import numpy as np
+
     n = len(payload)
     width = 16 + (payload[0] if n else 0) % 64
     height = 16 + (payload[-1] if n else 0) % 64
-    hist = [0] * 16
-    for b in payload:
-        hist[b >> 4] += 1
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16) if n else np.zeros(16, dtype=np.int64)
     total = float(n) if n else 1.0
     return {
         "width": int(width),
         "height": int(height),
-        "mean_byte": (sum(payload) / total) if n else None,
-        "features": [h / total for h in hist],
+        "mean_byte": float(arr.sum(dtype=np.int64) / total) if n else None,
+        "features": (hist / total).tolist(),
     }
 
 
@@ -260,20 +278,21 @@ def _decode_or_fake(data: bytes) -> dict:
     The returned dict carries ``decoded``: False means the fake path ran —
     callers log a per-batch fallback count so silently faked rows are
     observable in executor logs instead of invisible."""
+    import numpy as np
+
     try:
         img = decode_image(data)
     except (NotImplementedError, ValueError):
         return {**fake_decode(data), "decoded": False}
     px = img["pixels"]
-    hist = [0] * 16
-    for b in px:
-        hist[b >> 4] += 1
+    arr = np.frombuffer(px, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16) if px else np.zeros(16, dtype=np.int64)
     total = float(len(px)) if px else 1.0
     return {
         "width": img["width"],
         "height": img["height"],
-        "mean_byte": (sum(px) / total) if px else None,
-        "features": [h / total for h in hist],
+        "mean_byte": float(arr.sum(dtype=np.int64) / total) if px else None,
+        "features": (hist / total).tolist(),
         "pixels": px,
         "decoded": True,
     }
@@ -419,11 +438,18 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # decoded images sample the pixel grid; opaque payloads sample
             # the raw byte stream (same strided arithmetic either way)
             grid = meta.get("pixels", data)
-            thumb = bytes(
-                grid[(y * max(1, len(grid) // (_THUMB * _THUMB)) + x) % len(grid)]
-                for y in range(_THUMB)
-                for x in range(_THUMB)
-            ) if grid else None
+            if grid:
+                # same strided arithmetic as before, as one numpy gather
+                import numpy as np
+
+                garr = np.frombuffer(grid, dtype=np.uint8)
+                step = max(1, len(grid) // (_THUMB * _THUMB))
+                idx = (
+                    np.arange(_THUMB)[:, None] * step + np.arange(_THUMB)[None, :]
+                ).reshape(-1) % len(grid)
+                thumb = garr[idx].tobytes()
+            else:
+                thumb = None
             out.append(
                 {
                     "doc_id": int(doc_id),
@@ -762,22 +788,30 @@ def patch_mean_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     patch. A real ViT pipeline swaps the byte slices for pixel-grid tiles
     and mean for a patch embedding; fan-out, schema, and batching are
     identical."""
+    import numpy as np
+
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             data = bytes(payload)
+            arr = np.frombuffer(data, dtype=np.uint8)
             n = len(data)
             base = n // _N_PATCHES
             for p in range(_N_PATCHES):
                 start = p * base
                 end = (p + 1) * base if p < _N_PATCHES - 1 else n
-                chunk = data[start:end]
+                ln = end - start
                 rows.append(
                     {
                         "doc_id": doc_id,
                         "patch": p,
-                        "patch_len": len(chunk),
-                        "mean_byte": (sum(chunk) / len(chunk)) if chunk else None,
+                        "patch_len": ln,
+                        # exact int sum -> one IEEE division, same as sum()/len()
+                        "mean_byte": (
+                            float(arr[start:end].sum(dtype=np.int64) / ln)
+                            if ln
+                            else None
+                        ),
                     }
                 )
         yield pd.DataFrame(rows, columns=[f.name for f in PATCH_SCHEMA.fields])

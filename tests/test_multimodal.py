@@ -181,6 +181,27 @@ def test_png_multi_idat_and_roundtrip_vs_bmp():
     assert decode_image(bmp)["pixels"] == decode_image(png)["pixels"]
 
 
+def test_png_bmp_agree_on_larger_image():
+    """64x57 deterministic image, PNG filters cycling 0..4 across rows, must
+    decode byte-identically to the BMP encoding of the same pixels — pins
+    the numpy-vectorized unfilter (Sub prefix-sum, Up add) and the BMP
+    reshape/channel-swap against each other at a size where slicing
+    mistakes (stride, padding, bottom-up flip) can't hide."""
+    w, h = 64, 57
+    rows = [
+        [tuple((x * 31 + y * 17 + c * 97 + (x * y) % 13) % 256 for c in range(3)) for x in range(w)]
+        for y in range(h)
+    ]
+    filters = [(r % 5) for r in range(h)]
+    png = _make_png(w, h, rows, filters=filters)
+    bmp = _make_bmp(w, h, rows)
+    a, b = decode_image(png), decode_image(bmp)
+    assert (a["width"], a["height"]) == (w, h)
+    assert a["pixels"] == b["pixels"]
+    flat = bytes(c for row in rows for px in row for c in px)
+    assert a["pixels"] == flat
+
+
 def test_png_rejects_malformed():
     import struct
     import zlib
