@@ -1229,7 +1229,15 @@ def _theil_sen_group(pdf):
 
     x = pdf["x"].to_numpy(dtype=np.int64)
     y = pdf["y"].to_numpy(dtype=np.float64)
-    order = np.argsort(x, kind="stable")
+    # Sort by the FULL point (x, then y), not just x: a stable argsort on x
+    # alone preserves Spark's nondeterministic arrival order among equal-x
+    # rows, and the sampled branch below draws POSITIONAL indices — with
+    # tied x (near-certain at >2000 rows of second-granularity timestamps)
+    # the same seed would select different point pairs across runs and
+    # partitionings. lexsort makes positions a pure function of the group's
+    # multiset of points, so the seeded draws are rerun- and
+    # partition-invariant.
+    order = np.lexsort((y, x))
     x, y = x[order], y[order]
     n = len(x)
     if n <= _THEIL_SEN_MAX_GROUP:
