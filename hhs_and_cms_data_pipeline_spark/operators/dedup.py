@@ -1309,8 +1309,14 @@ def substring_span_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") <= _SPAN_DF_CAP)
         .select("fp")
     )
-    a = fps.join(rare, "fp", "semi").alias("a")
-    b = fps.alias("b")
+    # BOTH join inputs are rare-filtered: any pair row must share a rare
+    # fingerprint with the a-side, so semi-joining b changes nothing
+    # semantically — but without it every hot (df > cap) posting list, the
+    # rows the cap exists to exclude, would flow through the pair-join
+    # exchange before the equality drops them (round-4 VERDICT ask #4).
+    rare_fps = fps.join(rare, "fp", "semi")
+    a = rare_fps.alias("a")
+    b = rare_fps.alias("b")
     return (
         a.join(
             b,

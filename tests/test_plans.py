@@ -396,6 +396,10 @@ def test_substring_spans_fingerprints_are_map_only(spark, specs):
     assert scan_columns(plan, containing="text") <= {"doc_id", "text"}
     # generation+semi+pair-join+count+sort keyed exchanges stay bounded
     assert count_data_shuffles(plan) <= 6
+    # BOTH pair-join inputs are semi-filtered against the rare-fingerprint
+    # set: hot (df > cap) posting lists must be dropped BEFORE the pair
+    # exchange on each side, not filtered after the join
+    assert plan.count("LeftSemi") >= 2, "both join sides must be rare-filtered"
 
 
 def test_partitioned_gemm_shuffles_only_partial_topk(spark, specs):
