@@ -45,6 +45,7 @@ def main() -> None:
         "sim_partitioned_knn_gemm",
         "curation_end_to_end",
         "graph_pagerank",
+        "sim_pq_build",
         "sim_pq_adc_topk",
         "gx3_theil_sen_trend",
         # graph_triangle_counts is intentionally NOT here: ~34s at sf0.1

@@ -490,3 +490,20 @@ def test_quality_quantile_score_is_map_only(spark, specs):
     plan = formatted_plan(specs["curation_quality_quantile"].builder(spark, SF_SMOKE))
     assert count_exchanges(plan) <= 3
     assert "hashpartitioning(source" in plan
+
+
+def test_pq_adc_query_serves_from_built_index(spark, specs):
+    """After the SIM9 build/query split, the ONLINE ADC query must consume
+    the materialized (checkpointed) codebook/codes artifacts — visible as
+    ExistingRDD scans — rather than re-deriving them from the parquet
+    (which would mean retraining per query), and the final top-10 must be
+    TakeOrderedAndProject, not a single-partition global sort."""
+    # force the build so the query plan is the online half
+    from hhs_and_cms_data_pipeline_spark.operators.similarity import pq_build
+
+    pq_build(spark, SF_SMOKE)
+    plan = formatted_plan(specs["sim_pq_adc_topk"].builder(spark, SF_SMOKE))
+    assert "ExistingRDD" in plan, "index not served from the built artifact"
+    assert "TakeOrderedAndProject" in plan
+    # the only parquet scan is the 1-row probe slice
+    assert scan_columns(plan, containing="embedding") <= {"vec_id", "embedding"}
