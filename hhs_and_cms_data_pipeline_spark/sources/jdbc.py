@@ -4,10 +4,12 @@ Postgres). The Spark-native equivalent is `spark.read.jdbc` with bounded
 partitioned reads so a 1000-executor cluster pulls table ranges in parallel
 instead of one serial cursor.
 
-No database exists in this container, so `.load()` is untestable here — the
-option construction, partitioning contract, and schema contract are factored
-out and unit-tested; `read_jdbc` itself is the thin untested glue (exercised
-the first time a real URL is available).
+No NETWORK database exists in this container, but Spark ships the embedded
+Derby RDBMS in its classpath, so the full path — JDBC write, bounded
+partitioned `read_jdbc` scan, predicate pushdown into the JDBCRelation — is
+e2e-tested against a live database
+(tests/test_ingest.py::test_jdbc_roundtrip_live_embedded_derby); a network
+RDBMS (the reference's Postgres) differs only in the URL/credentials.
 
 Scale notes:
 - ALWAYS bound partitioned reads (partition_column + lower/upper/num):

@@ -140,63 +140,30 @@ def test_coverage_inventory_in_sync():
     assert f"**{len(specs)} queries, {len(specs)} oracle-checked" in text
 
 
+# Queries excused from the 7-way rerun comparison, each with the reason —
+# keep this SHORT and justified: an entry here means "this query's OUTPUT is
+# by-contract allowed to differ across partitionings", which for a
+# deterministic engine should be (near-)never.
+_PARTITION_VARIANT_ALLOWLIST: dict[str, str] = {}
+
+
 @pytest.mark.parametrize(
-    "name",
-    [
-        "dedup_substring_spans",
-        "dedup_remove_repeated_chunks",
-        "graph_triangle_counts",
-        "curation_end_to_end",
-        "mm_dhash_dedup",
-        "sim_partitioned_knn_gemm",
-        "stream_session_window_native",
-        "cogroup_click_context",
-        "curation_leakage_safe_split",
-        "graph_clustering_coefficient",
-        # round-4 continuation batch
-        "graph_pagerank",
-        "sim_pq_adc_topk",
-        "dedup_token_cosine",
-        "w7_scd2_rating_intervals",
-        "er_customer_blocking",
-        "xs6_bloom_prefilter_join",
-        "xt1_gapfill_locf",
-        "xa8_cohort_retention",
-        "xa6_mode_median_by_group",
-        "xa7_approx_percentile_check",
-        "xs7_skew_profile",
-        "dq_outlier_zscore",
-        "text_rarity_score",
-        # later round-4 additions
-        "xj3_banded_time_join",
-        "xu2_bag_setops",
-        "dedup_minhash_estimate",
-        "sim_knn_label_eval",
-        "mm_patch_means",
-        "curation_quality_quantile",
-        "k8_incremental_agg_merge",
-        "k9_snapshot_changelog",
-        "xa9_user_value_trend",
-        "xa10_event_transitions",
-        "stream_incremental_rollup",
-        "s9_text_lines_scan",
-        "gx3_theil_sen_trend",
-        "sim_ivf_recall_report",
-        "curation_neardup_corpus_build",
-        "er2_entity_consolidation",
-        "obs1_observed_scan_metrics",
-        "xf3_array_higher_order",
-    ],
+    "name", sorted(__import__("hhs_and_cms_data_pipeline_spark.registry",
+                              fromlist=["all_specs"]).all_specs())
 )
-def test_round4_ops_partition_count_invariant(name, spark):
-    """The round-4 operators must produce identical rows under 7-way
+def test_partition_count_invariant_registry_wide(name, spark):
+    """EVERY registered query must produce identical rows under 7-way
     shuffle parallelism (awkward, prime, != default 32): catches any
     accidental dependence on partition boundaries — the partial-top-k
-    merge (SIM7), session merging (ST13), and window-based dedup (PIPE1)
-    are exactly the shapes where such bugs hide."""
+    merge (SIM7), session merging (ST13), window-based dedup (PIPE1), and
+    positional sampling (GX3) are exactly the shapes where such bugs hide.
+    Registry-wide by construction (round-5 VERDICT ask #5): a new query is
+    covered the moment it registers, like the non-vacuity gate above."""
     from hhs_and_cms_data_pipeline_spark.registry import all_specs
     from tests.conftest import SF_SMOKE
 
+    if name in _PARTITION_VARIANT_ALLOWLIST:
+        pytest.skip(f"allowed to vary: {_PARTITION_VARIANT_ALLOWLIST[name]}")
     spec = all_specs()[name]
     baseline = sorted(map(tuple, spec.builder(spark, SF_SMOKE).collect()))
     good = spark.conf.get("spark.sql.shuffle.partitions")
