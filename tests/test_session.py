@@ -144,7 +144,14 @@ def test_coverage_inventory_in_sync():
 # keep this SHORT and justified: an entry here means "this query's OUTPUT is
 # by-contract allowed to differ across partitionings", which for a
 # deterministic engine should be (near-)never.
-_PARTITION_VARIANT_ALLOWLIST: dict[str, str] = {}
+_PARTITION_VARIANT_ALLOWLIST: dict[str, str] = {
+    "k7_file_manifest": (
+        "reports the PHYSICAL layout by contract: part-file names embed the "
+        "write job's UUID and the per-partition file count tracks writer "
+        "parallelism, so a 7-way rewrite is a different (equally valid) "
+        "manifest; row-content fidelity is covered by its oracle diff"
+    ),
+}
 
 
 @pytest.mark.parametrize(
@@ -165,11 +172,25 @@ def test_partition_count_invariant_registry_wide(name, spark):
     if name in _PARTITION_VARIANT_ALLOWLIST:
         pytest.skip(f"allowed to vary: {_PARTITION_VARIANT_ALLOWLIST[name]}")
     spec = all_specs()[name]
-    baseline = sorted(map(tuple, spec.builder(spark, SF_SMOKE).collect()))
+
+    # repr-keyed sort: total order even with NULL grouping keys (rollup/
+    # cube/grouping-sets emit None in key columns, which plain sorted()
+    # cannot compare); any deterministic total order works — only equality
+    # of the two sorted lists matters.
+    def rows(sf: str) -> list[tuple]:
+        return sorted(map(tuple, spec.builder(spark, sf).collect()), key=repr)
+
+    sf = SF_SMOKE
+    baseline = rows(sf)
+    if not baseline:
+        # a few selective queries (tpch q7/q20) are legitimately empty at
+        # sf0.001 — escalate to the gate SF so the comparison is non-vacuous
+        sf = _VACUITY_SF
+        baseline = rows(sf)
     good = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
-        skewed = sorted(map(tuple, spec.builder(spark, SF_SMOKE).collect()))
+        skewed = rows(sf)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", good)
     assert skewed == baseline and len(baseline) > 0
