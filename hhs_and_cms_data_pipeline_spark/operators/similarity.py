@@ -892,6 +892,33 @@ def pq_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return built
 
 
+def _pq_probe_lut(spark: SparkSession, sf_dir: str, cent: DataFrame) -> DataFrame:
+    """ADC lookup table for the probe vector against a trained codebook:
+    M x K rows of partial squared distances, built from the 1-row probe
+    parquet slice — broadcastable, recomputed per query (it IS the per-query
+    work in ADC search)."""
+    probe = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _PQ_PROBE)
+        .select(F.posexplode("embedding").alias("i0", "v"))
+        .select(
+            (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("qv")
+        )
+    )
+    return (
+        cent.select("sub", "cl", "i", "c")
+        .join(F.broadcast(probe), "i")
+        .groupBy("sub", "cl")
+        .agg(
+            dsum(
+                (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")),
+                "lut_d2",
+                scale=24,
+            )
+        )
+    )
+
+
 @register(
     "sim_pq_build",
     oracle=f"""
@@ -999,26 +1026,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     cent, assign = pq_build(spark, sf_dir)
-    probe = (
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == _PQ_PROBE)
-        .select(F.posexplode("embedding").alias("i0", "v"))
-        .select(
-            (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("qv")
-        )
-    )
-    lut = (
-        cent.select("sub", "cl", "i", "c")
-        .join(F.broadcast(probe), "i")
-        .groupBy("sub", "cl")
-        .agg(
-            dsum(
-                (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")),
-                "lut_d2",
-                scale=24,
-            )
-        )
-    )
+    lut = _pq_probe_lut(spark, sf_dir, cent)
     codes = [
         F.max(F.when(F.col("sub") == s, F.col("cl"))).alias(f"code_s{s}")
         for s in range(_PQ_SUBS)
@@ -1030,6 +1038,230 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*codes, dsum("lut_d2", "adc_d2", scale=24))
         .orderBy("adc_d2", "vec_id")
         .limit(_PQ_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# SIM12 — IVF + PQ composite (IVFADC, Jegou et al. PAMI 2011 §IV): the
+# coarse quantizer restricts search to the probe's cell, then PQ codes
+# rank ONLY those candidates by ADC distance. This is the actual
+# billion-vector serving architecture — IVF bounds how much is scanned,
+# PQ bounds the bytes per scanned vector — composed here from the two
+# index builds the registry already trains (sim_ivf_build's Lloyd coarse
+# cells, pq_build's subspace codebooks).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS v
+      FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cl, i, CAST(v AS DOUBLE) AS c
+      FROM ex WHERE vec_id < {_KM_K}),
+    {_sql_km_round(1, "c0")},
+    {_sql_km_round(2, "c1")},
+    pq_ex AS (
+      SELECT vec_id, i, (i - 1) // {_PQ_SUBDIM} AS sub,
+             CAST(v AS DOUBLE) AS v
+      FROM ex),
+    pc0 AS (
+      SELECT vec_id AS cl, sub, i, v AS c
+      FROM pq_ex WHERE vec_id < {_PQ_K}),
+    {_sql_pq_round(1, "pc0")},
+    {_sql_pq_round(2, "pc1")},
+    lut AS (
+      SELECT c.sub, c.cl,
+             {sql_dsum("(q.v - c.c) * (q.v - c.c)", scale=24)} AS lut_d2
+      FROM pc2 c
+      JOIN pq_ex q ON q.i = c.i AND q.vec_id = {_PQ_PROBE}
+      GROUP BY 1, 2),
+    pcell AS (SELECT cl FROM a2 WHERE vec_id = {_PQ_PROBE}),
+    cand AS (
+      SELECT a2.vec_id FROM a2 JOIN pcell ON a2.cl = pcell.cl
+      WHERE a2.vec_id <> {_PQ_PROBE}),
+    adc AS (
+      SELECT a.vec_id, {sql_dsum("l.lut_d2", scale=24)} AS adc_d2
+      FROM pa2 a
+      JOIN lut l ON a.sub = l.sub AND a.cl = l.cl
+      WHERE a.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1)
+    SELECT vec_id, adc_d2
+    FROM adc
+    ORDER BY adc_d2, vec_id
+    LIMIT {_PQ_TOP_K}
+    """,
+    tags=("SIM12",),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM12: IVFADC search — top-10 by PQ asymmetric distance among the
+    vectors sharing the probe's coarse IVF cell (module comment).
+
+    Scale shape: both index halves are offline artifacts (the coarse
+    assignment is sim_ivf_build's two-shuffle-per-round training; the PQ
+    codes come from the memoized pq_build). At query time the probe's
+    cell id and the M x K lookup table BROADCAST; the candidate set is one
+    semi-join on the code relation — the exchanges carry cell-occupancy
+    rows (corpus / n_cells), never the corpus, and never a float vector.
+    Decimal-routed sums keep the ranking bit-identical to the oracle's
+    re-derivation across engines and partitionings."""
+    ensure_session_conf(spark)
+    coarse = sim_ivf_build(spark, sf_dir).select("vec_id", "cluster")
+    pcell = coarse.filter(F.col("vec_id") == _PQ_PROBE).select(
+        F.col("cluster").alias("pcell")
+    )
+    cand = (
+        coarse.join(F.broadcast(pcell), F.col("cluster") == F.col("pcell"))
+        .filter(F.col("vec_id") != _PQ_PROBE)
+        .select("vec_id")
+    )
+    cent, assign = pq_build(spark, sf_dir)
+    lut = _pq_probe_lut(spark, sf_dir, cent)
+    return (
+        assign.join(cand, "vec_id", "semi")
+        .join(F.broadcast(lut), ["sub", "cl"])
+        .groupBy("vec_id")
+        .agg(dsum("lut_d2", "adc_d2", scale=24))
+        .orderBy("adc_d2", "vec_id")
+        .limit(_PQ_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# SIM13 — PQ recall audit: |ADC top-10 ∩ exact-L2 top-10| / 10. The same
+# honest-accuracy contract SIM11 enforces for the IVF path (an approximate
+# index with no registered accuracy metric is the D6 round-3 failure mode):
+# ADC approximates SQUARED L2, so the exact reference is the full-scan L2
+# top-k over the same probe, not SIM1's cosine ranking.
+# --------------------------------------------------------------------------
+
+
+def emb_l2sq(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance of two float vectors as a sequential double fold
+    (same engine-identical evaluation-order contract as emb_dot)."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sql_emb_l2sq(a: str, b: str) -> str:
+    """Oracle-side rendering of :func:`emb_l2sq` — left-to-right fold over
+    the zipped pair list, matching Spark's aggregate order."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "sim_pq_recall_report",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_PQ_PROBE}),
+    exact_top AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {_PQ_PROBE}
+      ORDER BY {sql_emb_l2sq('e.embedding', 'q.q_emb')}, e.vec_id
+      LIMIT {_PQ_TOP_K}),
+    pq_ex AS (
+      SELECT vec_id, i, (i - 1) // {_PQ_SUBDIM} AS sub, v FROM (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings)),
+    pc0 AS (
+      SELECT vec_id AS cl, sub, i, v AS c
+      FROM pq_ex WHERE vec_id < {_PQ_K}),
+    {_sql_pq_round(1, "pc0")},
+    {_sql_pq_round(2, "pc1")},
+    lut AS (
+      SELECT c.sub, c.cl,
+             {sql_dsum("(q.v - c.c) * (q.v - c.c)", scale=24)} AS lut_d2
+      FROM pc2 c
+      JOIN pq_ex q ON q.i = c.i AND q.vec_id = {_PQ_PROBE}
+      GROUP BY 1, 2),
+    adc_top AS (
+      SELECT vec_id FROM (
+        SELECT a.vec_id, {sql_dsum("l.lut_d2", scale=24)} AS adc_d2
+        FROM pa2 a JOIN lut l ON a.sub = l.sub AND a.cl = l.cl
+        WHERE a.vec_id <> {_PQ_PROBE}
+        GROUP BY 1)
+      ORDER BY adc_d2, vec_id
+      LIMIT {_PQ_TOP_K})
+    SELECT CAST({_PQ_TOP_K} AS BIGINT) AS k,
+           (SELECT COUNT(*) FROM exact_top) AS n_exact,
+           (SELECT COUNT(*) FROM adc_top) AS n_adc,
+           (SELECT COUNT(*) FROM exact_top e
+             JOIN adc_top a ON e.vec_id = a.vec_id) AS n_overlap,
+           CAST((SELECT COUNT(*) FROM exact_top e
+                  JOIN adc_top a ON e.vec_id = a.vec_id) AS DOUBLE)
+             / {_PQ_TOP_K} AS recall_at_k
+    """,
+    tags=("SIM13",),
+)
+def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM13: one-row recall@10 report for the PQ/ADC path (module
+    comment) — the per-build audit a deployment runs before serving
+    approximate distances: two top-k searches and a k-row join, cheap by
+    construction at any scale.
+
+    The exact side is a single-pass full-scan L2 top-k (zip_with fold +
+    TakeOrderedAndProject, the SIM1 plan with a different metric); the
+    approximate side is sim_pq_adc_topk's online query against the
+    memoized index. Both ID sets are 10-row localCheckpoints so the
+    overlap join and the counts don't re-run either search.
+
+    Measured finding this report exists to surface: recall@10 = 0.4 at
+    sf0.01 — 4 subspaces x 8 codes is a 4-byte code over a 64-dim
+    isotropic synthetic corpus, so quantization error dominates the
+    neighbor margins; a production build would raise K (8 bits/subspace
+    is the Jegou et al. default, not 3) or re-rank ADC candidates with
+    exact distances. An approximate path with no registered accuracy
+    metric was the D6 round-3 failure mode."""
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == _PQ_PROBE).select(
+            F.col("embedding").alias("q_emb")
+        )
+    )
+    exact_ids = (
+        emb.filter(F.col("vec_id") != _PQ_PROBE)
+        .crossJoin(q)
+        .select("vec_id", emb_l2sq(F.col("embedding"), F.col("q_emb")).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(_PQ_TOP_K)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    adc_ids = (
+        sim_pq_adc_topk(spark, sf_dir)
+        .select(F.col("vec_id").alias("v2"))
+        .localCheckpoint(eager=False)
+    )
+    overlap = exact_ids.join(adc_ids, exact_ids.vec_id == F.col("v2"))
+    return (
+        exact_ids.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(adc_ids.agg(F.count(F.lit(1)).alias("n_adc")))
+        .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
+        .select(
+            F.lit(_PQ_TOP_K).cast("long").alias("k"),
+            "n_exact",
+            "n_adc",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(_PQ_TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
     )
 
 

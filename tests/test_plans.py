@@ -507,3 +507,18 @@ def test_pq_adc_query_serves_from_built_index(spark, specs):
     assert "TakeOrderedAndProject" in plan
     # the only parquet scan is the 1-row probe slice
     assert scan_columns(plan, containing="embedding") <= {"vec_id", "embedding"}
+
+
+def test_ivfpq_query_is_candidate_bounded(spark, specs):
+    """SIM12 (IVFADC): the online query must rank only the probe-cell
+    candidate set via the code relation — broadcast lookup table, no
+    cartesian/nested-loop pairing of corpus vectors, top-k as
+    TakeOrderedAndProject — and never read the document/text columns."""
+    from hhs_and_cms_data_pipeline_spark.operators.similarity import pq_build
+
+    pq_build(spark, SF_SMOKE)  # index offline, like the ADC plan test
+    plan = formatted_plan(specs["sim_ivfpq_topk"].builder(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert count_broadcast_joins(plan) >= 2  # probe cell + ADC lut
+    assert scan_columns(plan, containing="embedding") <= {"vec_id", "embedding"}
