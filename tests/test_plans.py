@@ -394,12 +394,12 @@ def test_substring_spans_fingerprints_are_map_only(spark, specs):
     # pre-shingling shuffle, and no cross join can appear
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert scan_columns(plan, containing="text") <= {"doc_id", "text"}
-    # generation+semi+pair-join+count+sort keyed exchanges stay bounded
-    assert count_data_shuffles(plan) <= 6
-    # BOTH pair-join inputs are semi-filtered against the rare-fingerprint
-    # set: hot (df > cap) posting lists must be dropped BEFORE the pair
-    # exchange on each side, not filtered after the join
-    assert plan.count("LeftSemi") >= 2, "both join sides must be rare-filtered"
+    # round-6 shape: ONE posting-list aggregate (hot lists dropped at the
+    # agg, pairs expanded in-group with array functions), one pair-count
+    # agg, one output sort — and NO self-join, so no hot row can reach a
+    # second exchange by construction
+    assert count_data_shuffles(plan) <= 3
+    assert "Join" not in plan, "pair expansion must be in-group, not a self-join"
 
 
 def test_partitioned_gemm_shuffles_only_partial_topk(spark, specs):
