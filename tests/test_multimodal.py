@@ -316,3 +316,41 @@ def test_resize_schema_and_determinism(spark):
     # registered projection hex-encodes the same bytes
     rh = {x["doc_id"]: x for x in mm_resize(spark, SF_SMOKE).collect()}[0]
     assert rh["thumb_hex"] == bytes(r["thumb"]).hex().upper()
+
+
+def test_png_decoder_roundtrip_property():
+    """Property: for ANY pixel content, size, and per-row filter choice,
+    encode-with-the-test-writer -> decode must reproduce the exact pixels.
+    The test writer applies filters over RAW neighbor bytes per the PNG
+    spec, so this pins the numpy-vectorized unfilter (Sub prefix-sum, Up
+    wrap-add) and the sequential Average/Paeth paths against an
+    independent implementation across random inputs — not just the fixed
+    fixtures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        rows = [
+            [
+                tuple(
+                    data.draw(st.integers(0, 255), label=f"px{y},{x},{c}")
+                    for c in range(3)
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        filters = [data.draw(st.integers(0, 4), label=f"f{y}") for y in range(h)]
+        png = _make_png(w, h, rows, filters=filters)
+        img = decode_image(png)
+        assert (img["width"], img["height"]) == (w, h)
+        flat = bytes(c for row in rows for px in row for c in px)
+        assert img["pixels"] == flat
+
+    check()
