@@ -1050,64 +1050,20 @@ def cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "stream_incremental_rollup",
-    oracle=f"""
-    SELECT user_id, event_type,
-           COUNT(*) AS n,
-           {sql_dsum("value")} AS sum_value
-    FROM events
-    WHERE value IS NOT NULL
-      AND user_id IS NOT NULL AND event_type IS NOT NULL
-    GROUP BY 1, 2
-    ORDER BY 1, 2
-    """,
-    tags=("ST14",),
-)
-def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST14: drain the staged event files as chronological micro-batches
-    (availableNow) and maintain the (user, type) rollup incrementally in a
-    published parquet store via foreachBatch (module comment).
-
-    Scale shape: each batch touches batch-sized data plus the rollup
-    (group-count-sized, not fact-sized); the merge is one co-partitioned
-    full outer join; publishes are atomic symlink swaps so concurrent
-    readers always see a complete version. The decimal column rides
-    parquet between batches and only converts to double at the read-out
-    edge, so the maintained store is bit-identical to the from-scratch
-    aggregate no matter how arrival slices the stream."""
-    import hashlib
+def make_rollup_merger(target: str):
+    """The ST14 foreachBatch body as a module-level factory so the
+    checkpoint-RESUME test can drive the exact production merge (not a
+    test copy). EXACTLY-ONCE under replay: foreachBatch is at-least-once,
+    and an additive merge is NOT idempotent — a crash between the publish
+    and the checkpoint commit re-delivers the same batch_id, and blindly
+    re-adding it would double-count permanently. The store therefore
+    records the last applied batch_id (a constant column, rows are
+    group-count-sized) and a replayed batch becomes a no-op."""
     import os
-    import shutil
-    import tempfile
 
     from ..sinks import read_published, write_parquet_atomic
-    from ..streaming.events import events_raw_schema
-    from ..streaming.stateful import stage_chronological_files
-
-    ensure_session_conf(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage = os.path.join(tempfile.gettempdir(), f"incr_stage_{tag}")
-    target = os.path.join(tempfile.gettempdir(), f"incr_rollup_{tag}")
-    from ..sinks import clear_published_versions
-
-    clear_published_versions(target)  # deterministic rerun
-    ckpt = tempfile.mkdtemp(prefix="incr_ckpt_")
-    stage_chronological_files(spark, sf_dir, stage)
-    raw = (
-        spark.readStream.schema(events_raw_schema(spark, stage))
-        .option("maxFilesPerTrigger", 1)
-        .format("parquet")
-        .load(stage)
-    )
 
     def _merge(batch_df, batch_id):
-        # EXACTLY-ONCE under replay: foreachBatch is at-least-once, and an
-        # additive merge is NOT idempotent — a crash between the publish
-        # and the checkpoint commit re-delivers the same batch_id, and
-        # blindly re-adding it would double-count permanently. The store
-        # therefore records the last applied batch_id (a constant column,
-        # rows are group-count-sized) and a replayed batch becomes a no-op.
         stored = None
         if os.path.islink(target):
             stored = read_published(batch_df.sparkSession, target)
@@ -1165,6 +1121,62 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             target,
             gc_grace_seconds=3600.0,
         )
+
+    return _merge
+
+
+@register(
+    "stream_incremental_rollup",
+    oracle=f"""
+    SELECT user_id, event_type,
+           COUNT(*) AS n,
+           {sql_dsum("value")} AS sum_value
+    FROM events
+    WHERE value IS NOT NULL
+      AND user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("ST14",),
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST14: drain the staged event files as chronological micro-batches
+    (availableNow) and maintain the (user, type) rollup incrementally in a
+    published parquet store via foreachBatch (module comment).
+
+    Scale shape: each batch touches batch-sized data plus the rollup
+    (group-count-sized, not fact-sized); the merge is one co-partitioned
+    full outer join; publishes are atomic symlink swaps so concurrent
+    readers always see a complete version. The decimal column rides
+    parquet between batches and only converts to double at the read-out
+    edge, so the maintained store is bit-identical to the from-scratch
+    aggregate no matter how arrival slices the stream."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks import read_published, write_parquet_atomic
+    from ..streaming.events import events_raw_schema
+    from ..streaming.stateful import stage_chronological_files
+
+    ensure_session_conf(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"incr_stage_{tag}")
+    target = os.path.join(tempfile.gettempdir(), f"incr_rollup_{tag}")
+    from ..sinks import clear_published_versions
+
+    clear_published_versions(target)  # deterministic rerun
+    ckpt = tempfile.mkdtemp(prefix="incr_ckpt_")
+    stage_chronological_files(spark, sf_dir, stage)
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, stage))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+
+    _merge = make_rollup_merger(target)  # the ST14 merge body (factory above)
 
     q = (
         raw.writeStream.foreachBatch(_merge)

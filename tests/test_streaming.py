@@ -575,3 +575,84 @@ def test_cogroup_sides_survive_projection_plans(spark):
     total = df.agg(F.sum("n_clicks_before")).head()[0]
     total_full = sum(r["n_clicks_before"] for r in df.collect())
     assert total == total_full and total > 0
+
+
+def test_incremental_rollup_resumes_from_checkpoint(spark, tmp_path):
+    """Same-checkpoint RESUME recovery (the restart semantics a production
+    maintenance job actually relies on, distinct from the fresh-checkpoint
+    redelivery test above): drain two files with availableNow, stop, add a
+    third file, restart with the SAME checkpoint — the second run must
+    process ONLY the new file (source offsets live in the checkpoint) with
+    a continuing batch_id, and the published rollup store must equal the
+    from-scratch aggregate over all files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
+        make_rollup_merger,
+    )
+    from hhs_and_cms_data_pipeline_spark.sinks import read_published
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "rollup")
+
+    def write_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                }
+            ),
+            str(stage / name),
+        )
+
+    seen: list[tuple[int, int]] = []
+    base = make_rollup_merger(target)
+
+    def merge(batch_df, batch_id):
+        seen.append((int(batch_id), batch_df.count()))
+        base(batch_df, batch_id)
+
+    def run():
+        raw = (
+            spark.readStream.schema("user_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(str(stage))
+        )
+        q = (
+            raw.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    f1 = [(1, "click", 1.5), (1, "click", 2.0), (2, "purchase", 10.0)]
+    f2 = [(1, "purchase", 4.0), (2, "click", 0.5)]
+    write_file("f1.parquet", f1)
+    write_file("f2.parquet", f2)
+    run()
+    assert [n for _, n in seen] == [3, 2]  # one batch per file, all rows once
+
+    f3 = [(1, "click", 3.0), (3, "click", 7.0), (3, "click", 1.0), (2, "purchase", 2.5)]
+    write_file("f3.parquet", f3)
+    run()
+    # resume: exactly ONE new batch, only the new file's rows, id continues
+    assert [n for _, n in seen] == [3, 2, 4]
+    assert seen[2][0] == seen[1][0] + 1
+
+    # the maintained store equals the from-scratch aggregate over all files
+    want = {}
+    for u, t, v in f1 + f2 + f3:
+        n, s = want.get((u, t), (0, 0.0))
+        want[(u, t)] = (n + 1, s + v)
+    got = {
+        (r["user_id"], r["event_type"]): (r["n"], float(r["s"]))
+        for r in read_published(spark, target).collect()
+    }
+    assert got == want
