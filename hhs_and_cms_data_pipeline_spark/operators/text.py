@@ -707,3 +707,66 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rarity_sum",
         (F.col("rarity_sum") / F.col("n_tokens").cast("double")).alias("rarity"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# TX10 — BPE pair statistics: the counting pass of one byte-pair-encoding
+# merge step (Sennrich et al. 2016). For every adjacent character pair
+# inside every word occurrence, count corpus-wide occurrences and report
+# the top candidates — the argmax of this table IS the next BPE merge.
+# A full tokenizer trainer iterates this (merge -> recount); the engine's
+# job is the distributed counting pass, which is the part that touches
+# the corpus.
+# --------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@register(
+    "text_bpe_pair_stats",
+    oracle=f"""
+    WITH words AS (
+      SELECT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+      FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words))
+    SELECT pair, COUNT(*) AS n_occurrences
+    FROM pairs
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+    tags=("TX10",),
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX10: corpus-wide adjacent-character-pair counts, top candidates for
+    the next BPE merge (module comment). Within-word repeats count every
+    occurrence ("aaa" contributes "aa" twice), matching BPE's objective.
+
+    Scale shape: the pair explode runs over the DISTINCT-WORD relation
+    weighted by word count, not the token stream — vocabulary is tiny next
+    to the corpus, so the quadratic-ish pair fan-out touches each distinct
+    word once regardless of its frequency. Two keyed aggregations (word
+    counts, then pair counts — both map-side partial) and a
+    TakeOrderedAndProject top-20; all string slicing is codegen'd column
+    arithmetic, no Python."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(tokens()).alias("w")).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        wc.select(F.explode(pair_arr).alias("pair"), "c")
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
