@@ -770,3 +770,111 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(_BPE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# TX11 — iterative BPE training (2 unrolled merges): argmax pair -> rewrite
+# the vocabulary (merged pair becomes one symbol) -> recount -> argmax
+# again. This is the actual BPE training loop over a corpus, expressed as
+# a static declarative DAG: the per-merge winner is a 1-row frame consumed
+# via broadcast (the Q2 uncorrelated-scalar pattern), the rewrite is one
+# string replace over the DISTINCT-WORD relation (re-aggregated, since
+# rewrites can collide words), and no driver collect ever happens. Both
+# engines' replace() substitutes non-overlapping occurrences left-to-right
+# — exactly BPE's greedy merge order within a word.
+# --------------------------------------------------------------------------
+
+_BPE_MERGE_SYMS = ("\x01", "\x02")  # placeholder symbols for merged pairs
+
+
+def _bpe_pair_counts(wc: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over a (w, c) distinct-word relation —
+    the TX10 counting pass, factored for the trainer's per-merge reuse."""
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        wc.select(F.explode(pair_arr).alias("pair"), "c")
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n_occurrences"))
+    )
+
+
+def _sql_bpe_pairs(words: str) -> str:
+    """DuckDB twin of _bpe_pair_counts over a (w, c) relation name."""
+    return f"""
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
+             SUM(c) AS n_occurrences
+      FROM (SELECT w, c, unnest(range(1, length(w))) AS i FROM {words})
+      GROUP BY 1"""
+
+
+@register(
+    "text_bpe_train_2merges",
+    oracle=f"""
+    WITH wc1 AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY 1),
+    p1 AS ({_sql_bpe_pairs("wc1")}),
+    b1 AS (SELECT pair, n_occurrences FROM p1
+           ORDER BY n_occurrences DESC, pair LIMIT 1),
+    wc2 AS (
+      SELECT replace(w, (SELECT pair FROM b1), chr(1)) AS w, SUM(c) AS c
+      FROM wc1 GROUP BY 1),
+    p2 AS ({_sql_bpe_pairs("wc2")}),
+    b2 AS (SELECT pair, n_occurrences FROM p2
+           ORDER BY n_occurrences DESC, pair LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS step, hex(encode(pair)) AS pair_hex,
+           n_occurrences FROM b1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), hex(encode(pair)), n_occurrences FROM b2
+    ORDER BY step
+    """,
+    tags=("TX11",),
+)
+def text_bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX11: two unrolled BPE merge steps — each reports the winning pair
+    (hex-encoded: merged symbols are control-char placeholders) and its
+    corpus count at selection time (module comment).
+
+    Scale shape per merge: the pair count is TX10's two-aggregation pass
+    over the vocabulary relation; the winner is a 1-row broadcast; the
+    rewrite + re-aggregation is one more keyed exchange of the vocabulary
+    (never the corpus — word counts carry the weights). A k-merge trainer
+    is this block unrolled k times: the lineage stays a static DAG, and at
+    production merge counts the vocabulary relation would be
+    localCheckpointed per round exactly like pq_build's Lloyd loop."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(tokens()).alias("w")).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    steps = []
+    for step, sym in enumerate(_BPE_MERGE_SYMS, start=1):
+        counts = _bpe_pair_counts(wc)
+        best = counts.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(1)
+        steps.append(
+            best.select(
+                F.lit(step).cast("long").alias("step"),
+                F.hex(F.encode("pair", "UTF-8")).alias("pair_hex"),
+                "n_occurrences",
+            )
+        )
+        if step < len(_BPE_MERGE_SYMS):
+            wc = (
+                wc.crossJoin(F.broadcast(best.select("pair")))
+                .select(
+                    F.replace(F.col("w"), F.col("pair"), F.lit(sym)).alias("w"),
+                    "c",
+                )
+                .groupBy("w")
+                .agg(F.sum("c").alias("c"))
+            )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("step")
