@@ -41,6 +41,7 @@ def main() -> None:
         "stream_interval_join",
         "decontaminate_ngram_overlap",
         "mm_audio_energy",
+        "mm_frame_features",
         "dedup_substring_spans",
         "sim_partitioned_knn_gemm",
         "curation_end_to_end",
