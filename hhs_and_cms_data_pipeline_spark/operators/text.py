@@ -850,20 +850,42 @@ def text_bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     production merge counts the vocabulary relation would be
     localCheckpointed per round exactly like pq_build's Lloyd loop."""
     ensure_session_conf(spark)
+    merges = _bpe_learn_merges(_bpe_word_counts(spark, sf_dir))
+    steps = [
+        best.select(
+            F.lit(step).cast("long").alias("step"),
+            F.hex(F.encode("pair", "UTF-8")).alias("pair_hex"),
+            "n_occurrences",
+        )
+        for step, best in enumerate(merges, start=1)
+    ]
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("step")
+
+
+def _bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, c) distinct-word relation over the corpus — the vocabulary the
+    BPE trainer and encoder both operate on."""
     docs = spread(table(spark, sf_dir, "documents"))
     words = docs.select(F.explode(tokens()).alias("w")).filter(F.col("w") != "")
-    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    steps = []
+    return words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _bpe_learn_merges(wc: DataFrame) -> list[DataFrame]:
+    """The TX11 merge loop, factored so the encoder (TX12) learns the
+    IDENTICAL merges: returns one 1-row (pair, n_occurrences) frame per
+    merge step; between steps the vocabulary is rewritten with the step's
+    placeholder symbol and re-aggregated (rewrites can collide words)."""
+    merges: list[DataFrame] = []
     for step, sym in enumerate(_BPE_MERGE_SYMS, start=1):
-        counts = _bpe_pair_counts(wc)
-        best = counts.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(1)
-        steps.append(
-            best.select(
-                F.lit(step).cast("long").alias("step"),
-                F.hex(F.encode("pair", "UTF-8")).alias("pair_hex"),
-                "n_occurrences",
-            )
+        best = (
+            _bpe_pair_counts(wc)
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(1)
         )
+        merges.append(best)
         if step < len(_BPE_MERGE_SYMS):
             wc = (
                 wc.crossJoin(F.broadcast(best.select("pair")))
@@ -874,7 +896,100 @@ def text_bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("w")
                 .agg(F.sum("c").alias("c"))
             )
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionAll(s)
-    return out.orderBy("step")
+    return merges
+
+
+# --------------------------------------------------------------------------
+# TX12 — BPE encoding stats: apply the learned merges to every document and
+# report its token count under the trained tokenizer — the cost-estimation
+# pass an LLM pipeline runs over candidate corpora (tokens, not bytes, is
+# what training budgets are denominated in). Each character/merged symbol
+# is one token, so a word's token count is its length after the merge
+# rewrites; the rewrite happens once per DISTINCT word and joins back to
+# the per-doc token stream.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_encode_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM ({SQL_TOKS}) WHERE w <> ''),
+    wc1 AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+    p1 AS ({_sql_bpe_pairs("wc1")}),
+    b1 AS (SELECT pair FROM p1 ORDER BY n_occurrences DESC, pair LIMIT 1),
+    wc2 AS (
+      SELECT replace(w, (SELECT pair FROM b1), chr(1)) AS w, SUM(c) AS c
+      FROM wc1 GROUP BY 1),
+    p2 AS ({_sql_bpe_pairs("wc2")}),
+    b2 AS (SELECT pair FROM p2 ORDER BY n_occurrences DESC, pair LIMIT 1),
+    vocab AS (
+      SELECT w, length(w) AS n_chars,
+             length(replace(replace(w, (SELECT pair FROM b1), chr(1)),
+                            (SELECT pair FROM b2), chr(2))) AS n_syms
+      FROM wc1)
+    SELECT t.doc_id,
+           COUNT(*) AS n_words,
+           SUM(v.n_chars) AS n_chars,
+           SUM(v.n_syms) AS n_tokens,
+           CAST(SUM(v.n_chars) AS DOUBLE) / CAST(SUM(v.n_syms) AS DOUBLE)
+             AS chars_per_token
+    FROM toks t JOIN vocab v USING (w)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("TX12",),
+)
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX12: per-document token counts under the 2-merge BPE tokenizer
+    TX11 trains (module comment) — n_words, raw char count, token count
+    after merges, and the chars-per-token compression ratio (exact-int
+    division, bit-stable).
+
+    Scale shape: merges are learned once on the vocabulary relation
+    (TX11's machinery, shared code); the encode rewrites each DISTINCT
+    word once (vocabulary-sized, the two winning pairs ride along as
+    1-row broadcasts) and joins back to the per-doc token stream on the
+    word — one stream-sized keyed exchange plus the per-doc aggregate.
+    The corpus text itself is never rewritten; only counts move."""
+    ensure_session_conf(spark)
+    wc = _bpe_word_counts(spark, sf_dir)
+    b1, b2 = _bpe_learn_merges(wc)
+    rewritten = F.replace(
+        F.replace(F.col("w"), F.col("p1"), F.lit(_BPE_MERGE_SYMS[0])),
+        F.col("p2"),
+        F.lit(_BPE_MERGE_SYMS[1]),
+    )
+    vocab = (
+        wc.select("w")
+        .crossJoin(F.broadcast(b1.select(F.col("pair").alias("p1"))))
+        .crossJoin(F.broadcast(b2.select(F.col("pair").alias("p2"))))
+        .select(
+            "w",
+            F.length("w").cast("long").alias("n_chars"),
+            F.length(rewritten).cast("long").alias("n_syms"),
+        )
+    )
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens()).alias("w")).filter(
+        F.col("w") != ""
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_syms").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            (
+                F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
