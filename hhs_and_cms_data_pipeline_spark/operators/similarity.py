@@ -1477,3 +1477,114 @@ def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SIM14 — truncated-dimension recall: rank by cosine over only the FIRST
+# _TRUNC_DIMS embedding dimensions and report overlap with the full-vector
+# top-k. This is the evaluation behind Matryoshka-style dimension
+# truncation (Kusupati et al. 2022): if a prefix preserves the neighbor
+# set, the index can store (and shuffle) a fraction of the bytes — at
+# 100 TB of vectors, the difference between 64 and 16 resident floats per
+# vector is the difference between fitting in cluster RAM or not. Like
+# SIM11/SIM13, the metric is cheap by construction: two top-k searches
+# and a k-row join.
+# --------------------------------------------------------------------------
+
+_TRUNC_DIMS = 16
+
+
+@register(
+    "sim_truncated_dim_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    norms AS ({SQL_EMB_NORMS}),
+    full_top AS (
+      SELECT d.vec_id FROM (
+        SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {_QUERY_VEC_ID}) d
+      JOIN norms n ON d.vec_id = n.vec_id
+      CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
+      ORDER BY d.dot / (sqrt(n.n2) * sqrt(qn.n2)) DESC, d.vec_id
+      LIMIT {_TOP_K}),
+    trunc_top AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}
+      ORDER BY {sql_emb_dot(f'e.embedding[1:{_TRUNC_DIMS}]', f'q.q_emb[1:{_TRUNC_DIMS}]')}
+               / (sqrt({sql_emb_dot(f'e.embedding[1:{_TRUNC_DIMS}]', f'e.embedding[1:{_TRUNC_DIMS}]')})
+                  * sqrt({sql_emb_dot(f'q.q_emb[1:{_TRUNC_DIMS}]', f'q.q_emb[1:{_TRUNC_DIMS}]')})) DESC,
+               e.vec_id
+      LIMIT {_TOP_K})
+    SELECT CAST({_TOP_K} AS BIGINT) AS k,
+           CAST({_TRUNC_DIMS} AS BIGINT) AS n_dims_trunc,
+           (SELECT COUNT(*) FROM full_top) AS n_full,
+           (SELECT COUNT(*) FROM trunc_top) AS n_trunc,
+           (SELECT COUNT(*) FROM full_top f
+             JOIN trunc_top t ON f.vec_id = t.vec_id) AS n_overlap,
+           CAST((SELECT COUNT(*) FROM full_top f
+                  JOIN trunc_top t ON f.vec_id = t.vec_id) AS DOUBLE)
+             / {_TOP_K} AS recall_at_k
+    """,
+    tags=("SIM14",),
+)
+def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM14: recall@10 of prefix-truncated (16 of 64 dims) cosine ranking
+    against the full-vector exact top-10 (module comment).
+
+    Both searches are the SIM1 plan — single scan, sequential-fold cosine
+    inside codegen, TakeOrderedAndProject — the truncated side just
+    slices the array before folding, which is exactly what a
+    reduced-dimension index would persist. ID sets are 10-row
+    localCheckpoints; the report is a k-row join. Engine-identical folds
+    make both rankings and therefore the recall bit-stable.
+
+    Measured finding this report exists to surface: recall@10 = 0.1 at
+    sf0.01 — the synthetic embeddings are ISOTROPIC, so a 16-dim prefix
+    carries no privileged variance and truncation destroys the neighbor
+    set. Real Matryoshka-trained embeddings concentrate information in
+    the prefix precisely so this number stays high; run this audit before
+    truncating any production index."""
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+            F.col("embedding").alias("q_emb")
+        )
+    )
+    cand = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).crossJoin(q)
+
+    def topk(vec: F.Column, qv: F.Column) -> DataFrame:
+        cosine = emb_dot(vec, qv) / (
+            F.sqrt(emb_dot(vec, vec)) * F.sqrt(emb_dot(qv, qv))
+        )
+        return (
+            cand.select("vec_id", cosine.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(_TOP_K)
+            .select("vec_id")
+            .localCheckpoint(eager=False)
+        )
+
+    full_ids = topk(F.col("embedding"), F.col("q_emb"))
+    trunc_ids = topk(
+        F.slice("embedding", 1, _TRUNC_DIMS), F.slice("q_emb", 1, _TRUNC_DIMS)
+    ).select(F.col("vec_id").alias("v2"))
+    overlap = full_ids.join(trunc_ids, full_ids.vec_id == F.col("v2"))
+    return (
+        full_ids.agg(F.count(F.lit(1)).alias("n_full"))
+        .crossJoin(trunc_ids.agg(F.count(F.lit(1)).alias("n_trunc")))
+        .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
+        .select(
+            F.lit(_TOP_K).cast("long").alias("k"),
+            F.lit(_TRUNC_DIMS).cast("long").alias("n_dims_trunc"),
+            "n_full",
+            "n_trunc",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(_TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
