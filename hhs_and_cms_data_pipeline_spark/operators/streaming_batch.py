@@ -1234,13 +1234,12 @@ _THEIL_SEN_MAX_GROUP = 2_000
 _THEIL_SEN_SAMPLE_PAIRS = 500_000
 
 
-def _theil_sen_group(pdf):
+def _theil_sen_values(user_id: int, x, y):
+    """Per-group Theil-Sen kernel over numpy arrays — returns
+    (user_id, n_points, n_pairs, ts_slope). Shared by the grouped-map
+    wrapper (_theil_sen_group, the unit-test surface) and the streaming
+    partition worker (_theil_sen_partition, the production path)."""
     import numpy as np
-
-    import pandas as pd
-
-    x = pdf["x"].to_numpy(dtype=np.int64)
-    y = pdf["y"].to_numpy(dtype=np.float64)
     # Sort by the FULL point (x, then y), not just x: a stable argsort on x
     # alone preserves Spark's nondeterministic arrival order among equal-x
     # rows, and the sampled branch below draws POSITIONAL indices — with
@@ -1262,9 +1261,7 @@ def _theil_sen_group(pdf):
         # hot-group degradation: sampled Theil-Sen (see module constant)
         _, counts = np.unique(x, return_counts=True)
         n_pairs = int(n * (n - 1) // 2 - np.sum(counts * (counts - 1) // 2))
-        seed = (int(pdf["user_id"].iloc[0]) * 0x9E3779B97F4A7C15 + 1) % (
-            1 << 63
-        )
+        seed = (int(user_id) * 0x9E3779B97F4A7C15 + 1) % (1 << 63)
         rng = np.random.default_rng(seed)
         i = rng.integers(0, n, _THEIL_SEN_SAMPLE_PAIRS)
         j = rng.integers(0, n, _THEIL_SEN_SAMPLE_PAIRS)
@@ -1278,14 +1275,76 @@ def _theil_sen_group(pdf):
                 "gx3_theil_sen_trend: sampled zero defined slopes from a "
                 f"group of {n} rows with {n_pairs} defined pairs"
             )
+    return (
+        int(user_id),
+        int(n),
+        int(n_pairs),
+        float(np.median(slopes)) if slopes.size else None,
+    )
+
+
+def _theil_sen_group(pdf):
+    """Grouped-map wrapper over _theil_sen_values (one pandas frame in, one
+    result row out) — kept as the direct unit-test surface for the kernel,
+    including the hot-group sampled branch."""
+    import numpy as np
+    import pandas as pd
+
+    uid, n, n_pairs, slope = _theil_sen_values(
+        int(pdf["user_id"].iloc[0]),
+        pdf["x"].to_numpy(dtype=np.int64),
+        pdf["y"].to_numpy(dtype=np.float64),
+    )
     return pd.DataFrame(
         {
-            "user_id": [int(pdf["user_id"].iloc[0])],
+            "user_id": [uid],
             "n_points": [n],
             "n_pairs": [n_pairs],
-            "ts_slope": [float(np.median(slopes)) if slopes.size else None],
+            "ts_slope": [slope],
         }
     )
+
+
+def _theil_sen_partition(batches):
+    """mapInPandas worker over a user_id-sorted partition stream: many
+    groups per Arrow batch, O(max group) buffering. The per-group-Arrow-
+    flush cost of grouped-map applyInPandas dominates GX3 when groups are
+    small (measured at sf0.1: a NOOP applyInPandas over the same 1,500
+    groups costs 4.6s of the query's 6.7s) — streaming sorted partitions
+    instead pays per-BATCH overhead. Rows of one group are contiguous
+    within a partition (sortWithinPartitions upstream); only the tail
+    group can straddle a batch boundary, so it is carried into the next
+    batch and flushed at end-of-stream."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["user_id", "n_points", "n_pairs", "ts_slope"]
+    tail = None
+
+    def emit(pdf):
+        out = [
+            _theil_sen_values(
+                int(uid),
+                g["x"].to_numpy(dtype=np.int64),
+                g["y"].to_numpy(dtype=np.float64),
+            )
+            for uid, g in pdf.groupby("user_id", sort=False)
+        ]
+        return pd.DataFrame(out, columns=cols)
+
+    for pdf in batches:
+        if tail is not None and len(tail):
+            pdf = pd.concat([tail, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        last_uid = pdf["user_id"].iloc[-1]
+        tail_mask = pdf["user_id"] == last_uid
+        tail = pdf[tail_mask]
+        head = pdf[~tail_mask]
+        if len(head):
+            yield emit(head)
+    if tail is not None and len(tail):
+        yield emit(tail)
 
 
 @register(
@@ -1316,20 +1375,27 @@ def _theil_sen_group(pdf):
     tags=("GX3",),
 )
 def gx3_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GX3: per-user Theil-Sen slope (median of pairwise slopes) via
-    grouped-map applyInPandas (module comment) — the robust counterpart of
-    XA9's OLS fit, kept when outliers would wreck least squares.
+    """GX3: per-user Theil-Sen slope (median of pairwise slopes) via the
+    streaming-group mapInPandas pattern (module comment) — the robust
+    counterpart of XA9's OLS fit, kept when outliers would wreck least
+    squares.
 
-    Scale shape: one hash exchange on user_id; each user's rows arrive as
-    one Arrow batch and the quadratic pair enumeration happens in numpy
-    against worker-local arrays — bounded by the largest single group
-    (tens of rows per user here), never by the table. Hot groups past
-    _THEIL_SEN_MAX_GROUP degrade to deterministic sampled Theil-Sen
-    (hash-seeded fixed pair budget, O(budget) memory) instead of erroring —
-    see the constant's comment for the accuracy math; the test corpus never
-    crosses the cap, so the oracle compares against the exact path. Users
-    whose points all share one timestamp-second have no defined slope and
-    are excluded on both sides (HAVING n_pairs > 0 / empty-slopes skip)."""
+    Scale shape: one hash exchange on user_id (repartition) + an in-
+    partition sort, then mapInPandas streams each SORTED partition through
+    the worker with MANY groups per Arrow batch — the quadratic pair
+    enumeration happens in numpy against worker-local arrays, bounded by
+    the largest single group, and the only carried state is the tail
+    group straddling a batch boundary. This replaced per-group grouped-map
+    applyInPandas in round 6: with small groups the per-group Arrow flush
+    dominated (a NOOP applyInPandas over the same groups cost 4.6s of the
+    query's 6.7s at sf0.1; the streaming form runs ~3x faster end to end
+    with identical results). Hot groups past _THEIL_SEN_MAX_GROUP degrade
+    to deterministic sampled Theil-Sen (hash-seeded fixed pair budget,
+    O(budget) memory) instead of erroring — see the constant's comment for
+    the accuracy math; the test corpus never crosses the cap, so the
+    oracle compares against the exact path. Users whose points all share
+    one timestamp-second have no defined slope and are excluded on both
+    sides (HAVING n_pairs > 0 / empty-slopes skip)."""
     ensure_session_conf(spark)
     ev = (
         table(spark, sf_dir, "events")
@@ -1356,8 +1422,9 @@ def gx3_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        ev.groupBy("user_id")
-        .applyInPandas(_theil_sen_group, THEIL_SEN_SCHEMA)
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id")
+        .mapInPandas(_theil_sen_partition, THEIL_SEN_SCHEMA)
         .filter(F.col("n_pairs") > 0)
         .orderBy("user_id")
     )
