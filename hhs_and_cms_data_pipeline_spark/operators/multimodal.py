@@ -427,6 +427,8 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas resize worker: decode (stub) -> downsample the byte grid
     to an 8x8 thumbnail by strided sampling. A real codec swaps fake_decode
     + the sampling loop for PIL resize; schema/batching stay identical."""
+    import numpy as np
+
     for pdf in batches:
         out = []
         n_faked = 0
@@ -440,8 +442,6 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             grid = meta.get("pixels", data)
             if grid:
                 # same strided arithmetic as before, as one numpy gather
-                import numpy as np
-
                 garr = np.frombuffer(grid, dtype=np.uint8)
                 step = max(1, len(grid) // (_THUMB * _THUMB))
                 idx = (

@@ -520,6 +520,38 @@ def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ensure_session_conf(spark)
+    assign = ivf_coarse_assign(spark, sf_dir)
+    wsz = Window.partitionBy("cl")
+    return (
+        assign.select(
+            "vec_id",
+            F.col("cl").alias("cluster"),
+            F.count(F.lit(1)).over(wsz).alias("cluster_size"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# Trained coarse-quantizer cache, same contract as _PQ_BUILD_CACHE below:
+# the assignment is an offline index artifact consumed by SIM6's report and
+# SIM12's cell restriction — training per query would re-pay the Lloyd
+# shuffles on every search. Cleared alongside the PQ cache by the
+# partition-invariance matrix so cached artifacts can't mask a
+# partition-dependence bug in the training path.
+_IVF_BUILD_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the k=8 coarse quantizer (deterministic init, 2 decimal-exact
+    Lloyd rounds — sim_ivf_build's docstring has the full account) and
+    return the final (vec_id, cl) assignment, memoized per
+    (application, sf_dir) and localCheckpointed."""
+    from pyspark.sql import Window
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _IVF_BUILD_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # materialized once, like SIM9: every Lloyd round's scoring and means
     # join back to this frame; without lineage truncation the DAG re-reads
@@ -553,15 +585,9 @@ def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("cl", "i")
                 .agg(davg("v", "c", scale=18))
             )
-    wsz = Window.partitionBy("cl")
-    return (
-        assign.select(
-            "vec_id",
-            F.col("cl").alias("cluster"),
-            F.count(F.lit(1)).over(wsz).alias("cluster_size"),
-        )
-        .orderBy("vec_id")
-    )
+    assign = assign.localCheckpoint(eager=False)
+    _IVF_BUILD_CACHE[key] = assign
+    return assign
 
 
 # --------------------------------------------------------------------------
@@ -1109,7 +1135,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal-routed sums keep the ranking bit-identical to the oracle's
     re-derivation across engines and partitionings."""
     ensure_session_conf(spark)
-    coarse = sim_ivf_build(spark, sf_dir).select("vec_id", "cluster")
+    coarse = ivf_coarse_assign(spark, sf_dir).select(
+        "vec_id", F.col("cl").alias("cluster")
+    )
     pcell = coarse.filter(F.col("vec_id") == _PQ_PROBE).select(
         F.col("cluster").alias("pcell")
     )
@@ -1549,17 +1577,19 @@ def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating any production index."""
     ensure_session_conf(spark)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # probe norms (full and truncated) computed ONCE in the 1-row broadcast
+    # frame, like SIM1's q_n2 — not re-folded per candidate row
     q = F.broadcast(
         emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-            F.col("embedding").alias("q_emb")
+            F.col("embedding").alias("q_emb"),
+            emb_norm2(F.col("embedding")).alias("q_n2"),
+            emb_norm2(F.slice("embedding", 1, _TRUNC_DIMS)).alias("q_n2_t"),
         )
     )
     cand = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).crossJoin(q)
 
-    def topk(vec: F.Column, qv: F.Column) -> DataFrame:
-        cosine = emb_dot(vec, qv) / (
-            F.sqrt(emb_dot(vec, vec)) * F.sqrt(emb_dot(qv, qv))
-        )
+    def topk(vec: F.Column, qv: F.Column, q_n2: F.Column) -> DataFrame:
+        cosine = emb_dot(vec, qv) / (F.sqrt(emb_dot(vec, vec)) * F.sqrt(q_n2))
         return (
             cand.select("vec_id", cosine.alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1568,9 +1598,11 @@ def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
 
-    full_ids = topk(F.col("embedding"), F.col("q_emb"))
+    full_ids = topk(F.col("embedding"), F.col("q_emb"), F.col("q_n2"))
     trunc_ids = topk(
-        F.slice("embedding", 1, _TRUNC_DIMS), F.slice("q_emb", 1, _TRUNC_DIMS)
+        F.slice("embedding", 1, _TRUNC_DIMS),
+        F.slice("q_emb", 1, _TRUNC_DIMS),
+        F.col("q_n2_t"),
     ).select(F.col("vec_id").alias("v2"))
     overlap = full_ids.join(trunc_ids, full_ids.vec_id == F.col("v2"))
     return (

@@ -1156,7 +1156,7 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..sinks import read_published, write_parquet_atomic
+    from ..sinks import read_published
     from ..streaming.events import events_raw_schema
     from ..streaming.stateful import stage_chronological_files
 

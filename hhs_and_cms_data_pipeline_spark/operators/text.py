@@ -784,7 +784,15 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — exactly BPE's greedy merge order within a word.
 # --------------------------------------------------------------------------
 
-_BPE_MERGE_SYMS = ("\x01", "\x02")  # placeholder symbols for merged pairs
+# Placeholder symbols for merged pairs. PRECONDITION: these control chars
+# must not occur in the corpus text — a word already containing \x01 would
+# be indistinguishable from a merge-1 rewrite, corrupting round-2 counts
+# and TX12's token counts, and the oracle shares the scheme so the
+# differential gate cannot catch it. True for this corpus (and any sane
+# text corpus after C4-style quality filtering, which strips control
+# chars); a production trainer sidesteps the issue entirely by working
+# over symbol-ID sequences instead of string rewriting.
+_BPE_MERGE_SYMS = ("\x01", "\x02")
 
 
 def _bpe_pair_counts(wc: DataFrame) -> DataFrame:

@@ -177,7 +177,15 @@ def test_partition_count_invariant_registry_wide(name, spark):
     # cube/grouping-sets emit None in key columns, which plain sorted()
     # cannot compare); any deterministic total order works — only equality
     # of the two sorted lists matters.
+    # The memoized index builds (PQ codebooks, IVF coarse assignment) are
+    # cleared before EVERY run: a cached artifact trained under the
+    # baseline partitioning would otherwise be reused by the 7-way rerun,
+    # silently exempting the training exchanges from this test.
     def rows(sf: str) -> list[tuple]:
+        from hhs_and_cms_data_pipeline_spark.operators import similarity as sim
+
+        sim._PQ_BUILD_CACHE.clear()
+        sim._IVF_BUILD_CACHE.clear()
         return sorted(map(tuple, spec.builder(spark, sf).collect()), key=repr)
 
     sf = SF_SMOKE
