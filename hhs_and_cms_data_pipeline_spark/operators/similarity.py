@@ -546,12 +546,21 @@ def ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd rounds — sim_ivf_build's docstring has the full account) and
     return the final (vec_id, cl) assignment, memoized per
     (application, sf_dir) and localCheckpointed."""
-    from pyspark.sql import Window
-
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _IVF_BUILD_CACHE.get(key)
     if hit is not None:
         return hit
+    assign = _ivf_train_assign(spark, sf_dir).localCheckpoint(eager=False)
+    _IVF_BUILD_CACHE[key] = assign
+    return assign
+
+
+def _ivf_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCHECKPOINTED coarse-training DAG — factored out because the
+    memo wrapper's localCheckpoint truncates the visible plan, which would
+    make the broadcast-centroid plan audit (tests/test_plans.py) vacuous."""
+    from pyspark.sql import Window
+
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # materialized once, like SIM9: every Lloyd round's scoring and means
     # join back to this frame; without lineage truncation the DAG re-reads
@@ -585,8 +594,6 @@ def ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("cl", "i")
                 .agg(davg("v", "c", scale=18))
             )
-    assign = assign.localCheckpoint(eager=False)
-    _IVF_BUILD_CACHE[key] = assign
     return assign
 
 

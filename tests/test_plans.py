@@ -291,7 +291,15 @@ def test_incremental_dedup_cross_set_join(spark, specs):
 
 
 def test_ivf_build_broadcasts_centroids(spark, specs):
-    plan = formatted_plan(specs["sim_ivf_build"].builder(spark, SF_SMOKE))
+    # audit the TRAINING DAG directly: since the round-6 memoization the
+    # registered query consumes a localCheckpointed artifact whose plan is
+    # truncated at the checkpoint, so the Lloyd rounds are only visible on
+    # the uncheckpointed training frame
+    from hhs_and_cms_data_pipeline_spark.operators.similarity import (
+        _ivf_train_assign,
+    )
+
+    plan = formatted_plan(_ivf_train_assign(spark, SF_SMOKE))
     # both Lloyd rounds must score against BROADCAST centroid relations
     # (k x dims rows); a shuffled centroid join would add two pointless
     # exchanges of the full exploded vector relation per round
