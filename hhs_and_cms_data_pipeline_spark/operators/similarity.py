@@ -1627,3 +1627,96 @@ def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SIM15 — SemDeDup: semantic dedup via cluster-then-prune (Abbas et al.
+# 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"). The coarse k-means cells trained by SIM6 become the
+# BLOCKING structure: candidate pairs are generated only within a cell,
+# never across the corpus, and a vector is pruned when a lower-id vector
+# in its cell sits within the cosine threshold.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.45  # same non-trivial threshold as D5/D6 on the
+# synthetic isotropic embeddings; production corpora use ~0.95+
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS v
+      FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cl, i, CAST(v AS DOUBLE) AS c
+      FROM ex WHERE vec_id < {_KM_K}),
+    {_sql_km_round(1, "c0")},
+    {_sql_km_round(2, "c1")},
+    norms AS ({SQL_EMB_NORMS}),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+    dups AS (
+      SELECT DISTINCT c.vec_b AS vec_id
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      JOIN norms na ON c.vec_a = na.vec_id
+      JOIN norms nb ON c.vec_b = nb.vec_id
+      WHERE {sql_emb_dot('ea.embedding', 'eb.embedding')}
+              / (sqrt(na.n2) * sqrt(nb.n2)) >= {_SEMDEDUP_TAU})
+    SELECT a.vec_id, a.cl AS cluster, d.vec_id IS NULL AS kept
+    FROM a2 a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id
+    """,
+    tags=("SIM15",),
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: cluster embeddings with the SIM6-trained
+    coarse quantizer, then within each cluster drop every vector whose
+    cosine to some LOWER-id vector in the same cluster reaches tau (the
+    paper keeps one exemplar per epsilon-ball; min-id is the deterministic,
+    oracle-expressible exemplar rule). Returns every vector with its
+    cluster and a kept flag — the curation layer consumes `kept`.
+
+    Spark shape: the memoized Lloyd assignment (ivf_coarse_assign — an
+    offline index artifact, trained once per corpus) is self-joined on the
+    cluster id, so candidate generation is CELL-LOCAL: the only exchange
+    over the corpus is the hash partition on cl, and pair count is
+    sum(n_c^2) rather than n^2. The exact-cosine verify tail is D5/D6's
+    shared cosine_of_pairs (sequential zip_with fold inside codegen, no
+    positional explode). At 100 TB the paper's own scale lever applies:
+    k grows with the corpus (~sqrt(n) cells of ~sqrt(n) vectors) so cells
+    stay bounded; k=8 here only keeps the 2-Lloyd-round oracle tractable.
+    Skewed cells are AQE's skew-join case; the pair join never leaves a
+    cell."""
+    from .dedup import cosine_of_pairs
+
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign = ivf_coarse_assign(spark, sf_dir)
+    a = assign.select(F.col("vec_id").alias("vec_a"), "cl")
+    b = assign.select(F.col("vec_id").alias("vec_b"), "cl")
+    cand = (
+        a.join(b, "cl")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    dups = (
+        cosine_of_pairs(cand, emb)
+        .filter(F.col("cosine") >= _SEMDEDUP_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        assign.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cl").alias("cluster"),
+            F.col("dup").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
