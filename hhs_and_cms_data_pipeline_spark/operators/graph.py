@@ -97,6 +97,11 @@ def _triangle_counts(und: DataFrame, deg: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        # e1/e2/e3 below are three references to THIS frame: materialize the
+        # orientation join once instead of re-running it per wedge-join
+        # input (11.4s -> 9.8s warm at sf0.1 together with the callers'
+        # edge-set checkpoint)
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
@@ -136,7 +141,9 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-invariant, so the id-oriented oracle matches bit-for-bit.
     """
     ensure_session_conf(spark)
-    und = _cooccurrence_edges(spark, sf_dir)
+    # und feeds _degrees AND the orientation join — checkpoint so the
+    # co-occurrence self-join + DISTINCT runs once, not per plan branch
+    und = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
     return (
         _triangle_counts(und, _degrees(und))
         .orderBy(F.desc("n_triangles"), F.asc("part"))
@@ -172,7 +179,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     The division is one exact-int quotient in DOUBLE, bit-identical across
     engines; everything upstream is integer."""
     ensure_session_conf(spark)
-    und = _cooccurrence_edges(spark, sf_dir)
+    # same fan-out as GRAPH1, one more consumer (the degree filter below)
+    und = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = _degrees(und)
     tri = _triangle_counts(und, deg)
     coeff = (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double") / (
@@ -254,26 +262,33 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture (100 TB / 1000 executors): this is the Pregel pattern as
     pure DataFrame ops — each iteration is one join of the rank vector
-    against the out-edge list (both hash-partitioned on the source key, so
-    AQE reuses the exchange) plus one aggregation keyed on the destination.
-    The edge list + degrees are materialized ONCE via localCheckpoint
-    before iterating: without it every iteration's lineage would re-run the
-    O(n²)-ish co-occurrence self-join, and an unbounded iteration count
-    would stack an unbounded DAG (same lineage-truncation discipline as
-    D8's label propagation, dedup.py). The iteration count is fixed, so the
-    physical plan is static and AQE can plan each stage from runtime stats.
-    Integer fixed-point arithmetic (module comment) keeps the result
-    bit-identical to the DuckDB oracle — no float-sum order sensitivity.
+    against the out-edge list (AQE broadcasts the rank vector while the
+    vertex set fits, and falls back to a keyed exchange when it doesn't)
+    plus one aggregation keyed on the destination. The UNDIRECTED edge set
+    is materialized ONCE via localCheckpoint before anything fans out:
+    `dir_edges`, `deg`, `src`, and all three iterations reference it, so
+    without the checkpoint the O(n²)-ish co-occurrence self-join + DISTINCT
+    would re-run in every plan branch (measured 6.4s -> 4.2s warm at sf0.1
+    from this alone), and an unbounded iteration count would stack an
+    unbounded DAG (same lineage-truncation discipline as D8's label
+    propagation, dedup.py). The per-edge (u, v, deg) frame is deliberately
+    NOT checkpointed: it is a map-side degree annotation over the
+    checkpointed edges, and re-deriving it per iteration costs less than
+    pinning a second, 2x-larger copy of the edge list in executor memory.
+    The iteration count is fixed, so the physical plan is static and AQE
+    can plan each stage from runtime stats. Integer fixed-point arithmetic
+    (module comment) keeps the result bit-identical to the DuckDB oracle —
+    no float-sum order sensitivity.
     """
     ensure_session_conf(spark)
-    und = _cooccurrence_edges(spark, sf_dir)
+    und = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
     dir_edges = und.unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = dir_edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    # (u, v, deg): out-edges annotated with the source's out-degree; the
-    # one frame every iteration joins against — materialize it once.
-    src = dir_edges.join(deg, "u").localCheckpoint(eager=False)
+    # (u, v, deg): out-edges annotated with the source's out-degree; a
+    # cheap map-side join over the checkpointed edge set.
+    src = dir_edges.join(deg, "u")
     rank = deg.select(F.col("u"), F.lit(_PR_SCALE).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
         rank = (
