@@ -1001,3 +1001,107 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# TX13 — bigram LM surprisal: score every document against an add-one-
+# smoothed bigram language model trained on the corpus itself (the CCNet /
+# Wenzek et al. 2020 quality-filter pattern, with the LM trained in-engine
+# instead of imported). To stay bit-identical across engines the code
+# length is INTEGER: floor(log2(x)) computed as length(bin(x)) - 1 —
+# logarithms of integers never touch a transcendental libm call, which
+# IEEE does not require to be correctly rounded and which Spark (JVM) and
+# DuckDB (libm) would disagree on in the last ulp.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_lm_surprisal",
+    oracle=f"""
+    WITH bgm AS (
+      SELECT doc_id, w1, bg FROM (
+        SELECT doc_id, w AS w1,
+               w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS bg
+        FROM ({SQL_TOKS}))
+      WHERE bg IS NOT NULL),
+    v AS (SELECT COUNT(DISTINCT w) AS vsz FROM ({SQL_TOKS})),
+    c2 AS (SELECT bg, COUNT(*) AS c FROM bgm GROUP BY 1),
+    c1 AS (SELECT w1, COUNT(*) AS cw FROM bgm GROUP BY 1),
+    bgd AS (SELECT doc_id, w1, bg, COUNT(*) AS m FROM bgm GROUP BY 1, 2, 3),
+    per AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.m) AS BIGINT) AS n_bigrams,
+             CAST(SUM(d.m * ((length(bin(c1.cw + v.vsz)) - 1)
+                           - (length(bin(c2.c + 1)) - 1))) AS BIGINT)
+               AS total_bits
+      FROM bgd d
+      JOIN c2 USING (bg)
+      JOIN c1 USING (w1)
+      CROSS JOIN v
+      GROUP BY 1)
+    SELECT doc_id, n_bigrams, total_bits,
+           CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             AS bits_per_bigram
+    FROM per
+    ORDER BY doc_id
+    """,
+    tags=("TX13",),
+)
+def text_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX13: per-document average bigram code length under an add-one-
+    smoothed bigram LM trained on the corpus — the in-engine stand-in for
+    CCNet's KenLM perplexity filter. Per bigram the code length is
+    floor(log2(c(w1) + V)) - floor(log2(c(w1,w2) + 1)) bits, i.e.
+    -floor-log2 of the smoothed conditional P(w2|w1); high bits_per_bigram
+    marks incoherent word salad, low marks boilerplate — the two tails a
+    perplexity filter trims.
+
+    Spark shape at 100 TB: bigrams come from the in-row zip_with multiset
+    (bigram_multiset — map-only, no positional self-join; the oracle
+    states the same multiset with lead() over positions). The stream is
+    pre-aggregated per (doc_id, bigram) BEFORE any join, so the model
+    joins touch one row per distinct bigram per doc, not one per token.
+    The unigram-context table c1 and the vocabulary scalar are
+    vocabulary-sized -> broadcast; the bigram table c2 is the one keyed
+    join (at web scale it exceeds broadcast size; its long tail is
+    count=1 rows, so a frequent-bigram broadcast + tail keyed join is the
+    skew escape if needed). Everything is integer until the single final
+    exact-int division, so the result is bit-identical by construction —
+    no decimal machinery needed."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokens().alias("toks"))
+    bgm = toked.select(
+        "doc_id", F.explode(bigram_multiset(F.col("toks"))).alias("bg")
+    ).withColumn("w1", F.substring_index("bg", " ", 1))
+    v = toked.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("vsz")
+    )
+    c2 = bgm.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    c1 = bgm.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    bgd = bgm.groupBy("doc_id", "w1", "bg").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    bits = (F.length(F.bin(F.col("cw") + F.col("vsz"))) - 1) - (
+        F.length(F.bin(F.col("c") + 1)) - 1
+    )
+    per = (
+        bgd.join(c2, "bg")
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.sum(F.col("m") * bits).cast("long").alias("total_bits"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        (
+            F.col("total_bits").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("bits_per_bigram"),
+    ).orderBy("doc_id")
