@@ -1720,3 +1720,142 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# SIM16 — two-stage Matryoshka retrieval: truncated-dimension candidate
+# generation + full-vector re-rank. SIM14 measured what a truncated index
+# LOSES (recall@10 = 0.1 on these isotropic vectors); this operator is the
+# standard production answer: scan cheaply in the truncated space, keep a
+# candidate pool k' >> k, then re-rank only the pool with full vectors.
+# At 100 TB the first stage touches _TRUNC_DIMS/64 of the bytes per
+# vector and the second stage touches _RERANK_POOL rows — the full-vector
+# corpus is never scanned at query time.
+# --------------------------------------------------------------------------
+
+_RERANK_POOL = 50
+
+
+@register(
+    "sim_matryoshka_rerank",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    norms AS ({SQL_EMB_NORMS}),
+    pool AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}
+      ORDER BY {sql_emb_dot(f'e.embedding[1:{_TRUNC_DIMS}]', f'q.q_emb[1:{_TRUNC_DIMS}]')}
+               / (sqrt({sql_emb_dot(f'e.embedding[1:{_TRUNC_DIMS}]', f'e.embedding[1:{_TRUNC_DIMS}]')})
+                  * sqrt({sql_emb_dot(f'q.q_emb[1:{_TRUNC_DIMS}]', f'q.q_emb[1:{_TRUNC_DIMS}]')})) DESC,
+               e.vec_id
+      LIMIT {_RERANK_POOL}),
+    rer AS (
+      SELECT e.vec_id,
+             {sql_emb_dot('e.embedding', 'q.q_emb')}
+               / (sqrt(n.n2) * sqrt(qn.n2)) AS cosine_full
+      FROM pool p
+      JOIN embeddings e ON e.vec_id = p.vec_id
+      CROSS JOIN q
+      JOIN norms n ON e.vec_id = n.vec_id
+      CROSS JOIN (SELECT n2 FROM norms
+                  WHERE vec_id = {_QUERY_VEC_ID}) qn),
+    rtop AS (
+      SELECT vec_id, cosine_full,
+             row_number() OVER (ORDER BY cosine_full DESC, vec_id) AS rnk
+      FROM rer),
+    exact_top AS (
+      SELECT d.vec_id FROM (
+        SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {_QUERY_VEC_ID}) d
+      JOIN norms n ON d.vec_id = n.vec_id
+      CROSS JOIN (SELECT n2 FROM norms
+                  WHERE vec_id = {_QUERY_VEC_ID}) qn
+      ORDER BY d.dot / (sqrt(n.n2) * sqrt(qn.n2)) DESC, d.vec_id
+      LIMIT {_TOP_K})
+    SELECT CAST(r.rnk AS BIGINT) AS rnk, r.vec_id, r.cosine_full,
+           x.vec_id IS NOT NULL AS in_exact
+    FROM rtop r LEFT JOIN exact_top x ON r.vec_id = x.vec_id
+    WHERE r.rnk <= {_TOP_K}
+    ORDER BY r.rnk
+    """,
+    tags=("SIM16",),
+)
+def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM16: top-10 neighbors of the probe via two-stage retrieval —
+    stage 1 ranks the corpus by 16-of-64-dim truncated cosine and keeps a
+    50-candidate pool, stage 2 re-ranks ONLY the pool by full-vector
+    cosine. Each row carries an `in_exact` flag against the exact
+    full-vector top-10, so the report quantifies how much of SIM14's
+    truncation loss the re-rank recovers at pool size 50 (measured at
+    sf0.01: 3/10 vs the truncated-only 1/10 — the isotropic synthetic
+    embeddings are the worst case for prefix truncation, SIM14's
+    docstring has the account; Matryoshka-trained vectors recover far
+    more).
+
+    Spark shape: stage 1 is SIM1's plan over sliced arrays (single scan,
+    broadcast 1-row probe, sequential fold in codegen,
+    TakeOrderedAndProject — a real truncated index would persist the
+    16-dim prefix and scan 4x fewer bytes); the pool is a 50-row
+    localCheckpoint, and stage 2 joins it back to the corpus by vec_id —
+    AQE broadcasts the 50 ids, so the re-rank reads full vectors for 50
+    rows, not the corpus. The exact-top audit side is the same SIM1 plan.
+    Probe norms (full + truncated) are computed once in the broadcast
+    frame; identical folds on both engines make every cosine and both
+    rankings bit-stable."""
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+            F.col("embedding").alias("q_emb"),
+            emb_norm2(F.col("embedding")).alias("q_n2"),
+            emb_norm2(F.slice("embedding", 1, _TRUNC_DIMS)).alias("q_n2_t"),
+        )
+    )
+    cand = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).crossJoin(q)
+    e_t = F.slice("embedding", 1, _TRUNC_DIMS)
+    cos_t = emb_dot(e_t, F.slice("q_emb", 1, _TRUNC_DIMS)) / (
+        F.sqrt(emb_dot(e_t, e_t)) * F.sqrt("q_n2_t")
+    )
+    pool = (
+        cand.select("vec_id", cos_t.alias("cos_t"))
+        .orderBy(F.desc("cos_t"), F.asc("vec_id"))
+        .limit(_RERANK_POOL)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    cos_f = emb_dot(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(emb_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt("q_n2")
+    )
+    rer = (
+        pool.join(emb, "vec_id")
+        .crossJoin(q)
+        .select("vec_id", cos_f.alias("cosine_full"))
+    )
+    from pyspark.sql import Window
+
+    rtop = rer.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("cosine_full"), F.asc("vec_id"))
+        ),
+    ).filter(F.col("rnk") <= _TOP_K)
+    exact_top = (
+        cand.select("vec_id", cos_f.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", F.lit(True).alias("hit"))
+    )
+    return (
+        rtop.join(exact_top, "vec_id", "left")
+        .select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "vec_id",
+            "cosine_full",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact"),
+        )
+        .orderBy("rnk")
+    )
