@@ -1048,3 +1048,83 @@ def curation_neardup_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# C15 — token-budget best-first selection: cap every source at a fixed
+# fraction of its own token mass, filling the cap best-quality-first.
+# This is the selection step of a mixture build ("take the best N tokens
+# per domain"), the greedy dual of C14's quantile cut: C14 keeps a fixed
+# fraction of DOCUMENTS per source, C15 keeps a fixed fraction of TOKENS —
+# the unit training budgets are actually denominated in.
+# --------------------------------------------------------------------------
+
+_BUDGET_DENOM = 4  # keep the best 1/4 of each source's tokens
+
+
+@register(
+    "curation_token_budget_select",
+    oracle=f"""
+    WITH btk AS (
+      SELECT doc_id, source, CAST({SQL_QC_RAW} AS BIGINT) AS raw_score,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    btot AS (
+      SELECT source, SUM(n_tokens) // {_BUDGET_DENOM} AS budget
+      FROM btk GROUP BY 1),
+    bcum AS (
+      SELECT doc_id, source, raw_score, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY raw_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
+      FROM btk)
+    SELECT c.doc_id, c.source, c.raw_score, c.n_tokens, c.cum_tokens
+    FROM bcum c JOIN btot t USING (source)
+    WHERE c.cum_tokens <= t.budget
+    ORDER BY c.doc_id
+    """,
+    tags=("C15",),
+)
+def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15: per-source token-budget selection — order each source's
+    documents by (quality DESC, doc_id), admit documents while the running
+    token total stays within 1/4 of the source's token mass. A document
+    that would cross the budget line is excluded (and so is everything
+    after it): the cut is exact in tokens, not approximated in documents.
+
+    Spark shape at 100 TB: the quality score is TX8's map-only integer
+    column (quality_raw_score), token counts are in-row sizes, so the only
+    exchanges are the per-source window sort and the tiny per-source
+    budget aggregate (broadcast back). The window is PARTITIONED (by
+    source) — no global single-partition sort anywhere; a skewed mega-
+    source is the usual range-partitioned two-pass prefix-sum escape. All
+    quantities are int64; the (raw_score DESC, doc_id) order is total, so
+    the running sums and the cut line are bit-deterministic on both
+    engines."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    tk = docs.select(
+        "doc_id",
+        "source",
+        quality_raw_score().alias("raw_score"),
+        F.size(tokens()).cast("long").alias("n_tokens"),
+    )
+    tot = tk.groupBy("source").agg(
+        # integer `div`, not double `/` + cast: bit-exact at any token
+        # mass (a double quotient loses integer precision past 2^53)
+        F.expr(f"sum(n_tokens) div {_BUDGET_DENOM}").alias("budget")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("raw_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tk.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        cum.join(F.broadcast(tot), "source")
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "raw_score", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
