@@ -864,3 +864,106 @@ def mm_patch_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         payloads.mapInPandas(patch_mean_batches, PATCH_SCHEMA)
         .orderBy("doc_id", "patch")
     )
+
+
+# --------------------------------------------------------------------------
+# MM8 — scene-change keyframe selection: frame the payload (MM4's 100-byte
+# frames), compute one integer signature per frame, and keep the frames
+# whose signature jumps from the previous frame — the shot-boundary
+# selection pass of a video curation pipeline (a codec deployment swaps
+# the byte-sum signature for a luminance histogram; the framing, delta
+# test, and selection plumbing are format-agnostic, same contract as
+# MM4-MM6).
+# --------------------------------------------------------------------------
+
+_KF_FRAME = 100  # bytes per frame (MM4's framing)
+_KF_TAU = 200  # signature L1 jump that marks a scene change (~p75 of the
+# synthetic corpus' adjacent-frame deltas, so selection is non-trivial)
+
+KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("n_keyframes", T.LongType(), False),
+        T.StructField("keyframes", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def keyframe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload bytes -> uint8 samples -> 100-byte
+    frames -> int64 per-frame byte sums -> keyframe = frame 0 plus every
+    frame whose |sum delta| vs the previous frame reaches the threshold.
+    All integer arithmetic (numpy reshape + sum + diff, no per-byte
+    Python), bit-exact on any engine and partitioning."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            nf = len(data) // _KF_FRAME
+            if nf == 0:
+                continue
+            arr = np.frombuffer(data, dtype=np.uint8, count=nf * _KF_FRAME)
+            sig = arr.reshape(nf, _KF_FRAME).sum(axis=1, dtype=np.int64)
+            jump = np.abs(np.diff(sig)) >= _KF_TAU
+            kfs = [0] + (np.nonzero(jump)[0] + 1).tolist()
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "n_frames": nf,
+                    "n_keyframes": len(kfs),
+                    "keyframes": [int(k) for k in kfs],
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in KEYFRAME_SCHEMA.fields])
+
+
+@register(
+    "mm_keyframe_select",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents),
+    fr AS (
+      SELECT doc_id, n // {_KF_FRAME} AS nf,
+             list_transform(range(0, n // {_KF_FRAME}), f ->
+               list_sum(list_transform(
+                 range({_KF_FRAME}*f, {_KF_FRAME}*f + {_KF_FRAME}), j ->
+                   (('0x' || substr(hx, 2*j+1, 2))::UBIGINT)::BIGINT))) AS sig
+      FROM b WHERE n // {_KF_FRAME} > 0),
+    kf AS (
+      SELECT doc_id, nf,
+             list_filter(range(0, nf), f ->
+               f = 0 OR abs(sig[f+1] - sig[f]) >= {_KF_TAU}) AS kfs
+      FROM fr)
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(len(kfs) AS BIGINT) AS n_keyframes,
+           kfs AS keyframes
+    FROM kf
+    ORDER BY doc_id
+    """,
+    tags=("MM8",),
+)
+def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM8: shot-boundary keyframe selection (module comment). Frame 0 is
+    always a keyframe; frame f > 0 is one iff its byte-sum signature moved
+    at least _KF_TAU from frame f-1. Documents shorter than one frame are
+    excluded on both engines.
+
+    Spark shape: Arrow-batched mapInPandas, one numpy reshape + row-sum +
+    diff per payload — no per-byte Python, no shuffle (the output sort is
+    the only exchange); at 100 TB of video this is the embarrassingly
+    parallel scan that feeds frame extraction (only selected keyframes are
+    ever decoded downstream). Integer signatures make the result bit-exact
+    against the oracle's hex-dump re-derivation."""
+    ensure_session_conf(spark)
+    payloads = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(keyframe_batches, KEYFRAME_SCHEMA).orderBy(
+        "doc_id"
+    )
