@@ -523,3 +523,84 @@ def obs1_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, sum_qty double, max_shipdate timestamp, min_orderkey bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# DQ3 — functional-dependency profile: does `source` determine `lang` in
+# the documents table? Candidate-key / FD discovery is the standard data-
+# profiling pass before declaring constraints (reference analogue: the
+# notebook's DDL encodes the FDs it believes, Phase1_updated.ipynb cells
+# 4-13; this operator is how an engine VERIFIES such a belief on data it
+# does not control). Per source: value counts, the dominant dependent
+# value, its share, and the violation flag.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_fd_profile",
+    oracle="""
+    WITH pairs AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2),
+    per AS (
+      SELECT source, lang, n,
+             SUM(n) OVER (PARTITION BY source) AS n_docs,
+             COUNT(*) OVER (PARTITION BY source) AS n_langs,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, lang) AS rn
+      FROM pairs)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           lang AS dominant_lang,
+           CAST(n AS BIGINT) AS dominant_n,
+           CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dominant_share,
+           n_langs > 1 AS fd_violated
+    FROM per WHERE rn = 1
+    ORDER BY source
+    """,
+    tags=("DQ3",),
+)
+def dq_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3: source -> lang functional-dependency audit (module comment).
+    One row per source: how many documents, how many distinct langs, the
+    dominant lang (ties to the alphabetically first), its exact share, and
+    whether the FD is violated at all.
+
+    Spark shape at 100 TB: the corpus collapses to the (source, lang)
+    pair-count table in ONE hash aggregate with map-side partials — the
+    windows and ranking run over the pair table (cardinality =
+    sources x langs, thousands of rows), never over the corpus. Counts
+    are int64 and the share is one exact-int division, so the report is
+    bit-deterministic."""
+    from pyspark.sql import Window
+
+    from ..sources import table as _table
+
+    ensure_session_conf(spark)
+    pairs = (
+        _table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("source")
+    wrank = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    per = pairs.select(
+        "source",
+        "lang",
+        "n",
+        F.sum("n").over(wsrc).alias("n_docs"),
+        F.count(F.lit(1)).over(wsrc).alias("n_langs"),
+        F.row_number().over(wrank).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return per.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("lang").alias("dominant_lang"),
+        F.col("n").cast("long").alias("dominant_n"),
+        (F.col("n").cast("double") / F.col("n_docs").cast("double")).alias(
+            "dominant_share"
+        ),
+        (F.col("n_langs") > 1).alias("fd_violated"),
+    ).orderBy("source")
