@@ -530,3 +530,59 @@ def test_ivfpq_query_is_candidate_bounded(spark, specs):
     assert "TakeOrderedAndProject" in plan
     assert count_broadcast_joins(plan) >= 2  # probe cell + ADC lut
     assert scan_columns(plan, containing="embedding") <= {"vec_id", "embedding"}
+
+
+def test_semdedup_pairs_are_cell_local(spark, specs):
+    """SIM15: candidate generation must be the cluster-keyed self-join of
+    the coarse assignment — the plan carries hash partitioning on `cl` and
+    no Cartesian product anywhere (an unkeyed pair join would be the
+    all-pairs explosion the clustering exists to avoid)."""
+    plan = formatted_plan(specs["dedup_semantic_prune"].builder(spark, SF_SMOKE))
+    assert "hashpartitioning(cl" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_rerank_is_shuffle_free(spark, specs):
+    """SIM16: both stages are broadcast-probe scans + TakeOrderedAndProject
+    and the re-rank joins the 50-row pool by broadcast — ZERO data
+    shuffles. If an exchange appears, a stage started moving the corpus."""
+    plan = formatted_plan(specs["sim_matryoshka_rerank"].builder(spark, SF_SMOKE))
+    assert count_data_shuffles(plan) == 0
+
+
+def test_bigram_lm_preaggregates_before_model_join(spark, specs):
+    """TX13: the token stream must collapse to per-(doc, bigram) counts
+    BEFORE joining the model tables (the pre-agg exchange keys on doc_id +
+    bigram), and the vocabulary-sized context/scalar tables broadcast."""
+    plan = formatted_plan(
+        specs["text_bigram_lm_surprisal"].builder(spark, SF_SMOKE)
+    )
+    assert "hashpartitioning(doc_id" in plan and ", w1" in plan
+    assert count_broadcast_joins(plan) >= 2
+
+
+def test_token_budget_window_is_source_partitioned(spark, specs):
+    """C15: the running-sum window partitions by source (never a global
+    single-partition window) and the per-source budget table broadcasts
+    back onto the stream."""
+    plan = formatted_plan(
+        specs["curation_token_budget_select"].builder(spark, SF_SMOKE)
+    )
+    assert "hashpartitioning(source" in plan
+    assert count_broadcast_joins(plan) >= 1
+    assert count_data_shuffles(plan) <= 3
+
+
+def test_keyframe_select_is_single_pass(spark, specs):
+    """MM8: Arrow mapInPandas over the payload scan — the only data
+    movement is the presentation sort."""
+    plan = formatted_plan(specs["mm_keyframe_select"].builder(spark, SF_SMOKE))
+    assert count_data_shuffles(plan) <= 1
+
+
+def test_fd_profile_aggregates_before_windows(spark, specs):
+    """DQ3: the corpus collapses to (source, lang) pair counts first; the
+    windows and ranking run source-partitioned over the pair table."""
+    plan = formatted_plan(specs["dq_fd_profile"].builder(spark, SF_SMOKE))
+    assert "hashpartitioning(source" in plan
+    assert count_data_shuffles(plan) <= 3
