@@ -1685,3 +1685,147 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# D14 — content-defined chunking (CDC) dedup: rolling-window boundaries ->
+# variable-size chunks -> corpus-wide chunk dedup report. The LBFS/Venti
+# storage-dedup primitive (Muthitacharoen et al. SOSP'01): because chunk
+# boundaries depend on CONTENT (a window predicate), an insertion early in
+# a document shifts at most one chunk — unlike fixed-size blocks where
+# every later block changes — so shared runs between near-identical
+# documents dedup even when offsets differ.
+# --------------------------------------------------------------------------
+
+_CDC_W = 8  # rolling window (bytes)
+_CDC_MOD = 64  # boundary when window byte-sum % 64 == 0 (~64-byte chunks
+# on uniform bytes; the corpus' ASCII skew makes real chunks longer)
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) >= 1),
+    cdc_cb AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i, text FROM d),
+    ws AS (
+      SELECT doc_id, i,
+             SUM(ascii(substr(text, CAST(i AS INT), 1))) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN {_CDC_W - 1} PRECEDING AND CURRENT ROW) AS s
+      FROM cdc_cb),
+    bnd AS (
+      SELECT DISTINCT doc_id, i FROM (
+        SELECT doc_id, i FROM ws
+        WHERE i >= {_CDC_W} AND s % {_CDC_MOD} = 0
+        UNION ALL SELECT doc_id, CAST(n AS BIGINT) FROM d)),
+    sp AS (
+      SELECT doc_id,
+             COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 1, 1)
+               AS st,
+             i AS en
+      FROM bnd),
+    ck AS (
+      SELECT s.doc_id, en - st + 1 AS clen,
+             md5(substr(d.text, CAST(st AS INT), CAST(en - st + 1 AS INT)))
+               AS key
+      FROM sp s JOIN d ON s.doc_id = d.doc_id),
+    ct AS (SELECT key, COUNT(*) AS cnt FROM ck GROUP BY 1),
+    per AS (
+      SELECT ck.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN ct.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+             CAST(SUM(ck.clen) AS BIGINT) AS chunk_bytes,
+             CAST(SUM(CASE WHEN ct.cnt > 1 THEN ck.clen ELSE 0 END)
+               AS BIGINT) AS dup_bytes
+      FROM ck JOIN ct USING (key) GROUP BY 1)
+    SELECT doc_id, n_chunks, n_dup_chunks, chunk_bytes, dup_bytes,
+           CAST(dup_bytes AS DOUBLE) / CAST(chunk_bytes AS DOUBLE)
+             AS dup_frac
+    FROM per
+    ORDER BY doc_id
+    """,
+    tags=("D14",),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14: per-document CDC dedup report (module comment) — chunk count,
+    how many of its chunks appear more than once corpus-wide, and the
+    byte fraction a chunk store would dedup away.
+
+    Boundary rule: position i ends a chunk when the trailing 8-byte sum
+    hits 0 mod 64 (and every document's last byte closes the final
+    chunk). Entirely JVM-side built-ins — char explode + one windowed
+    rolling sum for boundaries, lag for spans, substring + md5 for chunk
+    keys — no Python in the hot path. Exchanges at 100 TB: the per-doc
+    window/lag partitioning (doc-keyed, reused across the two windows),
+    the chunk-key count aggregation, and the count join back — the
+    chunk-key relation is corpus-sized/64, and the md5 keyspace is
+    uniform so the count join cannot skew (a pathological all-equal
+    corpus concentrates on one key; AQE skew-join is the escape). The
+    char-level explode is transient map-side input to the first window —
+    at 100 TB a mapInPandas numpy rolling sum replaces it frame-locally
+    with identical semantics; the relational form here is the one the
+    oracle can state."""
+    ensure_session_conf(spark)
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", "text", F.length("text").alias("n"))
+        .filter(F.col("n") >= 1)
+    )
+    chars = d.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.split("text", "")).alias("i0", "ch"),
+    ).select(
+        "doc_id", "n", (F.col("i0") + 1).alias("i"), F.ascii("ch").alias("b")
+    )
+    wroll = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_CDC_W - 1), Window.currentRow)
+    )
+    bnd = (
+        chars.withColumn("s", F.sum("b").over(wroll))
+        .filter((F.col("i") >= _CDC_W) & (F.col("s") % _CDC_MOD == 0))
+        .select("doc_id", "i")
+        .unionAll(d.select("doc_id", F.col("n").cast("long").alias("i")))
+        .distinct()
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("i")
+    sp = bnd.select(
+        "doc_id",
+        F.coalesce(F.lag("i").over(wlag) + 1, F.lit(1)).alias("st"),
+        F.col("i").alias("en"),
+    )
+    ck = sp.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        (F.col("en") - F.col("st") + 1).alias("clen"),
+        F.md5(F.expr("substring(text, st, en - st + 1)")).alias("key"),
+    )
+    ct = ck.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.col("cnt") > 1
+    per = (
+        ck.join(ct, "key")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+            F.sum("clen").cast("long").alias("chunk_bytes"),
+            F.sum(F.when(dup, F.col("clen")).otherwise(0))
+            .cast("long")
+            .alias("dup_bytes"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        "chunk_bytes",
+        "dup_bytes",
+        (
+            F.col("dup_bytes").cast("double")
+            / F.col("chunk_bytes").cast("double")
+        ).alias("dup_frac"),
+    ).orderBy("doc_id")
