@@ -1702,6 +1702,53 @@ _CDC_MOD = 64  # boundary when window byte-sum % 64 == 0 (~64-byte chunks
 # on uniform bytes; the corpus' ASCII skew makes real chunks longer)
 
 
+
+
+def cdc_chunk_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, st, en, clen, chunk, key) CDC chunks of a (doc_id, text)
+    frame — THE definition of the D14 boundary rule (module comment),
+    factored so the registered report and the boundary-locality property
+    test (tests/test_properties.py) cannot drift. Boundary at position i
+    when the trailing _CDC_W-byte sum is 0 mod _CDC_MOD; the last byte
+    always closes the final chunk."""
+    d = docs.select("doc_id", "text", F.length("text").alias("n")).filter(
+        F.col("n") >= 1
+    )
+    chars = d.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.split("text", "")).alias("i0", "ch"),
+    ).select(
+        "doc_id", "n", (F.col("i0") + 1).alias("i"), F.ascii("ch").alias("b")
+    )
+    wroll = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_CDC_W - 1), Window.currentRow)
+    )
+    bnd = (
+        chars.withColumn("s", F.sum("b").over(wroll))
+        .filter((F.col("i") >= _CDC_W) & (F.col("s") % _CDC_MOD == 0))
+        .select("doc_id", "i")
+        .unionAll(d.select("doc_id", F.col("n").cast("long").alias("i")))
+        .distinct()
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("i")
+    sp = bnd.select(
+        "doc_id",
+        F.coalesce(F.lag("i").over(wlag) + 1, F.lit(1)).alias("st"),
+        F.col("i").alias("en"),
+    )
+    return sp.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "st",
+        "en",
+        (F.col("en") - F.col("st") + 1).alias("clen"),
+        F.expr("substring(text, st, en - st + 1)").alias("chunk"),
+        F.md5(F.expr("substring(text, st, en - st + 1)")).alias("key"),
+    )
+
+
 @register(
     "dedup_cdc_chunks",
     oracle=f"""
@@ -1769,41 +1816,9 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     with identical semantics; the relational form here is the one the
     oracle can state."""
     ensure_session_conf(spark)
-    d = (
-        spread(table(spark, sf_dir, "documents"))
-        .select("doc_id", "text", F.length("text").alias("n"))
-        .filter(F.col("n") >= 1)
-    )
-    chars = d.select(
-        "doc_id",
-        "n",
-        F.posexplode(F.split("text", "")).alias("i0", "ch"),
-    ).select(
-        "doc_id", "n", (F.col("i0") + 1).alias("i"), F.ascii("ch").alias("b")
-    )
-    wroll = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(-(_CDC_W - 1), Window.currentRow)
-    )
-    bnd = (
-        chars.withColumn("s", F.sum("b").over(wroll))
-        .filter((F.col("i") >= _CDC_W) & (F.col("s") % _CDC_MOD == 0))
-        .select("doc_id", "i")
-        .unionAll(d.select("doc_id", F.col("n").cast("long").alias("i")))
-        .distinct()
-    )
-    wlag = Window.partitionBy("doc_id").orderBy("i")
-    sp = bnd.select(
-        "doc_id",
-        F.coalesce(F.lag("i").over(wlag) + 1, F.lit(1)).alias("st"),
-        F.col("i").alias("en"),
-    )
-    ck = sp.join(d.select("doc_id", "text"), "doc_id").select(
-        "doc_id",
-        (F.col("en") - F.col("st") + 1).alias("clen"),
-        F.md5(F.expr("substring(text, st, en - st + 1)")).alias("key"),
-    )
+    ck = cdc_chunk_table(
+        spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    ).select("doc_id", "clen", "key")
     ct = ck.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
     dup = F.col("cnt") > 1
     per = (

@@ -952,3 +952,65 @@ def test_gx3_sampled_theil_sen_hot_group():
     out3 = _theil_sen_group(pdf.iloc[perm].reset_index(drop=True))
     assert float(out3["ts_slope"][0]) == got
     assert int(out3["n_pairs"][0]) == want_pairs
+
+
+def test_cdc_boundaries_resynchronize_after_insertion(spark):
+    """D14's reason to exist: content-defined boundaries RESYNCHRONIZE after
+    an edit. Insert one character at position p of a text; every boundary
+    of the original at position q >= p + W is defined by a trailing window
+    whose bytes are untouched (just shifted by one), so the chunk
+    sequences of the two texts must be identical from the first boundary
+    past p + W onward — unlike fixed-size blocking, where a one-byte
+    insertion rewrites every later block."""
+    import random
+
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        _CDC_W,
+        cdc_chunk_table,
+    )
+
+    rng = random.Random(14)
+    for trial in range(3):
+        text = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz .,") for _ in range(400)
+        )
+        p = rng.randrange(20, 60)
+        text2 = text[:p] + "X" + text[p:]
+        docs = spark.createDataFrame(
+            [(1, text), (2, text2)], "doc_id: long, text: string"
+        )
+        rows = cdc_chunk_table(docs).collect()
+        c1 = sorted((r.st, r.chunk) for r in rows if r.doc_id == 1)
+        c2 = sorted((r.st, r.chunk) for r in rows if r.doc_id == 2)
+        # chunks of the ORIGINAL that start strictly after the last
+        # position whose trailing window could see the insertion
+        tail1 = [c for _, c in c1 if _ > p + _CDC_W]
+        assert tail1, f"trial {trial}: no post-edit chunk to compare"
+        tail2 = [c for _, c in c2][-len(tail1):]
+        assert tail1 == tail2, f"trial {trial}: chunks did not resync"
+        # and the two docs share at least one identical chunk, i.e. a
+        # chunk store would actually dedup across the edited pair
+        assert set(tail1) & {c for _, c in c2}
+
+
+def test_semdedup_keeps_every_cluster_minimum(spark):
+    """SIM15's exemplar rule: a vector is dropped only for a LOWER-id
+    in-cluster neighbor, so each cluster's minimum vec_id can never be
+    dropped — and therefore every cluster retains at least one vector.
+    (The oracle gate proves the full output; this pins the invariant that
+    makes the greedy rule a valid dedup: no cluster is emptied.)"""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        all_specs()["dedup_semantic_prune"].builder(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cl, members in by_cluster.items():
+        m = min(members, key=lambda r: r.vec_id)
+        assert m.kept, f"cluster {cl}: minimum vec_id {m.vec_id} was dropped"
+        assert any(r.kept for r in members)
