@@ -49,6 +49,9 @@ def main() -> None:
         "sim_pq_build",
         "sim_pq_adc_topk",
         "gx3_theil_sen_trend",
+        "dedup_cdc_chunks",
+        "dedup_semantic_prune",
+        "text_bigram_lm_surprisal",
         # graph_triangle_counts is intentionally NOT here: ~34s at sf0.1
         # (honest wedge-join enumeration) would dominate the bench wall
         # clock; its per-round correctness cost is covered by the sf0.01
