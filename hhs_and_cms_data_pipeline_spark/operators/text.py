@@ -1070,7 +1070,15 @@ def text_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-int division, so the result is bit-identical by construction —
     no decimal machinery needed."""
     ensure_session_conf(spark)
-    docs = spread(table(spark, sf_dir, "documents"))
+    return bigram_lm_surprisal_table(
+        spread(table(spark, sf_dir, "documents"))
+    )
+
+
+def bigram_lm_surprisal_table(docs: DataFrame) -> DataFrame:
+    """TX13's scoring DAG over any (doc_id, text) frame — factored so the
+    integer-model property test (tests/test_properties.py) scores synthetic
+    corpora through the exact production plan."""
     toked = docs.select("doc_id", tokens().alias("toks"))
     bgm = toked.select(
         "doc_id", F.explode(bigram_multiset(F.col("toks"))).alias("bg")

@@ -354,3 +354,50 @@ def test_png_decoder_roundtrip_property():
         assert img["pixels"] == flat
 
     check()
+
+
+def test_keyframe_worker_matches_model():
+    """MM8's mapInPandas worker against a transparent per-byte Python
+    model: frame sums, |delta| >= tau selection, frame 0 always kept,
+    sub-frame documents dropped."""
+    import pandas as pd
+
+    from hhs_and_cms_data_pipeline_spark.operators.multimodal import (
+        _KF_FRAME,
+        _KF_TAU,
+        keyframe_batches,
+    )
+
+    import random
+
+    rng = random.Random(6)
+    payloads = {
+        1: bytes(rng.randrange(256) for _ in range(_KF_FRAME * 5 + 17)),
+        2: bytes([7] * (_KF_FRAME - 1)),          # shorter than one frame
+        3: bytes([0] * _KF_FRAME)                 # exactly one frame
+        + bytes([255] * _KF_FRAME),               # guaranteed scene change
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(payloads), "payload": list(payloads.values())}
+    )
+    out = pd.concat(list(keyframe_batches(iter([pdf]))))
+    got = {
+        int(r.doc_id): (int(r.n_frames), int(r.n_keyframes), list(r.keyframes))
+        for r in out.itertuples()
+    }
+
+    want = {}
+    for doc_id, data in payloads.items():
+        nf = len(data) // _KF_FRAME
+        if nf == 0:
+            continue  # doc 2 must be absent
+        sums = [
+            sum(data[f * _KF_FRAME : (f + 1) * _KF_FRAME]) for f in range(nf)
+        ]
+        kfs = [0] + [
+            f for f in range(1, nf) if abs(sums[f] - sums[f - 1]) >= _KF_TAU
+        ]
+        want[doc_id] = (nf, len(kfs), kfs)
+    assert 2 not in got
+    assert got == want
+    assert got[3][2] == [0, 1], "the 0x00->0xff frame jump must be a keyframe"

@@ -1014,3 +1014,56 @@ def test_semdedup_keeps_every_cluster_minimum(spark):
         m = min(members, key=lambda r: r.vec_id)
         assert m.kept, f"cluster {cl}: minimum vec_id {m.vec_id} was dropped"
         assert any(r.kept for r in members)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "fish", "run", "the"]),
+            min_size=2,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_bigram_lm_surprisal_matches_integer_model(spark, docs):
+    """TX13 against a transparent pure-Python model: add-one-smoothed
+    bigram counts over the tiny corpus, per-bigram code length
+    floor(log2(c(w1)+V)) - floor(log2(c(w1,w2)+1)), summed per doc. The
+    engine's bin()-length trick and join/broadcast plumbing must reproduce
+    the model bit-for-bit on any generated corpus."""
+    from collections import Counter
+
+    from hhs_and_cms_data_pipeline_spark.operators.text import (
+        bigram_lm_surprisal_table,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.total_bits)
+        for r in bigram_lm_surprisal_table(frame).collect()
+    }
+
+    # transparent model
+    vocab = {w for ws in docs for w in ws}
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    for ws in docs:
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    want = {}
+    for i, ws in enumerate(docs):
+        bits = 0
+        nb = 0
+        for a, b in zip(ws, ws[1:]):
+            bits += (c1[a] + len(vocab)).bit_length() - 1
+            bits -= (c2[(a, b)] + 1).bit_length() - 1
+            nb += 1
+        want[i] = (nb, bits)
+    assert got == want
