@@ -1113,3 +1113,102 @@ def bigram_lm_surprisal_table(docs: DataFrame) -> DataFrame:
             / F.col("n_bigrams").cast("double")
         ).alias("bits_per_bigram"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# TX14 — vocabulary growth (Heaps'-law audit): cumulative token count vs
+# cumulative distinct-vocabulary size over four doc-id-ordered corpus
+# prefixes. THE scaling question for a tokenizer/vocab budget: how fast
+# does new vocabulary keep arriving as the corpus grows toward 100 TB —
+# a flattening curve says the vocab is saturating, a straight one says
+# every new shard still brings unseen tokens.
+# --------------------------------------------------------------------------
+
+_VG_BUCKETS = 4
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    vtk AS (
+      SELECT t.doc_id, t.w,
+             CAST((t.doc_id * {_VG_BUCKETS}) // (mx.mid + 1) + 1 AS BIGINT)
+               AS qd
+      FROM ({SQL_TOKS}) t CROSS JOIN mx),
+    per_q AS (SELECT qd, COUNT(*) AS n_tokens FROM vtk GROUP BY 1),
+    first_seen AS (SELECT w, MIN(qd) AS fq FROM vtk GROUP BY 1),
+    new_vocab AS (SELECT fq AS qd, COUNT(*) AS n_new FROM first_seen GROUP BY 1),
+    ser AS (
+      SELECT p.qd, p.n_tokens, COALESCE(v.n_new, 0) AS n_new
+      FROM per_q p LEFT JOIN new_vocab v USING (qd))
+    SELECT qd AS bucket,
+           CAST(SUM(n_tokens) OVER (ORDER BY qd
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(n_new) OVER (ORDER BY qd
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab,
+           CAST(SUM(n_new) OVER (ORDER BY qd
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(n_tokens) OVER (ORDER BY qd
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS type_token_ratio
+    FROM ser
+    ORDER BY bucket
+    """,
+    tags=("TX14",),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX14: cumulative (tokens, distinct vocabulary) at four doc-id-ordered
+    corpus prefixes (module comment). A word counts toward the bucket where
+    it FIRST appears, so cumulative vocabulary needs no per-prefix
+    re-distinct.
+
+    Spark shape at 100 TB: ONE pass over the token stream — per-bucket
+    token counts and per-word first-seen buckets come from two hash
+    aggregates over the same exploded relation (map-side partials; the
+    word agg is the vocabulary-sized one); the cumulative windows then run
+    over at most {_VG_BUCKETS} rows. The max-doc-id scalar rides the Q2
+    broadcast-cross-join pattern. All counts are int64; bucket assignment
+    is integer floor division, so the curve is bit-deterministic."""
+    from pyspark.sql import Window
+
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    vtk = (
+        docs.select("doc_id", F.explode(tokens()).alias("w"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "w",
+            (
+                F.expr(f"(doc_id * {_VG_BUCKETS}) div (mid + 1)") + 1
+            ).alias("qd"),
+        )
+    )
+    per_q = vtk.groupBy("qd").agg(F.count(F.lit(1)).alias("n_tokens"))
+    new_vocab = (
+        vtk.groupBy("w")
+        .agg(F.min("qd").alias("qd"))
+        .groupBy("qd")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    ser = per_q.join(new_vocab, "qd", "left").select(
+        "qd",
+        "n_tokens",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+    )
+    wcum = Window.orderBy("qd").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_tokens = F.sum("n_tokens").over(wcum)
+    cum_vocab = F.sum("n_new").over(wcum)
+    return ser.select(
+        F.col("qd").alias("bucket"),
+        cum_tokens.cast("long").alias("cum_tokens"),
+        cum_vocab.cast("long").alias("cum_vocab"),
+        (cum_vocab.cast("double") / cum_tokens.cast("double")).alias(
+            "type_token_ratio"
+        ),
+    ).orderBy("bucket")
