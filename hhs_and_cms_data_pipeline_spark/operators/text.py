@@ -1086,11 +1086,17 @@ def bigram_lm_surprisal_table(docs: DataFrame) -> DataFrame:
     v = toked.select(F.explode("toks").alias("w")).agg(
         F.countDistinct("w").alias("vsz")
     )
-    c2 = bgm.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
-    c1 = bgm.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
-    bgd = bgm.groupBy("doc_id", "w1", "bg").agg(
-        F.count(F.lit(1)).alias("m")
+    # ONE corpus-sized aggregation, materialized: the model tables c2/c1
+    # are rollups of bgd, so deriving them from the checkpoint means the
+    # corpus is tokenized twice total (bgd + the vocab scalar) instead of
+    # four times (c2, c1, bgd, vocab each re-scanning).
+    bgd = (
+        bgm.groupBy("doc_id", "w1", "bg")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)
     )
+    c2 = bgd.groupBy("bg").agg(F.sum("m").alias("c"))
+    c1 = bgd.groupBy("w1").agg(F.sum("m").alias("cw"))
     bits = (F.length(F.bin(F.col("cw") + F.col("vsz"))) - 1) - (
         F.length(F.bin(F.col("c") + 1)) - 1
     )
