@@ -1697,11 +1697,14 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents dedup even when offsets differ.
 # --------------------------------------------------------------------------
 
-_CDC_W = 8  # rolling window (bytes)
-_CDC_MOD = 64  # boundary when window byte-sum % 64 == 0 (~64-byte chunks
-# on uniform bytes; the corpus' ASCII skew makes real chunks longer)
-
-
+_CDC_W = 8  # rolling window (characters; == bytes on this ASCII corpus)
+_CDC_MOD = 64  # boundary when the window code-point sum % 64 == 0
+# (~64-char chunks on uniform data; the corpus' ASCII skew makes real
+# chunks longer). NOTE: length/substring/ascii are CHARACTER-based, so on
+# a non-ASCII corpus the "byte" columns count code points — identically
+# on both engines (ascii() parity verified), but a binary chunk store
+# would run this over the payload BYTES instead. The corpus-is-ASCII
+# test (tests/test_properties.py) pins the equivalence here.
 
 
 def cdc_chunk_table(docs: DataFrame) -> DataFrame:

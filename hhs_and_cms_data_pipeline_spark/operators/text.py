@@ -1179,8 +1179,6 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-doc-id scalar rides the Q2 broadcast-cross-join pattern. All
     counts are int64; bucket assignment is integer floor division, so the
     curve is bit-deterministic."""
-    from pyspark.sql import Window
-
     ensure_session_conf(spark)
     docs = spread(table(spark, sf_dir, "documents"))
     mx = docs.agg(F.max("doc_id").alias("mid"))
