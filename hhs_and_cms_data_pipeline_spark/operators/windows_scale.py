@@ -1558,3 +1558,196 @@ def xa10_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# --------------------------------------------------------------------------
+# XA11 — per-user peak event rate via a time-RANGE window frame: for every
+# event, how many of the same user's events fall in the trailing hour
+# (RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW — the one window
+# frame shape no other operator here exercises), rolled up to the per-user
+# peak and a quota flag. This is the batch form of rate-limit / abuse
+# auditing over an event log.
+# --------------------------------------------------------------------------
+
+_RATE_WINDOW_US = 3_600_000_000  # trailing 1 hour, in microseconds
+_RATE_QUOTA = 3  # events/hour at-or-above this peak flags the user
+
+
+@register(
+    "xa11_peak_event_rate",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    win AS (
+      SELECT user_id,
+             CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY x
+               RANGE BETWEEN {_RATE_WINDOW_US} PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS in_hour
+      FROM ev)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(in_hour) AS peak_1h,
+           MAX(in_hour) >= {_RATE_QUOTA} AS quota_exceeded
+    FROM win GROUP BY 1
+    ORDER BY user_id
+    """,
+    tags=("XA11",),
+)
+def xa11_peak_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA11: per-user peak trailing-1h event count and quota flag.
+
+    The RANGE frame anchors on integer epoch microseconds, so the frame
+    boundary arithmetic is exact in both engines, and RANGE's
+    peer-inclusive CURRENT ROW semantics make the per-row count a pure
+    function of the group's multiset of timestamps — equal-ts rows get
+    identical counts regardless of arrival order, so the result is
+    partition- and rerun-invariant by construction.
+
+    Scale shape: ONE hash exchange on user_id serves both the window sort
+    and the following per-user max/count aggregation (same key, Catalyst
+    reuses the partitioning); the only other exchange is the presentation
+    sort of the per-user result. No driver-side work, no Python. At 100 TB
+    the key is the high-cardinality user id, so no partition outgrows an
+    executor; a skewed celebrity user degrades to one fat sorted partition,
+    the same posture as every sessionization operator here."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("x"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rangeBetween(-_RATE_WINDOW_US, Window.currentRow)
+    )
+    win = ev.withColumn("in_hour", F.count(F.lit(1)).over(w).cast("long"))
+    return (
+        win.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("in_hour").alias("peak_1h"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "peak_1h",
+            (F.col("peak_1h") >= F.lit(_RATE_QUOTA)).alias("quota_exceeded"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# XA12 — per-user interval-overlap audit via the sweep-line (+1/-1) trick:
+# each event opens an interval [ts, ts + value seconds]; exploding every
+# interval into a start (+1) and end (-1) point and running a partitioned
+# cumulative sum over (t, d) gives the concurrency depth at every boundary.
+# MAX(depth) >= 2 means the user has overlapping intervals — the classic
+# max-concurrency / double-booking query, done with one exchange instead
+# of the quadratic interval self-join.
+# --------------------------------------------------------------------------
+
+_OVERLAP_MIN_DEPTH = 2
+
+
+@register(
+    "xa12_interval_overlap",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(FLOOR(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS e
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+    pts AS (
+      SELECT user_id, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS d FROM iv),
+    sweep AS (
+      SELECT user_id, d,
+             CAST(SUM(d) OVER (
+               PARTITION BY user_id ORDER BY t, d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS depth
+      FROM pts)
+    SELECT user_id,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_intervals,
+           MAX(depth) AS max_concurrent,
+           MAX(depth) >= {_OVERLAP_MIN_DEPTH} AS overlapped
+    FROM sweep GROUP BY 1
+    ORDER BY user_id
+    """,
+    tags=("XA12",),
+)
+def xa12_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA12: does any user's activity intervals overlap, and how deeply?
+    Each event spans [ts, ts + value seconds] (duration floored to whole
+    microseconds — FLOOR in both engines, never a bare double->int cast,
+    whose rounding direction differs between Spark (truncate) and DuckDB
+    (round-half-even)).
+
+    Determinism with ties: ordering by (t, d) puts ends (-1) before starts
+    (+1) at the same instant, so back-to-back intervals never count as
+    overlapping; among equal (t, d) peers all deltas have the same sign,
+    so the running sum visits the same set of values in any peer order —
+    MAX(depth) and the +1 count are order-invariant even under the ROWS
+    frame.
+
+    Scale shape: the union doubles the rows map-side (no exchange), then
+    ONE hash exchange on user_id drives the sweep sort and the per-user
+    aggregate (same key, partitioning reused); the alternative interval
+    self-join is O(n^2) per user and needs the same shuffle anyway. The
+    n_intervals count rides the sweep rows (d = +1) so no second pass
+    over the input and no join."""
+    ensure_session_conf(spark)
+    iv = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            (
+                F.unix_micros("ts")
+                + F.floor(F.col("value").cast("double") * F.lit(1_000_000.0)).cast(
+                    "long"
+                )
+            ).alias("e"),
+        )
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = pts.withColumn("depth", F.sum("d").over(w).cast("long"))
+    return (
+        sweep.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("d") == 1, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_intervals"),
+            F.max("depth").alias("max_concurrent"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "max_concurrent",
+            (F.col("max_concurrent") >= F.lit(_OVERLAP_MIN_DEPTH)).alias(
+                "overlapped"
+            ),
+        )
+        .orderBy("user_id")
+    )

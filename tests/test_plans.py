@@ -586,3 +586,22 @@ def test_fd_profile_aggregates_before_windows(spark, specs):
     plan = formatted_plan(specs["dq_fd_profile"].builder(spark, SF_SMOKE))
     assert "hashpartitioning(source" in plan
     assert count_data_shuffles(plan) <= 3
+
+
+def test_peak_rate_window_and_agg_share_one_exchange(spark, specs):
+    """XA11: the RANGE window and the per-user rollup ride the SAME
+    user_id hash exchange (Catalyst reuses the partitioning); the only
+    other exchange is the presentation sort."""
+    plan = formatted_plan(specs["xa11_peak_event_rate"].builder(spark, SF_SMOKE))
+    assert "hashpartitioning(user_id" in plan
+    assert count_exchanges(plan) <= 2
+
+
+def test_interval_sweep_is_one_keyed_exchange(spark, specs):
+    """XA12: start/end explode is map-side (union adds no shuffle); the
+    sweep sort and per-user aggregate share one user_id exchange, plus
+    the presentation sort — never an interval self-join."""
+    plan = formatted_plan(specs["xa12_interval_overlap"].builder(spark, SF_SMOKE))
+    assert "hashpartitioning(user_id" in plan
+    assert count_exchanges(plan) <= 2
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
