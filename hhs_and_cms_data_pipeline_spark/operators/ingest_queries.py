@@ -604,3 +604,120 @@ def dq_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_langs") > 1).alias("fd_violated"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# DQ4 — Benford first-digit audit over lineitem.l_extendedprice. Naturally
+# occurring multi-magnitude amounts follow Benford's law P(d) = log10(1+1/d)
+# (Benford 1938; Nigrini's fraud-audit standard); fabricated or truncated
+# feeds show flat or spiked digit histograms. The expected probabilities are
+# FIXED decimal literals (shared between the Spark spine and the oracle SQL,
+# parsed to identical doubles by both engines), the digit extraction is
+# integer floor + string head (both engines floor and format int64
+# identically — never CAST(double AS BIGINT), which truncates in Spark but
+# rounds in DuckDB), and the chi-square terms use only IEEE +,-,*,/ on
+# identical inputs — bit-deterministic without any libm call.
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, full double precision (repr of the Python
+# float — one shared source for both engines' literals).
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+# DuckDB types a bare decimal literal as DECIMAL, not DOUBLE — cast in the
+# spine so expected_p round-trips as the identical float64 on both engines.
+_BENFORD_VALUES = ", ".join(
+    f"({d}, CAST({p} AS DOUBLE))" for d, p in _BENFORD_P.items()
+)
+
+
+@register(
+    "dq_benford_audit",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_extendedprice >= 1
+      GROUP BY 1),
+    tot AS (SELECT SUM(n) AS n_total FROM obs),
+    spine(digit, expected_p) AS (VALUES {_BENFORD_VALUES})
+    SELECT s.digit,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_obs,
+           CAST(COALESCE(o.n, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+             AS obs_share,
+           s.expected_p,
+           (CAST(COALESCE(o.n, 0) AS DOUBLE)
+              - s.expected_p * CAST(t.n_total AS DOUBLE))
+           * (CAST(COALESCE(o.n, 0) AS DOUBLE)
+              - s.expected_p * CAST(t.n_total AS DOUBLE))
+           / (s.expected_p * CAST(t.n_total AS DOUBLE)) AS chi2_term
+    FROM spine s LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+    ORDER BY s.digit
+    """,
+    tags=("DQ4",),
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4: Benford first-digit conformance report (module comment). One row
+    per digit 1..9: observed count, observed share, the Benford expectation,
+    and the chi-square contribution — spikes flag synthetic amounts.
+
+    Spark shape at 100 TB: the fact table collapses to a <=9-row digit
+    histogram in ONE hash aggregate with map-side partials; the literal
+    9-row expectation spine and the 1-row total are broadcast, so nothing
+    after the scan exceeds nine rows. The digit comes from the int64 floor
+    of the amount (strings of int64 are engine-identical; rows < 1 are
+    excluded and reported by their absence from n_total), counts are int64,
+    and the chi-square arithmetic is correctly-rounded IEEE on identical
+    inputs — bit-deterministic with zero transcendental calls."""
+    from ..sources import table as _table
+
+    ensure_session_conf(spark)
+    obs = (
+        _table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # <=9 rows, read twice (spine join + total): materialize so the
+        # fact-table scan behind it runs once, not once per consumer.
+        .localCheckpoint(eager=False)
+    )
+    tot = obs.agg(F.sum("n").alias("n_total"))
+    spine = spark.createDataFrame(
+        [(d, float(p)) for d, p in _BENFORD_P.items()],
+        "digit int, expected_p double",
+    )
+    n_obs = F.coalesce(F.col("n"), F.lit(0)).cast("long")
+    expected_n = F.col("expected_p") * F.col("n_total").cast("double")
+    dev = n_obs.cast("double") - expected_n
+    return (
+        spine.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n_obs.alias("n_obs"),
+            (n_obs.cast("double") / F.col("n_total").cast("double")).alias(
+                "obs_share"
+            ),
+            "expected_p",
+            (dev * dev / expected_n).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

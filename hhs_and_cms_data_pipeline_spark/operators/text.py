@@ -1226,3 +1226,108 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# TX15 — Zipf rank-frequency slope: fit log2(count) against log2(rank) over
+# the corpus vocabulary. Natural text follows count ~ rank^-s with s ~ 1
+# (Zipf 1949); a corpus whose fitted slope drifts far from -1 is a red flag
+# for machine-generated or template spam in an LLM training mix. Like TX13,
+# the fit is kept INTEGER until one final division: the regression points
+# are (floor(log2 rank), floor(log2 count)) via length(bin(x)) - 1, and the
+# least-squares slope is a ratio of two exact int64 sums — no libm, so
+# Spark and DuckDB agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS c FROM ({SQL_TOKS}) WHERE w <> '' GROUP BY 1),
+    rk AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM wc),
+    pts AS (
+      SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+             CAST(length(bin(c)) - 1 AS BIGINT) AS y,
+             c
+      FROM rk),
+    reg AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts)
+    SELECT p.x AS rank_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(p.c) AS BIGINT) AS bucket_tokens,
+           CAST(SUM(p.y) AS BIGINT) AS sum_log2_count,
+           CAST(r.n * r.sxy - r.sx * r.sy AS DOUBLE)
+             / CAST(r.n * r.sxx - r.sx * r.sx AS DOUBLE) AS zipf_slope
+    FROM pts p CROSS JOIN reg r
+    GROUP BY p.x, r.n, r.sx, r.sy, r.sxy, r.sxx
+    ORDER BY rank_bucket
+    """,
+    tags=("TX15",),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX15: Zipf rank-frequency audit (module comment). One row per
+    log2-rank bucket — word count, token mass, summed floor-log2 counts —
+    plus the global least-squares slope of floor-log2(count) on
+    floor-log2(rank) repeated on every row (expected near -1 for natural
+    text).
+
+    Spark shape at 100 TB: the corpus collapses to the vocabulary count
+    table in ONE hash aggregate with map-side partials; ranking, bucketing,
+    and the regression sums all run over that vocabulary-sized relation.
+    The global row_number here is a single-partition sort of the
+    vocabulary — fine at millions of words; the scale escape is the
+    standard two-phase rank (range-partition by (c, w), cumulative
+    partition offsets from a count-per-partition broadcast). Regression
+    sums are exact int64 (order-insensitive), the 1-row regression scalar
+    is broadcast, and the slope is the single final double division —
+    bit-deterministic by construction."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select(F.explode(tokens()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = wc.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("w")))
+        .alias("r"),
+    )
+    ilog2 = lambda col: (F.length(F.bin(col)) - 1).cast("long")  # noqa: E731
+    pts = rk.select(
+        ilog2(F.col("r")).alias("x"), ilog2(F.col("c")).alias("y"), "c"
+    ).localCheckpoint(eager=False)
+    reg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ).alias("zipf_slope")
+    return (
+        pts.crossJoin(F.broadcast(reg))
+        .groupBy("x", "n", "sx", "sy", "sxy", "sxx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("c").cast("long").alias("bucket_tokens"),
+            F.sum("y").cast("long").alias("sum_log2_count"),
+        )
+        .select(
+            F.col("x").alias("rank_bucket"),
+            "n_words",
+            "bucket_tokens",
+            "sum_log2_count",
+            slope,
+        )
+        .orderBy("rank_bucket")
+    )

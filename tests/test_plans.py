@@ -605,3 +605,25 @@ def test_interval_sweep_is_one_keyed_exchange(spark, specs):
     assert "hashpartitioning(user_id" in plan
     assert count_exchanges(plan) <= 2
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_zipf_regression_scalar_is_broadcast(spark, specs):
+    """TX15: the 1-row regression-sums frame joins the bucket relation via
+    broadcast (never a shuffled join), and everything downstream of the
+    vocabulary count table is vocab-sized — the corpus is aggregated once."""
+    plan = formatted_plan(specs["text_zipf_slope"].builder(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 1
+    assert "SortMergeJoin" not in plan
+    # post-checkpoint tail: scalar-agg collapse, bucket agg, final sort —
+    # the corpus collapse to vocab counts sits behind the checkpoint
+    assert count_exchanges(plan) <= 3
+
+
+def test_benford_single_scan_nine_row_tail(spark, specs):
+    """DQ4: the fact table collapses to the <=9-row digit histogram in one
+    hash aggregate (checkpointed — consumed by both the spine join and the
+    total without a second scan); the spine and total join via broadcast."""
+    plan = formatted_plan(specs["dq_benford_audit"].builder(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") <= 1, "lineitem must be scanned once"
+    assert count_broadcast_joins(plan) >= 2
+    assert "SortMergeJoin" not in plan
