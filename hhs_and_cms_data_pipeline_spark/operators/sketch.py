@@ -1,0 +1,285 @@
+"""Mergeable-sketch operators (SK family): HyperLogLog distinct estimation
+and Count-Min heavy-hitter counting, the two workhorse sketches of 100 TB
+cardinality/frequency work (Flajolet et al. 2007; Cormode & Muthukrishnan
+2005). No reference counterpart — the reference's COUNT(DISTINCT ...) is
+exact (weekly-report.py:280-285); these are the scale path that replaces it
+when the key set no longer fits a hash aggregate.
+
+Both sketches are BIT-EXACT across Spark and DuckDB, which approximate
+sketches normally can't be: the item hash is md5 (identical in both
+engines), register/bucket indices and rho values are pure integer
+arithmetic on hex substrings (the established `conv`/`'0x'||substr` idiom),
+and the HLL harmonic mean is computed as an exact int64 sum of power-of-two
+terms (2^(R-M_j) via shiftleft) so the estimate is ONE double multiply
+chain + ONE division — no libm, no order-dependent float summation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import ensure_session_conf
+from ..sources import table
+
+# --------------------------------------------------------------------------
+# SK1 — HyperLogLog distinct-count sketch over events.user_id.
+# m = 64 registers (b = 6 index bits from the first hex byte; 256 % 64 == 0
+# so the index is uniform), rho from the next 48 hash bits. R = 49 is the
+# max possible rho, so 2^(R - M_j) is an exact int64 and the register sum
+# S = sum_j 2^(R - M_j) <= 64 * 2^49 < 2^56 stays exact. The estimate is
+# alpha_64 * m^2 * 2^49 / S with alpha_64 = 0.7213 / (1 + 1.079/64) as a
+# shared full-precision literal; the multiply by 2^49 is exact scaling, so
+# exactly two IEEE roundings (alpha*m^2, and the division) happen on both
+# engines, in the same order.
+# --------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_R = 49  # 48 hash bits -> rho in [1, 49]
+_HLL_POW2_R = float(1 << _HLL_R)  # 2^49, exact in double
+_HLL_ALPHA = "0.7093409548395029"  # repr(0.7213 / (1 + 1.079/64))
+# alpha * m^2 * 2^49 pre-folded to ONE double literal shared verbatim by
+# both engines (folding in Python sidesteps DuckDB typing a bare decimal
+# literal as DECIMAL and multiplying in a different order): the only
+# in-engine rounding left is the final division by the exact-int S.
+_HLL_NUM = "1.6356288818656343e+18"  # repr((alpha * 4096.0) * 2.0**49)
+
+
+@register(
+    "sk_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(user_id AS VARCHAR) AS s,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events),
+    pt AS (
+      SELECT s,
+             CAST(CAST('0x' || substr(hx, 1, 2) AS UBIGINT) AS BIGINT)
+               % {_HLL_M} AS idx,
+             CAST(CAST('0x' || substr(hx, 3, 12) AS UBIGINT) AS BIGINT) AS w
+      FROM h),
+    r AS (
+      SELECT idx,
+             MAX(CASE WHEN w = 0 THEN {_HLL_R}
+                      ELSE {_HLL_R} - length(bin(w)) END) AS rho,
+             COUNT(DISTINCT s) AS nd
+      FROM pt GROUP BY 1),
+    reg AS (
+      SELECT g.register,
+             COALESCE(r.rho, 0) AS max_rho,
+             COALESCE(r.nd, 0) AS nd
+      FROM range(0, {_HLL_M}) g(register)
+      LEFT JOIN r ON r.idx = g.register),
+    tot AS (
+      SELECT SUM(CAST(1 AS BIGINT) << ({_HLL_R} - max_rho)) AS s_denom,
+             SUM(nd) AS exact_distinct
+      FROM reg)
+    SELECT reg.register,
+           CAST(reg.max_rho AS BIGINT) AS max_rho,
+           {_HLL_NUM} / CAST(t.s_denom AS DOUBLE) AS hll_estimate,
+           CAST(t.exact_distinct AS BIGINT) AS exact_distinct,
+           ({_HLL_NUM} / CAST(t.s_denom AS DOUBLE)
+            - CAST(t.exact_distinct AS DOUBLE))
+             / CAST(t.exact_distinct AS DOUBLE) AS rel_error
+    FROM reg CROSS JOIN tot t
+    ORDER BY reg.register
+    """,
+    tags=("SK1",),
+)
+def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK1: HyperLogLog register table over events.user_id (module comment):
+    one row per register with its max rho, plus the HLL estimate, the exact
+    distinct count, and the sketch's relative error repeated on every row.
+
+    Spark shape at 100 TB: the registers are a 64-row MAX aggregate with
+    map-side partials — the corpus collapses in one exchange whose reduce
+    side is 64 rows, and register tables from disjoint shards merge with
+    elementwise MAX (the defining sketch property; k8-style incremental
+    merge composes directly). The exact_distinct column is the audit
+    cross-check (items partition by register, so per-register distinct
+    counts sum exactly); it is the expensive part and is what the sketch
+    REPLACES — drop it at scale, keeping the register MAX only. The 64-row
+    spine and 1-row total broadcast; estimate arithmetic is exact-int until
+    the two documented roundings."""
+    ensure_session_conf(spark)
+    s = F.col("user_id").cast("string")
+    hx = F.md5(s)
+    idx = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % _HLL_M
+    w = F.conv(F.substring(hx, 3, 12), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_R)).otherwise(
+        F.lit(_HLL_R) - F.length(F.bin(w))
+    )
+    r = (
+        table(spark, sf_dir, "events")
+        .select(s.alias("s"), idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"), F.countDistinct("s").alias("nd"))
+    )
+    spine = spark.range(_HLL_M).select(F.col("id").alias("register"))
+    reg = (
+        spine.join(F.broadcast(r), spine.register == r.idx, "left")
+        .select(
+            "register",
+            F.coalesce(F.col("rho"), F.lit(0)).alias("max_rho"),
+            F.coalesce(F.col("nd"), F.lit(0)).alias("nd"),
+        )
+        # 64 rows, read twice (output + the register-sum total): materialize
+        # so the corpus aggregation behind it runs once.
+        .localCheckpoint(eager=False)
+    )
+    tot = reg.agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), cast({_HLL_R} - max_rho as int))")
+        ).alias("s_denom"),
+        F.sum("nd").alias("exact_distinct"),
+    )
+    est = F.lit(float(_HLL_NUM)) / F.col("s_denom").cast("double")
+    return (
+        reg.crossJoin(F.broadcast(tot))
+        .select(
+            "register",
+            F.col("max_rho").cast("long").alias("max_rho"),
+            est.alias("hll_estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                (est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_error"),
+        )
+        .orderBy("register")
+    )
+
+
+# --------------------------------------------------------------------------
+# SK2 — Count-Min heavy hitters over events.user_id.
+# depth d = 4 salted hash rows, width w = 512 buckets (16 hash bits % 512,
+# 65536 % 512 == 0 so buckets are uniform). The sketch is the (row, bucket)
+# count table — 2048 int64 cells regardless of key cardinality; a key's
+# estimate is the MIN over its 4 row cells, which can only OVERcount
+# (collisions add, never subtract), so overestimate = cms - true >= 0 by
+# construction. Reported for the true top-10 keys so the error is visible
+# exactly where heavy-hitter queries look.
+# --------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+
+
+def _cms_bucket_sql(r: int) -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5('{r}:' || s), 1, 4) AS UBIGINT) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_bucket_col(r: int, s: F.Column) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{r}:"), s)), 1, 4), 16, 10)
+        .cast("long")
+        % _CMS_W
+    )
+
+
+@register(
+    "sk_cms_heavy_hitters",
+    oracle=f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events
+             WHERE user_id IS NOT NULL),
+    cells AS (
+      SELECT r.r,
+             CASE r.r
+               {" ".join(f"WHEN {r} THEN {_cms_bucket_sql(r)}" for r in range(_CMS_D))}
+             END AS bucket,
+             COUNT(*) AS c
+      FROM ev CROSS JOIN range(0, {_CMS_D}) r(r)
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT s, COUNT(*) AS true_count FROM ev GROUP BY 1
+      ORDER BY true_count DESC, s LIMIT 10),
+    probes AS (
+      SELECT t.s, t.true_count, r.r,
+             CASE r.r
+               {" ".join(f"WHEN {r} THEN {_cms_bucket_sql(r)}" for r in range(_CMS_D))}
+             END AS bucket
+      FROM truth t CROSS JOIN range(0, {_CMS_D}) r(r))
+    SELECT p.s AS user_key,
+           CAST(p.true_count AS BIGINT) AS true_count,
+           CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.c) - p.true_count AS BIGINT) AS overestimate
+    FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY p.s, p.true_count
+    ORDER BY true_count DESC, user_key
+    """,
+    tags=("SK2",),
+)
+def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK2: Count-Min sketch + true top-10 audit (module comment). One row
+    per true heavy hitter: exact count, the sketch's MIN-over-rows
+    estimate, and the (always >= 0) overestimate from bucket collisions.
+
+    Spark shape at 100 TB: the sketch build is a map-only 4x expansion
+    (explode of a literal 4-element array — no join) into ONE hash
+    aggregate whose reduce side is d*w = 2048 rows; shard sketches merge
+    by elementwise + (the CMS property). The truth side is the standard
+    top-k (hash agg + TakeOrderedAndProject) and is the audit the sketch
+    replaces at scale. Probes are 40 rows; the 2048-cell sketch broadcasts
+    to them, so nothing after the two corpus aggregates exceeds a few
+    thousand rows."""
+    ensure_session_conf(spark)
+    s = F.col("user_id").cast("string")
+    # NULL keys are excluded on both sides: Spark sorts nulls first on
+    # asc, DuckDB last, so a NULL heavy hitter would order differently.
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(s.alias("s"))
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("r"),
+                _cms_bucket_col(r, F.col("s")).alias("bucket"),
+            )
+            for r in range(_CMS_D)
+        ]
+    )
+    cells = (
+        ev.select(F.explode(pairs).alias("p"))
+        .select("p.r", "p.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        ev.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("s"))
+        .limit(10)
+    )
+    probes = truth.select(
+        "s",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        _cms_bucket_col(r, F.col("s")).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("s", "true_count", "p.r", "p.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("s", "true_count")
+        .agg(F.min("c").alias("cms"))
+        .select(
+            F.col("s").alias("user_key"),
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("cms").cast("long").alias("cms_estimate"),
+            (F.col("cms") - F.col("true_count")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), F.asc("user_key"))
+    )

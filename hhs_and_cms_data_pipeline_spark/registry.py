@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "hhs_and_cms_data_pipeline_spark.operators.curation",
     "hhs_and_cms_data_pipeline_spark.operators.tpch_full",
     "hhs_and_cms_data_pipeline_spark.operators.graph",
+    "hhs_and_cms_data_pipeline_spark.operators.sketch",
 )
 
 

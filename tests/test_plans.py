@@ -619,6 +619,28 @@ def test_zipf_regression_scalar_is_broadcast(spark, specs):
     assert count_exchanges(plan) <= 3
 
 
+def test_hll_register_tail_is_broadcast_only(spark, specs):
+    """SK1: downstream of the (checkpointed) 64-row register table there is
+    only the scalar register-sum collapse and the broadcast cross join —
+    the corpus exchange lives behind the checkpoint; nothing after it may
+    shuffle more than the 64-row relation."""
+    plan = formatted_plan(specs["sk_hll_distinct"].builder(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 1
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(plan) <= 3
+
+
+def test_cms_sketch_broadcasts_and_topk(spark, specs):
+    """SK2: the 4x salted expansion is a map-side Generate (no join builds
+    the sketch), the truth side is TakeOrderedAndProject, and the
+    2048-cell sketch joins the 40 probe rows via broadcast."""
+    plan = formatted_plan(specs["sk_cms_heavy_hitters"].builder(spark, SF_SMOKE))
+    assert "Generate" in plan and "explode" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert count_broadcast_joins(plan) >= 1
+    assert "SortMergeJoin" not in plan
+
+
 def test_benford_single_scan_nine_row_tail(spark, specs):
     """DQ4: the fact table collapses to the <=9-row digit histogram in one
     hash aggregate (checkpointed — consumed by both the spine join and the
