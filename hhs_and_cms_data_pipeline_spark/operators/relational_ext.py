@@ -1233,3 +1233,96 @@ def xf3_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_qty"),
         F.array_max(steps).alias("max_step"),
     ).orderBy("l_orderkey")
+
+
+# --------------------------------------------------------------------------
+# XT2 — hourly OHLC bars: the canonical time-series downsample (open/high/
+# low/close per bucket), the resample step every metrics store and market-
+# data pipeline runs before charting or modeling. No reference counterpart
+# (weekly-report.py only SUMs per week); this is the order-sensitive
+# downsample the engine needs for telemetry at 100 TB. Open/close are
+# selected by a TOTAL order (ts, event_id — event_id is unique, so ties
+# are impossible) and high/low/first/last are raw stored doubles chosen by
+# comparison, never arithmetic — bit-exact with zero float operations.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xt2_ohlc_bars",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             ts, event_id, value
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL),
+    w AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, h
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, h
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM ev)
+    SELECT event_type, h,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close
+    FROM w
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("XT2",),
+)
+def xt2_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XT2: per-(event_type, hour) OHLC bars (module comment). open/close
+    are the first/last value under the total (ts, event_id) order; high/low
+    are plain MIN/MAX.
+
+    Spark shape at 100 TB: ONE exchange on the bar key — the two
+    row_number windows and the final aggregate all share the
+    (event_type, h) hash partitioning, so Catalyst plans exchange → sort →
+    window → sort → window → partial-free aggregate with no second
+    shuffle. The open/close selection rides the same aggregate as
+    MAX(CASE WHEN rn=1) — no self-join back to the bar. Bars are
+    bucket-count-sized; the presentation sort is the only other exchange."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    wa = Window.partitionBy("event_type", "h").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    w = ev.select(
+        "event_type",
+        "h",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return (
+        w.groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        )
+        .orderBy("event_type", "h")
+    )

@@ -283,3 +283,101 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("true_count"), F.asc("user_key"))
     )
+
+
+# --------------------------------------------------------------------------
+# SK3 — K-minimum-values (KMV) distinct sketch, per group: keep the k
+# smallest distinct hash values per event_type; the k-th smallest h_k
+# estimates the group's cardinality as (k-1) * |hash space| / h_k
+# (Bar-Yossef et al. 2002, the bottom-k/theta-sketch family). Unlike SK1's
+# fixed 64 registers this sketch supports set algebra (union = merge-and-
+# trim, the theta-sketch basis). Hashes are 48-bit ints from md5, the
+# (k-1) * 2^48 numerator is pre-folded to one exact-in-double literal, and
+# the only in-engine float op is the final division — bit-exact.
+# --------------------------------------------------------------------------
+
+_KMV_K = 32
+# (k-1) * 2^48 = 31 * 281474976710656, exact as int64 AND as double.
+_KMV_NUM = "8725724278030336.0"
+
+
+@register(
+    "sk_kmv_distinct",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                       AS UBIGINT) AS BIGINT) AS hv
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    w AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM d)
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS n_exact,
+           CAST(hv AS BIGINT) AS kth_hash,
+           CASE WHEN nd <= {_KMV_K} THEN CAST(nd AS DOUBLE)
+                ELSE {_KMV_NUM} / CAST(hv AS DOUBLE) END AS kmv_estimate,
+           (CASE WHEN nd <= {_KMV_K} THEN CAST(nd AS DOUBLE)
+                 ELSE {_KMV_NUM} / CAST(hv AS DOUBLE) END
+            - CAST(nd AS DOUBLE)) / CAST(nd AS DOUBLE) AS rel_error
+    FROM w
+    WHERE rn = CASE WHEN nd < {_KMV_K} THEN nd ELSE {_KMV_K} END
+    ORDER BY event_type
+    """,
+    tags=("SK3",),
+)
+def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK3: per-event_type KMV cardinality sketch (module comment). One row
+    per group: exact distinct hash count (the audit the sketch replaces),
+    the k-th smallest hash, the KMV estimate (exact when the group holds
+    fewer than k hashes), and the relative error.
+
+    Spark shape at 100 TB: the distinct collapses the corpus in one
+    (event_type, hash) exchange with map-side partial dedup; the window
+    ranks within each group riding the same keys. The rank filter is not
+    partially evaluated by Catalyst — the documented scale upgrade is the
+    sketch's own mergeability: keep each map partition's k smallest
+    per group (bounded memory), then merge-and-trim the k-lists, which
+    turns the shuffle into k rows per (group, partition). The estimator
+    numerator is a shared pre-folded literal; one division is the only
+    float op."""
+    ensure_session_conf(spark)
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    d = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", hv.alias("hv"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = d.select(
+        "event_type",
+        "hv",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hv"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("nd"),
+    ).filter(
+        F.col("rn")
+        == F.when(F.col("nd") < _KMV_K, F.col("nd")).otherwise(F.lit(_KMV_K))
+    )
+    est = F.when(
+        F.col("nd") <= _KMV_K, F.col("nd").cast("double")
+    ).otherwise(F.lit(float(_KMV_NUM)) / F.col("hv").cast("double"))
+    return w.select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_exact"),
+        F.col("hv").cast("long").alias("kth_hash"),
+        est.alias("kmv_estimate"),
+        (
+            (est - F.col("nd").cast("double")) / F.col("nd").cast("double")
+        ).alias("rel_error"),
+    ).orderBy("event_type")

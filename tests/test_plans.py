@@ -649,3 +649,23 @@ def test_benford_single_scan_nine_row_tail(spark, specs):
     assert plan.count("Scan parquet") <= 1, "lineitem must be scanned once"
     assert count_broadcast_joins(plan) >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_ohlc_bars_share_one_bar_key_exchange(spark, specs):
+    """XT2: both row_number windows and the final aggregate ride the SAME
+    (event_type, hour) hash exchange — one data shuffle plus the
+    presentation sort, and no self-join back to the bars."""
+    plan = formatted_plan(specs["xt2_ohlc_bars"].builder(spark, SF_SMOKE))
+    assert "hashpartitioning(event_type" in plan
+    assert count_exchanges(plan) <= 2
+    assert "Join" not in plan
+
+
+def test_kmv_distinct_is_one_keyed_exchange(spark, specs):
+    """SK3: the (event_type, hash) distinct partial-aggregates map-side and
+    the per-group window reuses the group partitioning — the corpus
+    crosses the wire once plus the presentation sort."""
+    plan = formatted_plan(specs["sk_kmv_distinct"].builder(spark, SF_SMOKE))
+    assert "hashpartitioning(event_type" in plan
+    assert count_data_shuffles(plan) <= 3
+    assert "Join" not in plan
