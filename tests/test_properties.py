@@ -1067,3 +1067,143 @@ def test_bigram_lm_surprisal_matches_integer_model(spark, docs):
             nb += 1
         want[i] = (nb, bits)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# SK1/SK2/SK3 sketch invariants: the properties that make sketches usable
+# at 100 TB are MERGEABILITY (shard sketches combine into exactly the
+# whole-corpus sketch — MAX for HLL registers, + for CMS cells,
+# merge-and-trim for KMV) and CMS's one-sided error. Checked against the
+# production query DAGs over disjoint halves of the real sf0.001 events.
+# --------------------------------------------------------------------------
+
+
+def _events_halves(spark):
+    from hhs_and_cms_data_pipeline_spark.sources import table
+    from tests.conftest import SF_SMOKE
+
+    ev = table(spark, SF_SMOKE, "events")
+    return ev, ev.filter(F.col("event_id") % 2 == 0), ev.filter(
+        F.col("event_id") % 2 == 1
+    )
+
+
+def test_hll_registers_merge_by_max(spark):
+    """HLL register tables of two disjoint shards, merged elementwise with
+    MAX, equal the whole-corpus register table — the property that lets
+    100 TB shards sketch independently and combine driver-side."""
+    from hhs_and_cms_data_pipeline_spark.operators import sketch as sk
+
+    def registers(df):
+        s = F.col("user_id").cast("string")
+        hx = F.md5(s)
+        idx = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % sk._HLL_M
+        w = F.conv(F.substring(hx, 3, 12), 16, 10).cast("long")
+        rho = F.when(w == 0, F.lit(sk._HLL_R)).otherwise(
+            F.lit(sk._HLL_R) - F.length(F.bin(w))
+        )
+        rows = (
+            df.select(idx.alias("idx"), rho.alias("rho"))
+            .groupBy("idx")
+            .agg(F.max("rho").alias("rho"))
+            .collect()
+        )
+        return {r["idx"]: r["rho"] for r in rows}
+
+    ev, even, odd = _events_halves(spark)
+    full, a, b = registers(ev), registers(even), registers(odd)
+    merged = {
+        i: max(a.get(i, 0), b.get(i, 0)) for i in set(a) | set(b)
+    }
+    assert merged == full
+
+
+def test_cms_never_undercounts_any_key(spark):
+    """CMS estimates are >= the true count for EVERY key (one-sided error
+    by construction: collisions only add), and shard cell tables merge
+    by elementwise +."""
+    from hhs_and_cms_data_pipeline_spark.operators.sketch import (
+        _CMS_D,
+        _cms_bucket_col,
+    )
+
+    ev, even, odd = _events_halves(spark)
+
+    def cells(df):
+        s = F.col("user_id").cast("string")
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("long").alias("r"),
+                    _cms_bucket_col(r, s).alias("bucket"),
+                )
+                for r in range(_CMS_D)
+            ]
+        )
+        rows = (
+            df.filter(F.col("user_id").isNotNull())
+            .select(F.explode(pairs).alias("p"))
+            .groupBy("p.r", "p.bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {(r["r"], r["bucket"]): r["c"] for r in rows}
+
+    full, a, b = cells(ev), cells(even), cells(odd)
+    merged = {
+        k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)
+    }
+    assert merged == full, "CMS cells must merge by elementwise +"
+
+    truth = {
+        r["s"]: r["n"]
+        for r in ev.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").cast("string").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    probes = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("s"))
+        .distinct()
+        .select(
+            "s",
+            *[
+                _cms_bucket_col(r, F.col("s")).alias(f"b{r}")
+                for r in range(_CMS_D)
+            ],
+        )
+        .collect()
+    )
+    for row in probes:
+        est = min(full[(r, row[f"b{r}"])] for r in range(_CMS_D))
+        assert est >= truth[row["s"]], (
+            f"CMS undercounted key {row['s']}: {est} < {truth[row['s']]}"
+        )
+
+
+def test_kmv_sketches_merge_and_trim(spark):
+    """KMV shard sketches (k smallest distinct hashes) merged and
+    re-trimmed to k equal the whole-corpus KMV — theta-sketch set
+    algebra's foundation."""
+    from hhs_and_cms_data_pipeline_spark.operators.sketch import _KMV_K
+
+    ev, even, odd = _events_halves(spark)
+
+    def kmv(df):
+        hv = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        rows = (
+            df.filter(F.col("user_id").isNotNull())
+            .select(hv.alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(_KMV_K)
+            .collect()
+        )
+        return [r["hv"] for r in rows]
+
+    full, a, b = kmv(ev), kmv(even), kmv(odd)
+    merged = sorted(set(a) | set(b))[:_KMV_K]
+    assert merged == full
