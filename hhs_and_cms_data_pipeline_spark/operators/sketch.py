@@ -46,6 +46,37 @@ _HLL_ALPHA = "0.7093409548395029"  # repr(0.7213 / (1 + 1.079/64))
 _HLL_NUM = "1.6356288818656343e+18"  # repr((alpha * 4096.0) * 2.0**49)
 
 
+def hll_point_cols(user_col: str = "user_id") -> tuple[F.Column, F.Column]:
+    """(register index, rho) expressions for one item — THE definition of
+    the sketch's hash mapping, shared by the batch query (SK1) and the
+    streaming incremental twin (ST16) so the two can never drift."""
+    s = F.col(user_col).cast("string")
+    hx = F.md5(s)
+    idx = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % _HLL_M
+    w = F.conv(F.substring(hx, 3, 12), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_R)).otherwise(
+        F.lit(_HLL_R) - F.length(F.bin(w))
+    )
+    return idx, rho
+
+
+def hll_batch_registers(df: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """(idx, rho) register table of one slice of items — 64-row MAX
+    aggregate with map-side partials; slices merge by elementwise MAX."""
+    idx, rho = hll_point_cols(user_col)
+    return (
+        df.select(idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_col(s_denom: F.Column) -> F.Column:
+    """The HLL estimate from the exact-int register sum (module comment):
+    one shared pre-folded literal over one division."""
+    return F.lit(float(_HLL_NUM)) / s_denom.cast("double")
+
+
 @register(
     "sk_hll_distinct",
     oracle=f"""
@@ -103,16 +134,14 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine and 1-row total broadcast; estimate arithmetic is exact-int until
     the two documented roundings."""
     ensure_session_conf(spark)
-    s = F.col("user_id").cast("string")
-    hx = F.md5(s)
-    idx = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % _HLL_M
-    w = F.conv(F.substring(hx, 3, 12), 16, 10).cast("long")
-    rho = F.when(w == 0, F.lit(_HLL_R)).otherwise(
-        F.lit(_HLL_R) - F.length(F.bin(w))
-    )
+    idx, rho = hll_point_cols()
     r = (
         table(spark, sf_dir, "events")
-        .select(s.alias("s"), idx.alias("idx"), rho.alias("rho"))
+        .select(
+            F.col("user_id").cast("string").alias("s"),
+            idx.alias("idx"),
+            rho.alias("rho"),
+        )
         .groupBy("idx")
         .agg(F.max("rho").alias("rho"), F.countDistinct("s").alias("nd"))
     )
@@ -134,7 +163,7 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_denom"),
         F.sum("nd").alias("exact_distinct"),
     )
-    est = F.lit(float(_HLL_NUM)) / F.col("s_denom").cast("double")
+    est = hll_estimate_col(F.col("s_denom"))
     return (
         reg.crossJoin(F.broadcast(tot))
         .select(

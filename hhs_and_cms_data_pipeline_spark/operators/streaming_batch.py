@@ -1524,3 +1524,152 @@ def stream_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("disordered_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# ST16 — streaming HLL register maintenance: SK1's sketch maintained
+# incrementally across micro-batches via foreachBatch. The instructive
+# contrast with ST14: an ADDITIVE merge needs the stored last_batch_id to
+# survive foreachBatch's at-least-once redelivery, but MAX-merge is a
+# join-semilattice (idempotent, commutative, associative), so replaying a
+# batch is a no-op BY ALGEBRA — no replay guard, no batch ordering, and
+# any slicing of the stream converges to the identical register table.
+# That is exactly why sketches are the 100 TB streaming-cardinality tool:
+# per-batch state is 64 rows, merge cost is O(64), and crash recovery is
+# free. The oracle computes the same registers + estimate from the whole
+# table at once.
+# --------------------------------------------------------------------------
+
+
+def make_hll_merger(target: str):
+    """The ST16 foreachBatch body as a module-level factory (same contract
+    as make_rollup_merger, so tests drive the exact production merge)."""
+    import os
+
+    from ..sinks import read_published, write_parquet_atomic
+    from .sketch import hll_batch_registers
+
+    def _merge(batch_df, batch_id):
+        part = hll_batch_registers(
+            batch_df.filter(F.col("user_id").isNotNull())
+        )
+        if os.path.islink(target):
+            stored = read_published(batch_df.sparkSession, target)
+            part = (
+                stored.select("idx", F.col("rho").alias("rho_a"))
+                .join(
+                    part.select("idx", F.col("rho").alias("rho_b")),
+                    "idx",
+                    "full_outer",
+                )
+                .select(
+                    "idx",
+                    F.greatest(
+                        F.coalesce(F.col("rho_a"), F.lit(0)),
+                        F.coalesce(F.col("rho_b"), F.lit(0)),
+                    ).alias("rho"),
+                )
+            )
+        write_parquet_atomic(part, target, gc_grace_seconds=3600.0)
+
+    return _merge
+
+
+@register(
+    "stream_hll_registers",
+    oracle=f"""
+    WITH pt AS (
+      SELECT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                       AS UBIGINT) AS BIGINT) % 64 AS idx,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12)
+                       AS UBIGINT) AS BIGINT) AS w
+      FROM events WHERE user_id IS NOT NULL),
+    r AS (
+      SELECT idx,
+             MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS rho
+      FROM pt GROUP BY 1),
+    reg AS (
+      SELECT g.register, COALESCE(r.rho, 0) AS max_rho
+      FROM range(0, 64) g(register)
+      LEFT JOIN r ON r.idx = g.register),
+    tot AS (
+      SELECT SUM(CAST(1 AS BIGINT) << (49 - max_rho)) AS s_denom FROM reg)
+    SELECT reg.register,
+           CAST(reg.max_rho AS BIGINT) AS max_rho,
+           1.6356288818656343e+18 / CAST(t.s_denom AS DOUBLE) AS hll_estimate
+    FROM reg CROSS JOIN tot t
+    ORDER BY reg.register
+    """,
+    tags=("ST16",),
+)
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16: drain the staged event files as chronological micro-batches
+    (availableNow) and maintain the 64-register HLL sketch in a published
+    parquet store via MAX-merge foreachBatch (module comment). The readout
+    joins the register spine and computes SK1's estimate — bit-identical
+    to the from-scratch sketch no matter how arrival sliced the stream
+    (the mergeability property test proves the identity directly).
+
+    Scale shape: per batch, batch-sized data collapses map-side to <=64
+    rows; the merge joins 64 rows against 64 rows; publishes are atomic
+    symlink swaps. State never grows with cardinality — THE reason this
+    replaces stream COUNT(DISTINCT) at 100 TB."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks import clear_published_versions, read_published
+    from ..streaming.events import events_raw_schema
+    from ..streaming.stateful import stage_chronological_files
+    from .sketch import _HLL_M, _HLL_R, hll_estimate_col
+
+    ensure_session_conf(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"hll_stage_{tag}")
+    target = os.path.join(tempfile.gettempdir(), f"hll_store_{tag}")
+    clear_published_versions(target)  # deterministic rerun
+    ckpt = tempfile.mkdtemp(prefix="hll_ckpt_")
+    stage_chronological_files(spark, sf_dir, stage)
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, stage))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    q = (
+        raw.writeStream.foreachBatch(make_hll_merger(target))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"hll_registers_{tag}")
+        .start()
+    )
+    q.awaitTermination()
+    # single-use checkpoint (availableNow drain over a fixed stage)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stored = read_published(spark, target)
+    spine = spark.range(_HLL_M).select(F.col("id").alias("register"))
+    reg = (
+        spine.join(F.broadcast(stored), spine.register == stored.idx, "left")
+        .select(
+            "register",
+            F.coalesce(F.col("rho"), F.lit(0)).alias("max_rho"),
+        )
+        .localCheckpoint(eager=False)  # 64 rows, read by output + total
+    )
+    tot = reg.agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast({_HLL_R} - max_rho as int))"
+            )
+        ).alias("s_denom")
+    )
+    return (
+        reg.crossJoin(F.broadcast(tot))
+        .select(
+            "register",
+            F.col("max_rho").cast("long").alias("max_rho"),
+            hll_estimate_col(F.col("s_denom")).alias("hll_estimate"),
+        )
+        .orderBy("register")
+    )

@@ -1092,23 +1092,14 @@ def test_hll_registers_merge_by_max(spark):
     """HLL register tables of two disjoint shards, merged elementwise with
     MAX, equal the whole-corpus register table — the property that lets
     100 TB shards sketch independently and combine driver-side."""
-    from hhs_and_cms_data_pipeline_spark.operators import sketch as sk
+    from hhs_and_cms_data_pipeline_spark.operators.sketch import (
+        hll_batch_registers,
+    )
 
     def registers(df):
-        s = F.col("user_id").cast("string")
-        hx = F.md5(s)
-        idx = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % sk._HLL_M
-        w = F.conv(F.substring(hx, 3, 12), 16, 10).cast("long")
-        rho = F.when(w == 0, F.lit(sk._HLL_R)).otherwise(
-            F.lit(sk._HLL_R) - F.length(F.bin(w))
-        )
-        rows = (
-            df.select(idx.alias("idx"), rho.alias("rho"))
-            .groupBy("idx")
-            .agg(F.max("rho").alias("rho"))
-            .collect()
-        )
-        return {r["idx"]: r["rho"] for r in rows}
+        return {
+            r["idx"]: r["rho"] for r in hll_batch_registers(df).collect()
+        }
 
     ev, even, odd = _events_halves(spark)
     full, a, b = registers(ev), registers(even), registers(odd)

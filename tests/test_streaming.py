@@ -656,3 +656,49 @@ def test_incremental_rollup_resumes_from_checkpoint(spark, tmp_path):
         for r in read_published(spark, target).collect()
     }
     assert got == want
+
+
+def test_hll_merge_is_replay_idempotent(spark, tmp_path):
+    """ST16's algebraic replay safety, demonstrated directly: foreachBatch
+    is at-least-once, and unlike ST14's additive merge (which needs the
+    stored last_batch_id guard), MAX-merging the SAME batch twice must
+    leave the register store byte-identical — a join-semilattice needs no
+    replay guard. Also checks the store equals the batch's own registers
+    plus an earlier disjoint batch merged in."""
+    from hhs_and_cms_data_pipeline_spark.operators.sketch import (
+        hll_batch_registers,
+    )
+    from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
+        make_hll_merger,
+    )
+    from hhs_and_cms_data_pipeline_spark.sinks import read_published
+
+    target = str(tmp_path / "hll_store")
+    merge = make_hll_merger(target)
+
+    b1 = spark.createDataFrame([(i,) for i in range(40)], "user_id bigint")
+    b2 = spark.createDataFrame(
+        [(i,) for i in range(30, 90)], "user_id bigint"
+    )
+
+    def registers():
+        return {
+            r["idx"]: r["rho"]
+            for r in read_published(spark, target).collect()
+        }
+
+    merge(b1, 0)
+    after_b1 = registers()
+    merge(b1, 0)  # redelivered batch: no-op by algebra, no guard involved
+    assert registers() == after_b1
+
+    merge(b2, 1)
+    after_b2 = registers()
+    merge(b2, 1)  # replay again after a second distinct batch
+    assert registers() == after_b2
+
+    whole = {
+        r["idx"]: r["rho"]
+        for r in hll_batch_registers(b1.union(b2)).collect()
+    }
+    assert after_b2 == whole
