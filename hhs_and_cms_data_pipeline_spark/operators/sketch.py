@@ -410,3 +410,166 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est - F.col("nd").cast("double")) / F.col("nd").cast("double")
         ).alias("rel_error"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# SK4 — mergeable log2-bucket histogram quantile sketch over
+# lineitem.l_extendedprice (in cents). The fixed-bucket histogram is the
+# simplest mergeable quantile structure (shard histograms merge by
+# elementwise +, like CMS cells): ~25 int64 cells summarize any number of
+# rows, and a quantile is answered by walking the CDF into one bucket and
+# interpolating. Buckets are floor(log2(cents)) via the bin() idiom, the
+# interpolation is pure integer arithmetic, and the audit (the exact
+# discrete median) is computed from the distinct-value CDF — every number
+# in the result is exact-int until the one relative-error division.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sk_histogram_median",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_extendedprice >= 1),
+    cdfv AS (
+      SELECT cents, COUNT(*) AS m FROM v GROUP BY 1),
+    tot AS (
+      SELECT SUM(m) AS n, (SUM(m) + 1) // 2 AS pos FROM cdfv),
+    cum AS (
+      SELECT cents, m,
+             SUM(m) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM cdfv),
+    exact AS (
+      SELECT MIN(cents) AS exact_median_cents
+      FROM cum CROSS JOIN tot WHERE c >= pos),
+    hist AS (
+      SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket,
+             SUM(m) AS n_rows
+      FROM cdfv GROUP BY 1),
+    hcum AS (
+      SELECT bucket, n_rows,
+             SUM(n_rows) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+      FROM hist),
+    est AS (
+      SELECT (CAST(1 AS BIGINT) << CAST(h.bucket AS INTEGER))
+             + (((CAST(1 AS BIGINT) << CAST(h.bucket AS INTEGER)))
+                * (t.pos - 1 - (h.cum_rows - h.n_rows))) // h.n_rows
+               AS est_median_cents
+      FROM hcum h CROSS JOIN tot t
+      WHERE h.cum_rows - h.n_rows < t.pos AND t.pos <= h.cum_rows)
+    SELECT h.bucket,
+           CAST(1 AS BIGINT) << CAST(h.bucket AS INTEGER) AS lo_cents,
+           (CAST(1 AS BIGINT) << CAST(h.bucket + 1 AS INTEGER)) - 1
+             AS hi_cents,
+           CAST(h.n_rows AS BIGINT) AS n_rows,
+           CAST(h.cum_rows AS BIGINT) AS cum_rows,
+           CAST(e.est_median_cents AS BIGINT) AS est_median_cents,
+           CAST(x.exact_median_cents AS BIGINT) AS exact_median_cents,
+           (CAST(e.est_median_cents AS DOUBLE)
+            - CAST(x.exact_median_cents AS DOUBLE))
+             / CAST(x.exact_median_cents AS DOUBLE) AS rel_error
+    FROM hcum h CROSS JOIN est e CROSS JOIN exact x
+    ORDER BY h.bucket
+    """,
+    tags=("SK4",),
+)
+def sk_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK4: log2-bucket histogram of prices-in-cents with the sketch's
+    median estimate (uniform interpolation inside the bucket the CDF walk
+    lands in) and the exact discrete median as the audit, repeated per
+    bucket with the relative error.
+
+    Spark shape at 100 TB: ONE corpus aggregation — the distinct-cents CDF
+    relation (value-distinct-sized, itself an aggregate) is checkpointed
+    and every downstream structure (the ~25-cell histogram, the total, the
+    exact-median walk) derives from it; the tiny windows run over
+    aggregate outputs, never the corpus. Shard histograms merge by
+    elementwise + (same algebra the CMS property test proves); at scale
+    the exact-median audit is what the sketch replaces. The bucket
+    interpolation is integer floor arithmetic shared verbatim with the
+    oracle — the single division at the end is the only float op."""
+    from pyspark.sql import Window
+
+    ensure_session_conf(spark)
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    cdfv = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") >= 1)
+        .select(cents.alias("cents"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("m"))
+        # value-distinct relation, consumed by four branches (total, CDF
+        # walk, histogram, estimate): materialize so the fact scan runs
+        # once, not once per branch.
+        .localCheckpoint(eager=False)
+    )
+    tot = cdfv.agg(
+        F.sum("m").alias("n"),
+        ((F.sum("m") + 1) / 2).cast("long").alias("pos"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cdfv.select("cents", "m", F.sum("m").over(wc).alias("c"))
+    exact = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") >= F.col("pos"))
+        .agg(F.min("cents").alias("exact_median_cents"))
+    )
+    hist = (
+        cdfv.groupBy(
+            (F.length(F.bin(F.col("cents"))) - 1).cast("long").alias("bucket")
+        )
+        .agg(F.sum("m").alias("n_rows"))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hcum = hist.select(
+        "bucket", "n_rows", F.sum("n_rows").over(wb).alias("cum_rows")
+    ).localCheckpoint(eager=False)  # ~25 rows, read by est + output
+    lo = F.expr("shiftleft(cast(1 as bigint), cast(bucket as int))")
+    est = (
+        hcum.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("cum_rows") - F.col("n_rows") < F.col("pos"))
+            & (F.col("pos") <= F.col("cum_rows"))
+        )
+        .select(
+            # `div` (integer division) — double `/` + cast would truncate a
+            # correctly-ROUNDED quotient, which can disagree with the
+            # oracle's floor division by one when the true quotient sits
+            # just below an integer
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(bucket as int))"
+                " + (shiftleft(cast(1 as bigint), cast(bucket as int))"
+                "    * (pos - 1 - (cum_rows - n_rows))) div n_rows"
+            ).alias("est_median_cents")
+        )
+    )
+    hi = F.expr("shiftleft(cast(1 as bigint), cast(bucket + 1 as int)) - 1")
+    return (
+        hcum.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "bucket",
+            lo.alias("lo_cents"),
+            hi.alias("hi_cents"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("cum_rows").cast("long").alias("cum_rows"),
+            F.col("est_median_cents").cast("long").alias("est_median_cents"),
+            F.col("exact_median_cents")
+            .cast("long")
+            .alias("exact_median_cents"),
+            (
+                (
+                    F.col("est_median_cents").cast("double")
+                    - F.col("exact_median_cents").cast("double")
+                )
+                / F.col("exact_median_cents").cast("double")
+            ).alias("rel_error"),
+        )
+        .orderBy("bucket")
+    )

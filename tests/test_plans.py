@@ -669,3 +669,13 @@ def test_kmv_distinct_is_one_keyed_exchange(spark, specs):
     assert "hashpartitioning(event_type" in plan
     assert count_data_shuffles(plan) <= 3
     assert "Join" not in plan
+
+
+def test_histogram_median_derives_from_one_cdf(spark, specs):
+    """SK4: everything downstream of the (checkpointed) distinct-cents CDF
+    relation is aggregate-sized — broadcast joins only, no sort-merge, and
+    the post-checkpoint tail holds no fact-table scan."""
+    plan = formatted_plan(specs["sk_histogram_median"].builder(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 0  # fact scan is behind the checkpoint
+    assert count_broadcast_joins(plan) >= 2
+    assert "SortMergeJoin" not in plan

@@ -1198,3 +1198,32 @@ def test_kmv_sketches_merge_and_trim(spark):
     full, a, b = kmv(ev), kmv(even), kmv(odd)
     merged = sorted(set(a) | set(b))[:_KMV_K]
     assert merged == full
+
+
+def test_log2_histograms_merge_by_addition(spark):
+    """SK4's mergeability: shard histograms (bucket -> count) merged by
+    elementwise + equal the whole-corpus histogram."""
+    from hhs_and_cms_data_pipeline_spark.sources import table
+    from tests.conftest import SF_SMOKE
+
+    li = table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+
+    def hist(df):
+        cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+        rows = (
+            df.select(
+                (F.length(F.bin(cents)) - 1).cast("long").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {r["bucket"]: r["n"] for r in rows}
+
+    full = hist(li)
+    a = hist(li.filter(F.col("l_orderkey") % 2 == 0))
+    b = hist(li.filter(F.col("l_orderkey") % 2 == 1))
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == full
