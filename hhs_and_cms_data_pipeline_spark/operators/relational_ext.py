@@ -1289,9 +1289,15 @@ def xt2_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX(CASE WHEN rn=1) — no self-join back to the bar. Bars are
     bucket-count-sized; the presentation sort is the only other exchange."""
     ensure_session_conf(spark)
+    return ohlc_bars_table(table(spark, sf_dir, "events"))
+
+
+def ohlc_bars_table(events: DataFrame) -> DataFrame:
+    """XT2's DAG over any (event_type, ts, event_id, value) frame —
+    factored so the model property test (tests/test_properties.py) drives
+    synthetic tie-heavy streams through the exact production plan."""
     ev = (
-        table(spark, sf_dir, "events")
-        .filter(
+        events.filter(
             F.col("ts").isNotNull()
             & F.col("event_type").isNotNull()
             & F.col("value").isNotNull()

@@ -1260,8 +1260,10 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(p.c) AS BIGINT) AS bucket_tokens,
            CAST(SUM(p.y) AS BIGINT) AS sum_log2_count,
-           CAST(r.n * r.sxy - r.sx * r.sy AS DOUBLE)
-             / CAST(r.n * r.sxx - r.sx * r.sx AS DOUBLE) AS zipf_slope
+           CASE WHEN r.n * r.sxx - r.sx * r.sx = 0 THEN NULL
+                ELSE CAST(r.n * r.sxy - r.sx * r.sy AS DOUBLE)
+                     / CAST(r.n * r.sxx - r.sx * r.sx AS DOUBLE)
+           END AS zipf_slope
     FROM pts p CROSS JOIN reg r
     GROUP BY p.x, r.n, r.sx, r.sy, r.sxy, r.sxx
     ORDER BY rank_bucket
@@ -1286,7 +1288,13 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast, and the slope is the single final double division —
     bit-deterministic by construction."""
     ensure_session_conf(spark)
-    docs = spread(table(spark, sf_dir, "documents"))
+    return zipf_slope_table(spread(table(spark, sf_dir, "documents")))
+
+
+def zipf_slope_table(docs: DataFrame) -> DataFrame:
+    """TX15's DAG over any (doc_id, text) frame — factored so the integer-
+    model property test (tests/test_properties.py) fits synthetic corpora
+    through the exact production plan."""
     wc = (
         docs.select(F.explode(tokens()).alias("w"))
         .filter(F.col("w") != "")
@@ -1310,9 +1318,13 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # a corpus whose whole vocabulary lands in one rank bucket has no
+    # fitted slope: NULL, not an ANSI divide-by-zero task failure
+    slope = F.when(
+        den != 0,
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / den.cast("double"),
     ).alias("zipf_slope")
     return (
         pts.crossJoin(F.broadcast(reg))

@@ -1227,3 +1227,117 @@ def test_log2_histograms_merge_by_addition(spark):
     b = hist(li.filter(F.col("l_orderkey") % 2 == 1))
     merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
     assert merged == full
+
+
+# --------------------------------------------------------------------------
+# TX15 Zipf fit and XT2 OHLC bars vs transparent Python models.
+# --------------------------------------------------------------------------
+
+_zipf_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+    min_size=4,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_zipf_words, min_size=1, max_size=4))
+def test_zipf_slope_matches_integer_model(spark, docs):
+    """TX15 vs a transparent Python model: integer regression sums over
+    (floor_log2 rank, floor_log2 count) with the same (count DESC, word)
+    rank order — every output column must match exactly (the slope is one
+    division of identical ints)."""
+    from collections import Counter
+
+    from hhs_and_cms_data_pipeline_spark.operators.text import zipf_slope_table
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["rank_bucket"]: (
+            r["n_words"],
+            r["bucket_tokens"],
+            r["sum_log2_count"],
+            r["zipf_slope"],
+        )
+        for r in zipf_slope_table(frame).collect()
+    }
+
+    counts = Counter(w for ws in docs for w in ws)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        ((r + 1).bit_length() - 1, c.bit_length() - 1, c)
+        for r, (_, c) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _, _ in pts)
+    sy = sum(y for _, y, _ in pts)
+    sxy = sum(x * y for x, y, _ in pts)
+    sxx = sum(x * x for x, _, _ in pts)
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den if den else None
+    want = {}
+    for x, y, c in pts:
+        nw, bt, sl = want.get(x, (0, 0, 0))
+        want[x] = (nw + 1, bt + c, sl + y)
+    # den == 0 (single-bucket corpus) -> engine returns NULL -> model None
+    want = {x: (nw, bt, sl, slope) for x, (nw, bt, sl) in want.items()}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),          # event_type
+            st.integers(0, 3),                    # hour
+            st.integers(0, 2),                    # minute-within-hour (ties!)
+            st.sampled_from([1.0, 2.5, -3.0, 0.0]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ohlc_bars_match_model(spark, rows):
+    """XT2 vs a transparent model: with heavy ts ties, open/close must
+    follow the TOTAL (ts, event_id) order — the tie-break that makes the
+    bars partition-invariant."""
+    from hhs_and_cms_data_pipeline_spark.operators.relational_ext import (
+        ohlc_bars_table,
+    )
+
+    data = [
+        (i, typ, dt.datetime(2024, 1, 1, h, m), v)
+        for i, (typ, h, m, v) in enumerate(rows)
+    ]
+    frame = spark.createDataFrame(
+        data, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r["event_type"], r["h"].hour): (
+            r["n_events"],
+            r["open"],
+            r["high"],
+            r["low"],
+            r["close"],
+        )
+        for r in ohlc_bars_table(frame).collect()
+    }
+
+    want = {}
+    for eid, typ, ts, v in data:
+        key = (typ, ts.hour)
+        want.setdefault(key, []).append((ts, eid, v))
+    want = {
+        k: (
+            len(g),
+            min(g)[2],
+            max(v for _, _, v in g),
+            min(v for _, _, v in g),
+            max(g)[2],
+        )
+        for k, g in ((k, sorted(g)) for k, g in want.items())
+    }
+    assert got == want
