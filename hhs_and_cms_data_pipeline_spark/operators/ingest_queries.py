@@ -640,6 +640,25 @@ _BENFORD_VALUES = ", ".join(
 )
 
 
+def benford_digit_counts(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit histogram of a positive amount column — THE
+    digit-extraction rule (int64 floor then string head; rows < 1
+    excluded), factored so the model property test drives the exact
+    production expression. <=9 rows, checkpointed: both consumers (spine
+    join + total) read it without re-scanning the fact table."""
+    return (
+        df.filter(F.col(col) >= 1)
+        .select(
+            F.substring(F.floor(col).cast("long").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+
+
 @register(
     "dq_benford_audit",
     oracle=f"""
@@ -683,22 +702,7 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import table as _table
 
     ensure_session_conf(spark)
-    obs = (
-        _table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_extendedprice") >= 1)
-        .select(
-            F.substring(
-                F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
-            )
-            .cast("int")
-            .alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n"))
-        # <=9 rows, read twice (spine join + total): materialize so the
-        # fact-table scan behind it runs once, not once per consumer.
-        .localCheckpoint(eager=False)
-    )
+    obs = benford_digit_counts(_table(spark, sf_dir, "lineitem"), "l_extendedprice")
     tot = obs.agg(F.sum("n").alias("n_total"))
     spine = spark.createDataFrame(
         [(d, float(p)) for d, p in _BENFORD_P.items()],

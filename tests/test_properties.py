@@ -1341,3 +1341,35 @@ def test_ohlc_bars_match_model(spark, rows):
         for k, g in ((k, sorted(g)) for k, g in want.items())
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.sampled_from(
+            [0.1, 0.99, 1.0, 1.5, 9.99, 10.0, 42.0, 99.9, 100.0, 987654.32]
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_benford_digit_extraction_matches_model(spark, amounts):
+    """DQ4's digit rule vs a transparent model: first digit of the int64
+    floor, rows < 1 excluded — boundary values (0.99, 1.0, 10.0) must land
+    exactly where str(int(floor(x)))[0] puts them."""
+    import math
+    from collections import Counter
+
+    from hhs_and_cms_data_pipeline_spark.operators.ingest_queries import (
+        benford_digit_counts,
+    )
+
+    frame = spark.createDataFrame([(a,) for a in amounts], "amt double")
+    got = {
+        r["digit"]: r["n"]
+        for r in benford_digit_counts(frame, "amt").collect()
+    }
+    want = Counter(
+        int(str(math.floor(a))[0]) for a in amounts if a >= 1
+    )
+    assert got == dict(want)
