@@ -500,26 +500,29 @@ def sk_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(cents.alias("cents"))
         .groupBy("cents")
         .agg(F.count(F.lit(1)).alias("m"))
-        # value-distinct relation, consumed by four branches (total, CDF
-        # walk, histogram, estimate): materialize so the fact scan runs
-        # once, not once per branch.
-        .localCheckpoint(eager=False)
-    )
-    tot = cdfv.agg(
-        F.sum("m").alias("n"),
-        ((F.sum("m") + 1) / 2).cast("long").alias("pos"),
     )
     wc = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = cdfv.select("cents", "m", F.sum("m").over(wc).alias("c"))
+    # the single-partition CDF window runs directly over the hash aggregate
+    # (value-distinct-sized, the audit-visible pre-reduction), and THIS
+    # relation is the one materialization: the total, the exact-median
+    # walk, and the histogram all derive from it, so the fact scan runs
+    # once for the whole query.
+    cum = cdfv.select(
+        "cents", "m", F.sum("m").over(wc).alias("c")
+    ).localCheckpoint(eager=False)
+    tot = cum.agg(
+        F.max("c").alias("n"),
+        ((F.max("c") + 1) / 2).cast("long").alias("pos"),
+    )
     exact = (
         cum.crossJoin(F.broadcast(tot))
         .filter(F.col("c") >= F.col("pos"))
         .agg(F.min("cents").alias("exact_median_cents"))
     )
     hist = (
-        cdfv.groupBy(
+        cum.groupBy(
             (F.length(F.bin(F.col("cents"))) - 1).cast("long").alias("bucket")
         )
         .agg(F.sum("m").alias("n_rows"))
