@@ -576,3 +576,119 @@ def sk_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# SK5 — KMV set algebra: union cardinality and Jaccard between two user
+# sets (click-users vs view-users) FROM THEIR SKETCHES ALONE — the
+# theta-sketch operations (Dasgupta et al. 2016) that make bottom-k
+# sketches more than a distinct counter. KMV(A∪B) = merge-and-trim of
+# KMV(A), KMV(B); Jaccard ≈ |{h ∈ KMV(A∪B): h ∈ KMV(A) ∩ KMV(B)}| / k.
+# Everything after the two per-set sketches touches <= 2k rows; the exact
+# union/intersection audit (two corpus DISTINCT aggregations) is what the
+# sketch replaces at 100 TB.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sk_kmv_jaccard",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 12) AS UBIGINT) AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL AND event_type = 'click'),
+    b AS (
+      SELECT DISTINCT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 12) AS UBIGINT) AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL AND event_type = 'view'),
+    ka AS (SELECT hv FROM a ORDER BY hv LIMIT {_KMV_K}),
+    kb AS (SELECT hv FROM b ORDER BY hv LIMIT {_KMV_K}),
+    u AS (
+      SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+      ORDER BY hv LIMIT {_KMV_K}),
+    us AS (SELECT COUNT(*) AS nu, MAX(hv) AS kth FROM u),
+    mt AS (
+      SELECT COUNT(*) AS n_match
+      FROM u JOIN ka USING (hv) JOIN kb USING (hv)),
+    ex AS (
+      SELECT (SELECT COUNT(*) FROM (SELECT hv FROM a UNION SELECT hv FROM b))
+               AS exact_union,
+             (SELECT COUNT(*) FROM a JOIN b USING (hv)) AS exact_inter)
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(us.kth AS BIGINT) AS union_kth_hash,
+           CASE WHEN us.nu < {_KMV_K} THEN CAST(us.nu AS DOUBLE)
+                ELSE {_KMV_NUM} / CAST(us.kth AS DOUBLE) END AS est_union,
+           CAST(ex.exact_union AS BIGINT) AS exact_union,
+           CAST(mt.n_match AS DOUBLE) / CAST(us.nu AS DOUBLE) AS jaccard_est,
+           CAST(ex.exact_inter AS DOUBLE) / CAST(ex.exact_union AS DOUBLE)
+             AS exact_jaccard
+    FROM us CROSS JOIN mt CROSS JOIN ex
+    """,
+    tags=("SK5",),
+)
+def sk_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK5: KMV union cardinality + Jaccard of click-users vs view-users
+    computed from the two k-row sketches (module comment), with the exact
+    union/intersection as the audit. One row: k, the union sketch's k-th
+    hash, the union estimate (exact when the merged sketch holds fewer
+    than k hashes), and estimated vs exact Jaccard.
+
+    Spark shape at 100 TB: each per-set sketch is a distinct + top-k
+    (TakeOrderedAndProject — never a global sort); the merge-and-trim,
+    membership joins, and estimates run over <= 2k = 64 rows, all
+    broadcast. The exact audit costs the two corpus DISTINCT aggregations
+    the sketch exists to avoid — drop it at scale. Integer hashes and
+    pre-folded numerator; the three final divisions are the only float
+    ops."""
+    ensure_session_conf(spark)
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def hashes(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(hv.alias("hv"))
+            .distinct()
+        )
+
+    a, b = hashes("click"), hashes("view")
+    # per-set sketches: k smallest distinct hashes, then everything below
+    # is <= 2k rows (checkpointed so the corpus distincts run once each)
+    ka = a.orderBy("hv").limit(_KMV_K).localCheckpoint(eager=False)
+    kb = b.orderBy("hv").limit(_KMV_K).localCheckpoint(eager=False)
+    u = (
+        ka.union(kb)
+        .distinct()
+        .orderBy("hv")
+        .limit(_KMV_K)
+        .localCheckpoint(eager=False)
+    )
+    us = u.agg(F.count(F.lit(1)).alias("nu"), F.max("hv").alias("kth"))
+    mt = u.join(ka, "hv").join(kb, "hv").agg(F.count(F.lit(1)).alias("n_match"))
+    exact_union = a.union(b).distinct().agg(
+        F.count(F.lit(1)).alias("exact_union")
+    )
+    exact_inter = a.join(b, "hv").agg(F.count(F.lit(1)).alias("exact_inter"))
+    est_union = F.when(
+        F.col("nu") < _KMV_K, F.col("nu").cast("double")
+    ).otherwise(F.lit(float(_KMV_NUM)) / F.col("kth").cast("double"))
+    return (
+        us.crossJoin(F.broadcast(mt))
+        .crossJoin(F.broadcast(exact_union))
+        .crossJoin(F.broadcast(exact_inter))
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            F.col("kth").cast("long").alias("union_kth_hash"),
+            est_union.alias("est_union"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            (
+                F.col("n_match").cast("double") / F.col("nu").cast("double")
+            ).alias("jaccard_est"),
+            (
+                F.col("exact_inter").cast("double")
+                / F.col("exact_union").cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )

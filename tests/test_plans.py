@@ -679,3 +679,12 @@ def test_histogram_median_derives_from_one_cdf(spark, specs):
     assert plan.count("Scan parquet") == 0  # fact scan is behind the checkpoint
     assert count_broadcast_joins(plan) >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_kmv_jaccard_sketches_via_topk(spark, specs):
+    """SK5: each per-set sketch is distinct + TakeOrderedAndProject (never
+    a global sort), and all set algebra downstream of the k-row sketches
+    joins via broadcast."""
+    plan = formatted_plan(specs["sk_kmv_jaccard"].builder(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 3
+    assert "SortMergeJoin" not in plan
