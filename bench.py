@@ -52,6 +52,8 @@ def main() -> None:
         "dedup_cdc_chunks",
         "dedup_semantic_prune",
         "text_bigram_lm_surprisal",
+        "sk_histogram_median",
+        "stream_hll_registers",
         # graph_triangle_counts is intentionally NOT here: ~34s at sf0.1
         # (honest wedge-join enumeration) would dominate the bench wall
         # clock; its per-round correctness cost is covered by the sf0.01
