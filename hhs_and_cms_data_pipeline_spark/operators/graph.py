@@ -104,10 +104,15 @@ def _triangle_counts(und: DataFrame, deg: DataFrame) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    # the wedge/closure joins are EDGE x EDGE: force shuffle joins — the
+    # checkpointed edge relation carries no stats, and letting Catalyst
+    # auto-broadcast it OOMs a default-sized driver at sf0.1 and is the
+    # wrong plan outright at 100 TB (orientation bounds the per-key fanout,
+    # so a hash-partitioned join is skew-safe)
     tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        e1.join(e2.hint("shuffle_hash"), F.col("e1.dst") == F.col("e2.src"))
         .join(
-            e3,
+            e3.hint("shuffle_hash"),
             (F.col("e3.src") == F.col("e1.src"))
             & (F.col("e3.dst") == F.col("e2.dst")),
         )

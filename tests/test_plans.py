@@ -688,3 +688,12 @@ def test_kmv_jaccard_sketches_via_topk(spark, specs):
     plan = formatted_plan(specs["sk_kmv_jaccard"].builder(spark, SF_SMOKE))
     assert count_broadcast_joins(plan) >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_triangle_wedge_joins_never_broadcast_edges(spark, specs):
+    """GRAPH1: the wedge and closure joins are EDGE x EDGE and must be
+    shuffle hash joins — auto-broadcasting the stats-less checkpointed
+    edge relation OOMs a default-sized driver at sf0.1 and cannot exist
+    at 100 TB (the degree orientation makes the hash join skew-safe)."""
+    plan = formatted_plan(specs["graph_triangle_counts"].builder(spark, SF_SMOKE))
+    assert plan.count("ShuffledHashJoin") >= 2
