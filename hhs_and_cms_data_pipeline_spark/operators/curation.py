@@ -1134,3 +1134,118 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "raw_score", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# C16 — weighted PRIORITY sampling (Duffield, Lund & Thorup, JACM 2007):
+# draw k documents with probability proportional to weight (n_chars here;
+# quality scores in production), with the Horvitz-Thompson total estimate
+# the scheme is built for. Priorities are deterministic: u_i = (h_i+1)/2^48
+# from the md5 idiom, q_i = w_i/u_i computed as the EXACT integer
+# (w_i << 48) div (h_i + 1) — so selection, threshold tau, and the
+# estimator sum(max(w_i << 48, tau)) are all integer; the decimal-summed
+# scaled total converts to double once and divides by the exact power of
+# two 2^48. The exact corpus weight rides along as the audit.
+# --------------------------------------------------------------------------
+
+_PRI_K = 32
+_PRI_POW2 = "281474976710656.0"  # 2^48, exact in double
+
+
+@register(
+    "curation_priority_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars AS w,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                       AS UBIGINT) AS BIGINT) + 1 AS h
+      FROM documents WHERE n_chars > 0),
+    p AS (SELECT doc_id, w, (w << 48) // h AS q FROM d),
+    top AS (SELECT * FROM p ORDER BY q DESC, doc_id LIMIT {_PRI_K + 1}),
+    tau AS (
+      SELECT CASE WHEN COUNT(*) = {_PRI_K + 1} THEN MIN(q) ELSE 0 END AS tau_q
+      FROM top),
+    samp AS (SELECT * FROM top ORDER BY q DESC, doc_id LIMIT {_PRI_K}),
+    est AS (
+      SELECT SUM(CAST(GREATEST(s.w << 48, t.tau_q) AS HUGEINT)) AS sc
+      FROM samp s CROSS JOIN tau t),
+    ex AS (SELECT SUM(w) AS total_w FROM d)
+    SELECT s.doc_id, CAST(s.w AS BIGINT) AS w, CAST(s.q AS BIGINT) AS priority,
+           CAST(e.sc AS DOUBLE) / {_PRI_POW2} AS est_total_weight,
+           CAST(x.total_w AS BIGINT) AS exact_total_weight,
+           (CAST(e.sc AS DOUBLE) / {_PRI_POW2}
+            - CAST(x.total_w AS DOUBLE)) / CAST(x.total_w AS DOUBLE)
+             AS rel_error
+    FROM samp s CROSS JOIN est e CROSS JOIN ex x
+    ORDER BY s.q DESC, s.doc_id
+    """,
+    tags=("C16",),
+)
+def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: k-document weighted priority sample + Horvitz-Thompson total
+    (module comment). One row per sampled doc — weight, integer priority —
+    with the estimated vs exact corpus weight repeated.
+
+    Spark shape at 100 TB: priorities are a map-only projection; selection
+    is TakeOrderedAndProject(k+1) — per-partition heaps, never a global
+    sort. Everything after the (k+1)-row checkpoint is broadcast algebra.
+    The exact-total audit is one SUM the estimator exists to replace (at
+    scale: keep the sample, drop the audit). The estimator is exact
+    integer in 2^48-scaled space, summed in DECIMAL (int64 would overflow
+    at ~6.5e4 max-weight docs), so both engines emit the identical double
+    after the single power-of-two descale."""
+    ensure_session_conf(spark)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long") + F.lit(1)
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", F.col("n_chars").alias("w"), h.alias("h"))
+    )
+    p = d.select(
+        "doc_id", "w", F.expr("shiftleft(cast(w as bigint), 48) div h").alias("q")
+    )
+    top = (
+        p.orderBy(F.desc("q"), F.asc("doc_id"))
+        .limit(_PRI_K + 1)
+        # k+1 rows, read three times (tau, sample, estimator): materialize
+        # so the corpus top-k heap scan runs once.
+        .localCheckpoint(eager=False)
+    )
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) == _PRI_K + 1, F.min("q"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("tau_q")
+    )
+    samp = top.orderBy(F.desc("q"), F.asc("doc_id")).limit(_PRI_K)
+    est = (
+        samp.crossJoin(F.broadcast(tau))
+        .select(
+            F.greatest(
+                F.expr("shiftleft(cast(w as bigint), 48)"), F.col("tau_q")
+            )
+            .cast("decimal(38,0)")
+            .alias("scaled")
+        )
+        .agg(F.sum("scaled").alias("sc"))
+    )
+    ex = d.agg(F.sum("w").alias("total_w"))
+    est_total = F.col("sc").cast("double") / F.lit(float(_PRI_POW2))
+    return (
+        samp.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("w"),
+            F.col("q").cast("long").alias("priority"),
+            est_total.alias("est_total_weight"),
+            F.col("total_w").cast("long").alias("exact_total_weight"),
+            (
+                (est_total - F.col("total_w").cast("double"))
+                / F.col("total_w").cast("double")
+            ).alias("rel_error"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+    )

@@ -697,3 +697,31 @@ def test_triangle_wedge_joins_never_broadcast_edges(spark, specs):
     at 100 TB (the degree orientation makes the hash join skew-safe)."""
     plan = formatted_plan(specs["graph_triangle_counts"].builder(spark, SF_SMOKE))
     assert plan.count("ShuffledHashJoin") >= 2
+
+
+def test_priority_sample_selects_via_topk_heap(spark, specs):
+    """C16: selection must be TakeOrderedAndProject (per-partition heaps),
+    never a global sort of the prioritized corpus; post-checkpoint algebra
+    is broadcast-only."""
+    from hhs_and_cms_data_pipeline_spark.operators.curation import _PRI_K
+    from hhs_and_cms_data_pipeline_spark.sources import table as _t
+    from pyspark.sql import functions as F
+
+    # the selection plan (pre-checkpoint): build the prioritized relation
+    # exactly as the operator does and take k+1
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long") + F.lit(1)
+    p = (
+        _t(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", F.col("n_chars").alias("w"), h.alias("h"))
+        .select("doc_id", "w", F.expr("shiftleft(cast(w as bigint), 48) div h").alias("q"))
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .limit(_PRI_K + 1)
+    )
+    assert "TakeOrderedAndProject" in formatted_plan(p)
+
+    plan = formatted_plan(specs["curation_priority_sample"].builder(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 2
+    assert "SortMergeJoin" not in plan
