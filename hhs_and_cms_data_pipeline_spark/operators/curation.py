@@ -1141,15 +1141,19 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # draw k documents with probability proportional to weight (n_chars here;
 # quality scores in production), with the Horvitz-Thompson total estimate
 # the scheme is built for. Priorities are deterministic: u_i = (h_i+1)/2^48
-# from the md5 idiom, q_i = w_i/u_i computed as the EXACT integer
-# (w_i << 48) div (h_i + 1) — so selection, threshold tau, and the
-# estimator sum(max(w_i << 48, tau)) are all integer; the decimal-summed
-# scaled total converts to double once and divides by the exact power of
-# two 2^48. The exact corpus weight rides along as the audit.
+# from the md5 idiom, and q_i = w_i/u_i = (w_i << 48) div (h_i + 1) — the
+# 2^48 factors cancel, so the integer priority is already in PLAIN weight
+# units (the first cut of this operator compared a plain-unit tau against
+# w << 48, silently degrading the estimator to the bare sample sum — a
+# units bug the differential oracle cannot catch because both engines
+# shared it; the unbiasedness property test below the oracle now pins the
+# estimate to the exact total). Selection, the threshold tau (the (k+1)-th
+# priority), and the per-item estimate max(w_i, tau) are all exact int64;
+# the decimal-summed total casts to double once. The exact corpus weight
+# rides along as the audit.
 # --------------------------------------------------------------------------
 
 _PRI_K = 32
-_PRI_POW2 = "281474976710656.0"  # 2^48, exact in double
 
 
 @register(
@@ -1167,13 +1171,13 @@ _PRI_POW2 = "281474976710656.0"  # 2^48, exact in double
       FROM top),
     samp AS (SELECT * FROM top ORDER BY q DESC, doc_id LIMIT {_PRI_K}),
     est AS (
-      SELECT SUM(CAST(GREATEST(s.w << 48, t.tau_q) AS HUGEINT)) AS sc
+      SELECT SUM(CAST(GREATEST(s.w, t.tau_q) AS HUGEINT)) AS sc
       FROM samp s CROSS JOIN tau t),
     ex AS (SELECT SUM(w) AS total_w FROM d)
     SELECT s.doc_id, CAST(s.w AS BIGINT) AS w, CAST(s.q AS BIGINT) AS priority,
-           CAST(e.sc AS DOUBLE) / {_PRI_POW2} AS est_total_weight,
+           CAST(e.sc AS DOUBLE) AS est_total_weight,
            CAST(x.total_w AS BIGINT) AS exact_total_weight,
-           (CAST(e.sc AS DOUBLE) / {_PRI_POW2}
+           (CAST(e.sc AS DOUBLE)
             - CAST(x.total_w AS DOUBLE)) / CAST(x.total_w AS DOUBLE)
              AS rel_error
     FROM samp s CROSS JOIN est e CROSS JOIN ex x
@@ -1190,10 +1194,10 @@ def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is TakeOrderedAndProject(k+1) — per-partition heaps, never a global
     sort. Everything after the (k+1)-row checkpoint is broadcast algebra.
     The exact-total audit is one SUM the estimator exists to replace (at
-    scale: keep the sample, drop the audit). The estimator is exact
-    integer in 2^48-scaled space, summed in DECIMAL (int64 would overflow
-    at ~6.5e4 max-weight docs), so both engines emit the identical double
-    after the single power-of-two descale."""
+    scale: keep the sample, drop the audit). The estimator is exact int64
+    in plain weight units (priorities can reach w * 2^48 when the hash is
+    tiny, so the k-term sum rides DECIMAL against overflow); both engines
+    emit the identical double from the single final cast."""
     ensure_session_conf(spark)
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
@@ -1223,16 +1227,14 @@ def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (
         samp.crossJoin(F.broadcast(tau))
         .select(
-            F.greatest(
-                F.expr("shiftleft(cast(w as bigint), 48)"), F.col("tau_q")
-            )
+            F.greatest(F.col("w").cast("long"), F.col("tau_q"))
             .cast("decimal(38,0)")
-            .alias("scaled")
+            .alias("t_w")
         )
-        .agg(F.sum("scaled").alias("sc"))
+        .agg(F.sum("t_w").alias("sc"))
     )
     ex = d.agg(F.sum("w").alias("total_w"))
-    est_total = F.col("sc").cast("double") / F.lit(float(_PRI_POW2))
+    est_total = F.col("sc").cast("double")
     return (
         samp.crossJoin(F.broadcast(est))
         .crossJoin(F.broadcast(ex))

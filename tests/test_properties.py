@@ -1373,3 +1373,23 @@ def test_benford_digit_extraction_matches_model(spark, amounts):
         int(str(math.floor(a))[0]) for a in amounts if a >= 1
     )
     assert got == dict(want)
+
+
+def test_priority_sample_estimator_is_calibrated(spark):
+    """C16's Horvitz-Thompson estimate must land near the exact corpus
+    weight (k=32 keeps variance modest on the test corpus). This is the
+    guard the differential oracle cannot provide: a units mistake in the
+    estimator (e.g. comparing plain-unit tau against w << 48) reproduces
+    identically in both engines but collapses the estimate to the bare
+    sample sum, ~1% of the truth."""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    row = (
+        all_specs()["curation_priority_sample"]
+        .builder(spark, SF_SMOKE)
+        .limit(1)
+        .collect()[0]
+    )
+    ratio = row["est_total_weight"] / row["exact_total_weight"]
+    assert 0.4 < ratio < 2.5, f"estimator mis-calibrated: ratio {ratio}"
