@@ -45,6 +45,37 @@ _HLL_ALPHA = "0.7093409548395029"  # repr(0.7213 / (1 + 1.079/64))
 # in-engine rounding left is the final division by the exact-int S.
 _HLL_NUM = "1.6356288818656343e+18"  # repr((alpha * 4096.0) * 2.0**49)
 
+# Small-range (linear counting) correction, Flajolet et al. 2007 Fig. 3:
+# when the raw estimate is <= 2.5m and some register is still zero, the
+# better estimator is m * ln(m / V) with V = #zero registers. ln is libm —
+# not bit-portable — but V has only m possible values, so the correction is
+# a 64-entry table of literals computed ONCE here and shared verbatim by
+# the Spark spine and the SQL VALUES; engines never call a transcendental.
+import math as _math
+
+_HLL_LC_BOUND = "160.0"  # 2.5 * m, exact in double
+_HLL_LC = {v: repr(_HLL_M * _math.log(_HLL_M / v)) for v in range(1, _HLL_M + 1)}
+_HLL_LC_VALUES = ", ".join(
+    f"({v}, CAST({x} AS DOUBLE))" for v, x in _HLL_LC.items()
+)
+
+# Oracle-side estimate CTEs over a `reg(register, max_rho, ...)` relation:
+# exact-int register sum + zero-register count, the literal lc table, and
+# the corrected estimate. SK1 and ST16's oracles share this text.
+_SQL_HLL_EST = f"""
+    tot AS (
+      SELECT SUM(CAST(1 AS BIGINT) << ({_HLL_R} - max_rho)) AS s_denom,
+             SUM(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS nz
+      FROM reg),
+    lc(v, lc_est) AS (VALUES {_HLL_LC_VALUES}),
+    est AS (
+      SELECT CASE WHEN {_HLL_NUM} / CAST(t.s_denom AS DOUBLE)
+                       <= {_HLL_LC_BOUND} AND t.nz > 0
+                  THEN l.lc_est
+                  ELSE {_HLL_NUM} / CAST(t.s_denom AS DOUBLE)
+             END AS hll_estimate
+      FROM tot t LEFT JOIN lc l ON l.v = t.nz)"""
+
 
 def hll_point_cols(user_col: str = "user_id") -> tuple[F.Column, F.Column]:
     """(register index, rho) expressions for one item — THE definition of
@@ -71,10 +102,31 @@ def hll_batch_registers(df: DataFrame, user_col: str = "user_id") -> DataFrame:
     )
 
 
-def hll_estimate_col(s_denom: F.Column) -> F.Column:
-    """The HLL estimate from the exact-int register sum (module comment):
-    one shared pre-folded literal over one division."""
-    return F.lit(float(_HLL_NUM)) / s_denom.cast("double")
+def hll_estimate_frame(reg: DataFrame) -> DataFrame:
+    """One-row (hll_estimate) frame from a full `(register, max_rho)`
+    table, applying the shared linear-counting correction (module
+    comment). Shared by SK1 and ST16 so the two estimates cannot drift."""
+    spark = reg.sparkSession
+    tot = reg.agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast({_HLL_R} - max_rho as int))"
+            )
+        ).alias("s_denom"),
+        F.sum(F.when(F.col("max_rho") == 0, 1).otherwise(0)).alias("nz"),
+    )
+    spine = spark.createDataFrame(
+        [(v, float(x)) for v, x in _HLL_LC.items()], "v int, lc_est double"
+    )
+    raw = F.lit(float(_HLL_NUM)) / F.col("s_denom").cast("double")
+    est = F.when(
+        (raw <= F.lit(float(_HLL_LC_BOUND))) & (F.col("nz") > 0),
+        F.col("lc_est"),
+    ).otherwise(raw)
+    return (
+        tot.join(F.broadcast(spine), tot.nz == spine.v, "left")
+        .select(est.alias("hll_estimate"))
+    )
 
 
 @register(
@@ -102,18 +154,15 @@ def hll_estimate_col(s_denom: F.Column) -> F.Column:
              COALESCE(r.nd, 0) AS nd
       FROM range(0, {_HLL_M}) g(register)
       LEFT JOIN r ON r.idx = g.register),
-    tot AS (
-      SELECT SUM(CAST(1 AS BIGINT) << ({_HLL_R} - max_rho)) AS s_denom,
-             SUM(nd) AS exact_distinct
-      FROM reg)
+    {_SQL_HLL_EST},
+    ex AS (SELECT SUM(nd) AS exact_distinct FROM reg)
     SELECT reg.register,
            CAST(reg.max_rho AS BIGINT) AS max_rho,
-           {_HLL_NUM} / CAST(t.s_denom AS DOUBLE) AS hll_estimate,
-           CAST(t.exact_distinct AS BIGINT) AS exact_distinct,
-           ({_HLL_NUM} / CAST(t.s_denom AS DOUBLE)
-            - CAST(t.exact_distinct AS DOUBLE))
-             / CAST(t.exact_distinct AS DOUBLE) AS rel_error
-    FROM reg CROSS JOIN tot t
+           e.hll_estimate,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           (e.hll_estimate - CAST(x.exact_distinct AS DOUBLE))
+             / CAST(x.exact_distinct AS DOUBLE) AS rel_error
+    FROM reg CROSS JOIN est e CROSS JOIN ex x
     ORDER BY reg.register
     """,
     tags=("SK1",),
@@ -157,22 +206,18 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the corpus aggregation behind it runs once.
         .localCheckpoint(eager=False)
     )
-    tot = reg.agg(
-        F.sum(
-            F.expr(f"shiftleft(cast(1 as bigint), cast({_HLL_R} - max_rho as int))")
-        ).alias("s_denom"),
-        F.sum("nd").alias("exact_distinct"),
-    )
-    est = hll_estimate_col(F.col("s_denom"))
+    estf = hll_estimate_frame(reg)
+    ex = reg.agg(F.sum("nd").alias("exact_distinct"))
     return (
-        reg.crossJoin(F.broadcast(tot))
+        reg.crossJoin(F.broadcast(estf))
+        .crossJoin(F.broadcast(ex))
         .select(
             "register",
             F.col("max_rho").cast("long").alias("max_rho"),
-            est.alias("hll_estimate"),
+            "hll_estimate",
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
             (
-                (est - F.col("exact_distinct").cast("double"))
+                (F.col("hll_estimate") - F.col("exact_distinct").cast("double"))
                 / F.col("exact_distinct").cast("double")
             ).alias("rel_error"),
         )

@@ -1575,6 +1575,9 @@ def make_hll_merger(target: str):
     return _merge
 
 
+from .sketch import _SQL_HLL_EST as _SQL_HLL_EST_CTES  # shared estimate text
+
+
 @register(
     "stream_hll_registers",
     oracle=f"""
@@ -1592,12 +1595,11 @@ def make_hll_merger(target: str):
       SELECT g.register, COALESCE(r.rho, 0) AS max_rho
       FROM range(0, 64) g(register)
       LEFT JOIN r ON r.idx = g.register),
-    tot AS (
-      SELECT SUM(CAST(1 AS BIGINT) << (49 - max_rho)) AS s_denom FROM reg)
+    {_SQL_HLL_EST_CTES}
     SELECT reg.register,
            CAST(reg.max_rho AS BIGINT) AS max_rho,
-           1.6356288818656343e+18 / CAST(t.s_denom AS DOUBLE) AS hll_estimate
-    FROM reg CROSS JOIN tot t
+           e.hll_estimate
+    FROM reg CROSS JOIN est e
     ORDER BY reg.register
     """,
     tags=("ST16",),
@@ -1622,7 +1624,7 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks import clear_published_versions, read_published
     from ..streaming.events import events_raw_schema
     from ..streaming.stateful import stage_chronological_files
-    from .sketch import _HLL_M, _HLL_R, hll_estimate_col
+    from .sketch import _HLL_M, hll_estimate_frame
 
     ensure_session_conf(spark)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -1655,21 +1657,14 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "register",
             F.coalesce(F.col("rho"), F.lit(0)).alias("max_rho"),
         )
-        .localCheckpoint(eager=False)  # 64 rows, read by output + total
-    )
-    tot = reg.agg(
-        F.sum(
-            F.expr(
-                f"shiftleft(cast(1 as bigint), cast({_HLL_R} - max_rho as int))"
-            )
-        ).alias("s_denom")
+        .localCheckpoint(eager=False)  # 64 rows, read by output + estimate
     )
     return (
-        reg.crossJoin(F.broadcast(tot))
+        reg.crossJoin(F.broadcast(hll_estimate_frame(reg)))
         .select(
             "register",
             F.col("max_rho").cast("long").alias("max_rho"),
-            hll_estimate_col(F.col("s_denom")).alias("hll_estimate"),
+            "hll_estimate",
         )
         .orderBy("register")
     )

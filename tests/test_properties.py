@@ -1393,3 +1393,26 @@ def test_priority_sample_estimator_is_calibrated(spark):
     )
     ratio = row["est_total_weight"] / row["exact_total_weight"]
     assert 0.4 < ratio < 2.5, f"estimator mis-calibrated: ratio {ratio}"
+
+
+@pytest.mark.parametrize(
+    "name,col",
+    [
+        ("sk_hll_distinct", "rel_error"),
+        ("sk_kmv_distinct", "rel_error"),
+        ("sk_histogram_median", "rel_error"),
+    ],
+)
+def test_sketch_estimates_are_calibrated(spark, name, col):
+    """Semantic guard the bit-exact differential cannot give (C16's units
+    bug reproduced identically in both engines): every sketch's relative
+    error against its in-query exact audit stays within the bound its
+    parameters promise (|err| well under 50% for m=64 HLL, k=32 KMV, and
+    log2-bucket interpolation on these corpora)."""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    rows = all_specs()[name].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r[col]) < 0.5, f"{name} rel_error {r[col]}"
