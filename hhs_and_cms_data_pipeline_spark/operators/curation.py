@@ -1199,12 +1199,19 @@ def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny, so the k-term sum rides DECIMAL against overflow); both engines
     emit the identical double from the single final cast."""
     ensure_session_conf(spark)
+    return priority_sample_table(table(spark, sf_dir, "documents"))
+
+
+def priority_sample_table(docs: DataFrame) -> DataFrame:
+    """C16's DAG over any (doc_id, n_chars) frame — factored so the
+    property test can push corpora SMALLER than k+1 through the exact
+    production plan (tau = 0 there, making the estimate exactly the
+    corpus total; that branch never fires on the test corpus)."""
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
     ).cast("long") + F.lit(1)
     d = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("n_chars") > 0)
+        docs.filter(F.col("n_chars") > 0)
         .select("doc_id", F.col("n_chars").alias("w"), h.alias("h"))
     )
     p = d.select(

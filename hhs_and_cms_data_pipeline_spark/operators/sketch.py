@@ -419,13 +419,21 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator is a shared pre-folded literal; one division is the only
     float op."""
     ensure_session_conf(spark)
+    return kmv_distinct_table(
+        table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+def kmv_distinct_table(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """SK3's DAG over any (group, key) frame — factored so the property
+    test can push groups SMALLER than k through the exact production plan
+    (the nd < k branch never fires on the event corpus)."""
     hv = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10
     ).cast("long")
     d = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
-        .select("event_type", hv.alias("hv"))
+        df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("event_type"), hv.alias("hv"))
         .distinct()
     )
     from pyspark.sql import Window

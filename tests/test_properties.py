@@ -1416,3 +1416,50 @@ def test_sketch_estimates_are_calibrated(spark, name, col):
     assert rows
     for r in rows:
         assert abs(r[col]) < 0.5, f"{name} rel_error {r[col]}"
+
+
+def test_kmv_small_group_branch_is_exact(spark):
+    """SK3's nd < k branch (never hit by the event corpus): a group with
+    fewer than k distinct keys must report its EXACT count with zero
+    relative error, and its kth_hash must be the group's LARGEST hash
+    (rn = nd row); a group above k still estimates."""
+    from hhs_and_cms_data_pipeline_spark.operators.sketch import (
+        _KMV_K,
+        kmv_distinct_table,
+    )
+
+    rows = [("small", i) for i in range(5)] + [
+        ("big", i) for i in range(_KMV_K * 4)
+    ]
+    frame = spark.createDataFrame(rows, "grp string, key long")
+    got = {
+        r["event_type"]: r
+        for r in kmv_distinct_table(frame, "grp", "key").collect()
+    }
+    assert got["small"]["n_exact"] == 5
+    assert got["small"]["kmv_estimate"] == 5.0
+    assert got["small"]["rel_error"] == 0.0
+    assert got["big"]["n_exact"] == _KMV_K * 4
+    assert got["big"]["kmv_estimate"] != float(_KMV_K * 4)
+    assert abs(got["big"]["rel_error"]) < 0.5
+
+
+def test_priority_sample_small_corpus_is_exact(spark):
+    """C16's tau = 0 branch (never hit by the test corpus): with fewer
+    than k+1 documents every document is sampled, tau is 0, and the HT
+    estimate must equal the exact total EXACTLY."""
+    from hhs_and_cms_data_pipeline_spark.operators.curation import (
+        priority_sample_table,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, "x", (i + 1) * 10) for i in range(7)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = priority_sample_table(frame).collect()
+    assert len(rows) == 7
+    total = sum((i + 1) * 10 for i in range(7))
+    for r in rows:
+        assert r["exact_total_weight"] == total
+        assert r["est_total_weight"] == float(total)
+        assert r["rel_error"] == 0.0
