@@ -37,7 +37,6 @@ from ..sources import table
 
 _HLL_M = 64
 _HLL_R = 49  # 48 hash bits -> rho in [1, 49]
-_HLL_POW2_R = float(1 << _HLL_R)  # 2^49, exact in double
 _HLL_ALPHA = "0.7093409548395029"  # repr(0.7213 / (1 + 1.079/64))
 # alpha * m^2 * 2^49 pre-folded to ONE double literal shared verbatim by
 # both engines (folding in Python sidesteps DuckDB typing a bare decimal
