@@ -310,3 +310,140 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), F.asc("part"))
         .limit(_PR_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# GRAPH4 — community detection by synchronous label propagation (Raghavan
+# et al. 2007), made deterministic: each node adopts the MOST FREQUENT
+# label among its neighbors, ties broken by SMALLEST label, for a FIXED
+# number of synchronous rounds. Classic LPA is run-order-dependent
+# (asynchronous, random tie-break); the (count DESC, label ASC) total
+# order plus synchronous rounds makes the result a pure function of the
+# edge set — differentially testable and partition-invariant.
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+_LPA_TOP_K = 20
+
+
+def _sql_lpa_iter(prev: str, nxt: str, r: int) -> str:
+    return f"""
+    lc{r} AS (
+      SELECT d.v AS n, p.lbl, COUNT(*) AS cnt
+      FROM dir d JOIN {prev} p ON d.u = p.n
+      GROUP BY 1, 2),
+    {nxt} AS (
+      SELECT n, lbl FROM (
+        SELECT n, lbl,
+               row_number() OVER (PARTITION BY n
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM lc{r}) WHERE rn = 1)"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    dir AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM dir),
+    {_sql_lpa_iter("l0", "l1", 1)},
+    {_sql_lpa_iter("l1", "l2", 2)},
+    {_sql_lpa_iter("l2", "l3", 3)}
+    SELECT lbl AS community, COUNT(*) AS n_members
+    FROM l3
+    GROUP BY 1
+    ORDER BY n_members DESC, community
+    LIMIT {_LPA_TOP_K}
+    """,
+    tags=("GRAPH4",),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH4: top-20 communities (by size) from 3 rounds of deterministic
+    synchronous label propagation over the co-purchase graph (module
+    comment above for the determinism contract).
+
+    Scale posture (100 TB / 1000 executors): the same Pregel shape as
+    GRAPH3 — per round, ONE join of the label vector against the
+    materialized directed edge list, then two keyed aggregations that
+    AQE plans back-to-back: count per (node, label) and the
+    argmax-by-(count, -label) reduction per node. The argmax is
+    MAX(struct(cnt, -lbl)) — a hash aggregate with map-side partials, NOT
+    a row_number window (which would add a per-node sort); the oracle
+    states the same total order declaratively. The directed edge list is
+    localCheckpointed once and reused by all rounds, so the co-occurrence
+    self-join never re-runs; the label frame is O(|V|) and AQE broadcasts
+    it while it fits. Labels/counts are integers throughout — bit-exact
+    across engines and partitionings.
+    """
+    ensure_session_conf(spark)
+    und = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    dir_edges = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    lab = dir_edges.select(F.col("u").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    )
+    for _ in range(_LPA_ITERS):
+        nbr = dir_edges.join(lab, dir_edges.u == lab.n).select(
+            F.col("v").alias("n"), "lbl"
+        )
+        lab = (
+            nbr.groupBy("n", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("n")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg_lbl"))
+                ).alias("m")
+            )
+            .select("n", (-F.col("m.neg_lbl")).alias("lbl"))
+        )
+    return (
+        lab.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(_LPA_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# GRAPH5 — degree distribution: the first thing anyone profiles on a new
+# graph (skew! the whole scale story of GRAPH1-4 hinges on it). One row
+# per distinct degree with the node count — the exact histogram a planner
+# consults before choosing orientation caps or salting factors.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    degs AS (
+      SELECT n, COUNT(*) AS deg FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY 1)
+    SELECT deg, COUNT(*) AS n_nodes
+    FROM degs
+    GROUP BY 1
+    ORDER BY deg
+    """,
+    tags=("GRAPH5",),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH5: degree histogram of the co-purchase graph — (deg, n_nodes),
+    ordered by degree. All-integer, two hash aggregations.
+
+    Scale posture: first agg is keyed on node (map-side partials collapse
+    the edge list), second on degree — whose cardinality is O(max_deg),
+    tiny, so the final exchange moves almost nothing. This is the skew
+    profile that justifies GRAPH1's degree orientation: a heavy tail here
+    is exactly the "curse of the last reducer" the orientation defuses."""
+    ensure_session_conf(spark)
+    und = _cooccurrence_edges(spark, sf_dir)
+    return (
+        _degrees(und)
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("deg")
+    )

@@ -725,3 +725,186 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# DQ5 — referential-integrity audit over the TPC-H-ish fact tables: for
+# each FK edge (orders->customer, lineitem->orders, lineitem->part,
+# lineitem->supplier) count child rows whose key has no parent. The
+# reference ENFORCES these relations in Postgres DDL (Phase1_updated.ipynb
+# cells 7-13, ON DELETE rules); Spark enforces nothing, so at 100 TB the
+# audit IS the constraint — run after every load, alert on nonzero.
+# --------------------------------------------------------------------------
+
+_FK_EDGES = (
+    ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+@register(
+    "dq_fk_orphans",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS fk_edge,
+           (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+           (SELECT COUNT(*) FROM {child} c
+            WHERE c.{ckey} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pkey} = c.{ckey})) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM {child} c
+                 WHERE c.{ckey} IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pkey} = c.{ckey})) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM {child}) AS DOUBLE) AS orphan_frac
+    """
+        for name, child, ckey, parent, pkey in _FK_EDGES
+    )
+    + "\nORDER BY fk_edge",
+    tags=("DQ5",),
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ5: FK orphan report (module comment) — one row per FK edge with
+    child cardinality, orphan count (NULL keys are not orphans; they are
+    the DDL's ON DELETE SET NULL outcome), and the orphan fraction.
+
+    Spark shape at 100 TB: each edge is one LEFT ANTI join aggregated to a
+    single count — the parent KEY COLUMN (distinct, projected to one
+    int64) broadcasts for customer/part/supplier-sized dims; the
+    lineitem->orders edge at full scale becomes a shuffled anti join on
+    the already-partitioned order key. Counts are exact int64; the one
+    division per row is the only float op."""
+    from ..sources import table as _table
+
+    ensure_session_conf(spark)
+    frames = []
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        c = _table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = _table(spark, sf_dir, parent).select(F.col(pkey).alias("k")).distinct()
+        orphans = (
+            c.filter(F.col("k").isNotNull())
+            .join(p, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = c.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        frames.append(
+            total.crossJoin(F.broadcast(orphans)).select(
+                F.lit(name).alias("fk_edge"),
+                F.col("n_child_rows").cast("long").alias("n_child_rows"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                (
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child_rows").cast("double")
+                ).alias("orphan_frac"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("fk_edge")
+
+
+# --------------------------------------------------------------------------
+# DQ6 — distribution-drift audit between two time windows of the event
+# stream: per event_type, the share of traffic in a reference window vs
+# the current window, plus the total-variation (L1) drift across the
+# whole categorical distribution. The production use: run per load, alert
+# when l1_drift_fp crosses a threshold — the earliest signal that an
+# upstream producer changed behavior (schema drift's quieter sibling).
+# All arithmetic is INTEGER fixed-point (1e9 == share 1.0): proportions
+# via integer division, never float — bit-exact across engines,
+# partitionings, and cluster sizes.
+# --------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+_DRIFT_SCALE = 1_000_000_000
+
+
+@register(
+    "dq_distribution_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+      FROM events),
+    c AS (
+      SELECT event_type,
+             CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+      FROM ev GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+      FROM c)
+    SELECT event_type, n_ref, n_cur,
+           CAST(({_DRIFT_SCALE} * n_ref) // tot_ref AS BIGINT) AS p_ref_fp,
+           CAST(({_DRIFT_SCALE} * n_cur) // tot_cur AS BIGINT) AS p_cur_fp,
+           CAST(ABS(({_DRIFT_SCALE} * n_ref) // tot_ref
+                    - ({_DRIFT_SCALE} * n_cur) // tot_cur) AS BIGINT) AS delta_fp,
+           CAST(SUM(ABS(({_DRIFT_SCALE} * n_ref) // tot_ref
+                        - ({_DRIFT_SCALE} * n_cur) // tot_cur))
+                  OVER () AS BIGINT) AS l1_drift_fp
+    FROM c CROSS JOIN t
+    ORDER BY event_type
+    """,
+    tags=("DQ6",),
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ6: categorical drift report (module comment) — one row per
+    event_type with counts, fixed-point shares in each window, the
+    per-type share delta, and the repeated total L1 drift.
+
+    Spark shape at 100 TB: ONE pass over events (the is_ref flag is a
+    map-side expression; both window counts come out of a single hash
+    aggregate keyed on event_type — no second scan, no join back to the
+    raw stream). Everything after that aggregate operates on
+    O(|event_type|) rows: the grand totals re-aggregate the tiny grouped
+    frame and broadcast back via crossJoin, and the L1 window runs over
+    the same tiny frame (a single-partition window over a handful of
+    category rows, NOT over the raw events). Integer fixed-point
+    throughout — no float, no order sensitivity."""
+    from ..sources import table as _table
+
+    ensure_session_conf(spark)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    c = (
+        _table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.when(F.col("ts") < split, F.lit(1)).otherwise(F.lit(0)).alias("is_ref"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("is_ref").cast("long").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+        )
+    )
+    t = c.agg(
+        F.sum("n_ref").cast("long").alias("tot_ref"),
+        F.sum("n_cur").cast("long").alias("tot_cur"),
+    )
+    p_ref = F.expr(f"({_DRIFT_SCALE} * n_ref) div tot_ref")
+    p_cur = F.expr(f"({_DRIFT_SCALE} * n_cur) div tot_cur")
+    delta = F.abs(p_ref - p_cur)
+    from pyspark.sql import Window
+
+    # window over the O(|event_type|) grouped frame only — a handful of
+    # rows on one partition, deliberately NOT a window over raw events
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            p_ref.cast("long").alias("p_ref_fp"),
+            p_cur.cast("long").alias("p_cur_fp"),
+            delta.cast("long").alias("delta_fp"),
+        )
+        .withColumn(
+            "l1_drift_fp",
+            F.sum("delta_fp").over(Window.partitionBy(F.lit(1))).cast("long"),
+        )
+        .orderBy("event_type")
+    )

@@ -1859,3 +1859,192 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# SIM17 — incremental index maintenance: assign an INCOMING batch of
+# vectors to an already-trained coarse quantizer WITHOUT retraining. The
+# 100 TB vector corpus grows continuously; re-running Lloyd on every
+# arrival is impossible, so production IVF systems append by scoring new
+# vectors against the frozen centroids and updating posting-list sizes.
+# Base corpus = vec_id % 10 != 7 (the index that exists); incoming batch
+# = vec_id % 10 == 7. The quantizer trains on the BASE ONLY (deterministic
+# init: the 8 smallest base vec_ids), so batch vectors are genuinely
+# unseen by the index they join.
+# --------------------------------------------------------------------------
+
+_INC_MOD = 10
+_INC_REM = 7
+
+# Memoized base index (assignment + FINAL centroids), cleared by the
+# partition-invariance matrix alongside the other build caches.
+_IVF_INC_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _ivf_base_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Train the k=8 coarse quantizer on the BASE corpus (module comment)
+    and return (assign, cent): the final (vec_id, cl) assignment and the
+    final decimal-exact per-dimension means (cl, i, c) — the frozen index
+    artifact SIM17's online add consumes. Same Lloyd machinery as SIM6
+    (broadcast centroids, two keyed shuffles per unrolled round), one
+    extra means aggregation at the end because the incremental assign
+    needs the POST-final-assignment centroids (the oracle's c2)."""
+    from pyspark.sql import Window
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _IVF_INC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % _INC_MOD != _INC_REM)
+    )
+    ex = (
+        base.select("vec_id", F.posexplode("embedding").alias("i0", "v"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.col("v").cast("double").alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # init: the 8 smallest BASE ids (TakeOrdered, not a global sort), as a
+    # broadcast semi-join against the exploded relation
+    init = base.select("vec_id").orderBy("vec_id").limit(_KM_K)
+    cent = ex.join(F.broadcast(init), "vec_id", "semi").select(
+        F.col("vec_id").alias("cl"), "i", F.col("v").alias("c")
+    )
+    assign = None
+    for _ in range(_KM_ROUNDS):
+        diff = F.col("v") - F.col("c")
+        scored = (
+            ex.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "cl")
+            .agg(dsum(diff * diff, "d2", scale=24))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cl")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cl")
+        )
+        # recompute after EVERY round including the last: the frozen index
+        # centroid must reflect the final assignment (oracle c2), exactly
+        # as SIM9's PQ build does
+        cent = (
+            ex.join(assign, "vec_id")
+            .groupBy("cl", "i")
+            .agg(davg("v", "c", scale=18))
+        )
+    built = (
+        assign.localCheckpoint(eager=False),
+        cent.localCheckpoint(eager=False),
+    )
+    _IVF_INC_CACHE[key] = built
+    return built
+
+
+@register(
+    "sim_ivf_incremental_add",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS v
+      FROM embeddings WHERE vec_id % {_INC_MOD} != {_INC_REM}),
+    init AS (
+      SELECT vec_id FROM embeddings
+      WHERE vec_id % {_INC_MOD} != {_INC_REM}
+      ORDER BY vec_id LIMIT {_KM_K}),
+    c0 AS (
+      SELECT vec_id AS cl, i, CAST(v AS DOUBLE) AS c
+      FROM ex WHERE vec_id IN (SELECT vec_id FROM init)),
+    {_sql_km_round(1, "c0")},
+    {_sql_km_round(2, "c1")},
+    bx AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS v
+      FROM embeddings WHERE vec_id % {_INC_MOD} = {_INC_REM}),
+    sb AS (
+      SELECT e.vec_id, c.cl,
+             {sql_dsum("(CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)", scale=24)} AS d2
+      FROM bx e JOIN c2 c ON e.i = c.i
+      GROUP BY 1, 2),
+    ab AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        FROM sb) WHERE rn = 1),
+    old AS (SELECT cl, COUNT(*) AS old_size FROM a2 GROUP BY 1),
+    added AS (SELECT cl, COUNT(*) AS n_added FROM ab GROUP BY 1)
+    SELECT COALESCE(o.cl, n.cl) AS cluster,
+           CAST(COALESCE(o.old_size, 0) AS BIGINT) AS old_size,
+           CAST(COALESCE(n.n_added, 0) AS BIGINT) AS n_added,
+           CAST(COALESCE(o.old_size, 0) + COALESCE(n.n_added, 0) AS BIGINT)
+             AS new_size
+    FROM old o FULL OUTER JOIN added n ON o.cl = n.cl
+    ORDER BY cluster
+    """,
+    tags=("SIM17",),
+)
+def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM17: per-cluster posting-list report after appending the incoming
+    batch to the frozen base index — (cluster, old_size, n_added,
+    new_size), ordered by cluster.
+
+    Scale posture (100 TB): the ONLINE path — everything after the
+    memoized offline build — is one broadcast of the k x dims centroid
+    relation against the exploded batch, one hash aggregation per
+    (vector, cluster), the per-vector argmin, and two tiny per-cluster
+    counts: the base corpus is NEVER rescanned or reshuffled at add time
+    (its assignment is a materialized artifact; its per-cluster sizes a
+    k-row aggregate of that artifact). That is the whole point of the
+    operator: arrival cost scales with the batch, not the corpus. The
+    distance sums ride the VARCHAR->DECIMAL route, so the argmin (and
+    therefore every count) is bit-identical to the oracle under any
+    partitioning."""
+    from pyspark.sql import Window
+
+    ensure_session_conf(spark)
+    base_assign, cent = _ivf_base_index(spark, sf_dir)
+    bx = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _INC_MOD == _INC_REM)
+        .select("vec_id", F.posexplode("embedding").alias("i0", "v"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.col("v").cast("double").alias("v"),
+        )
+    )
+    diff = F.col("v") - F.col("c")
+    scored = (
+        bx.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cl")
+        .agg(dsum(diff * diff, "d2", scale=24))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cl")
+    new_assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cl")
+    )
+    # per-cluster sizes merge by UNION + re-aggregate, not a full-outer
+    # join (which Spark cannot broadcast and would sort-merge even k rows);
+    # the tagged union is the joinless shape at any scale
+    merged = base_assign.select(
+        "cl", F.lit(1).alias("is_old"), F.lit(0).alias("is_new")
+    ).unionAll(
+        new_assign.select("cl", F.lit(0).alias("is_old"), F.lit(1).alias("is_new"))
+    )
+    return (
+        merged.groupBy(F.col("cl").alias("cluster"))
+        .agg(
+            F.sum("is_old").cast("long").alias("old_size"),
+            F.sum("is_new").cast("long").alias("n_added"),
+            F.count(F.lit(1)).cast("long").alias("new_size"),
+        )
+        .orderBy("cluster")
+    )

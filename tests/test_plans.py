@@ -725,3 +725,61 @@ def test_priority_sample_selects_via_topk_heap(spark, specs):
     plan = formatted_plan(specs["curation_priority_sample"].builder(spark, SF_SMOKE))
     assert count_broadcast_joins(plan) >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_fk_orphan_audit_broadcasts_parent_keys(spark, specs):
+    """DQ5: every anti join's parent side is a distinct single-column key
+    relation — broadcast at dim scale; no sort-merge joins at test SFs."""
+    plan = formatted_plan(specs["dq_fk_orphans"].builder(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_lpa_argmax_is_hash_aggregate_not_window(spark, specs):
+    """GRAPH4: the per-node label argmax must be MAX(struct(cnt, -lbl)) —
+    a hash aggregate with map-side partials — never a row_number window,
+    which would add a per-node sort per round (3 extra sorts of |V| rows
+    at 100 TB)."""
+    plan = formatted_plan(specs["graph_label_propagation"].builder(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_degree_distribution_is_two_hash_aggs_no_window(spark, specs):
+    """GRAPH5: the histogram is two hash aggregations over the edge list —
+    no window, no extra join beyond the co-occurrence edge build."""
+    plan = formatted_plan(specs["graph_degree_distribution"].builder(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_drift_audit_scans_events_once_per_branch(spark, specs):
+    """DQ6: the raw event stream is scanned by the per-type aggregate and
+    its total re-aggregate only — the drift algebra (shares, deltas, L1
+    window) must all run over the O(|event_type|) grouped frame, never
+    join back to raw events. 2 scans, 1 broadcast of the totals row, and
+    the single window sits above both aggregates."""
+    plan = formatted_plan(specs["dq_distribution_drift"].builder(spark, SF_SMOKE))
+    # formatted output names each scan twice (tree + detail) -> 2 real scans
+    assert plan.count("Scan parquet") <= 4
+    assert count_broadcast_joins(plan) >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_incremental_add_never_rescans_base_corpus(spark, specs):
+    """SIM17: arrival cost must scale with the batch, not the corpus — the
+    online plan reads the batch slice of embeddings (one parquet scan with
+    the modulus filter pushed to it), joins the broadcast centroid
+    artifact, and touches the base only through its checkpointed k-row
+    aggregate. Any SortMergeJoin or second parquet scan means the add path
+    is re-shuffling the corpus."""
+    from hhs_and_cms_data_pipeline_spark.operators import similarity as sim
+
+    sim._IVF_INC_CACHE.clear()
+    plan = formatted_plan(
+        specs["sim_ivf_incremental_add"].builder(spark, SF_SMOKE)
+    )
+    # formatted output names each scan twice (tree + detail) -> 1 real scan
+    assert plan.count("Scan parquet") <= 2
+    assert count_broadcast_joins(plan) >= 1
+    assert "SortMergeJoin" not in plan
