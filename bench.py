@@ -54,6 +54,10 @@ def main() -> None:
         "text_bigram_lm_surprisal",
         "sk_histogram_median",
         "stream_hll_registers",
+        "graph_label_propagation",
+        "sk_bloom_filter",
+        "stream_drift_monitor",
+        "sim_ivf_incremental_add",
         # graph_triangle_counts is intentionally NOT here: ~34s at sf0.1
         # (honest wedge-join enumeration) would dominate the bench wall
         # clock; its per-round correctness cost is covered by the sf0.01

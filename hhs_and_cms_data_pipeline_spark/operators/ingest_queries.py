@@ -868,19 +868,32 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import table as _table
 
     ensure_session_conf(spark)
-    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
     c = (
         _table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.when(F.col("ts") < split, F.lit(1)).otherwise(F.lit(0)).alias("is_ref"),
-        )
+        .select("event_type", drift_is_ref_col().alias("is_ref"))
         .groupBy("event_type")
         .agg(
             F.sum("is_ref").cast("long").alias("n_ref"),
             F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
         )
     )
+    return drift_from_counts(c)
+
+
+def drift_is_ref_col() -> F.Column:
+    """1 if the event falls in the reference window, else 0 — THE window
+    classification, shared by DQ6's batch pass and ST17's per-micro-batch
+    counting so the two can never drift (pun intended)."""
+    return F.when(
+        F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), F.lit(1)
+    ).otherwise(F.lit(0))
+
+
+def drift_from_counts(c: DataFrame) -> DataFrame:
+    """DQ6's drift algebra over a (event_type, n_ref, n_cur) counts frame
+    — factored out so the streaming monitor (ST17) computes the IDENTICAL
+    report from its incrementally-maintained store. Everything here
+    operates on O(|event_type|) rows; integer fixed-point throughout."""
     t = c.agg(
         F.sum("n_ref").cast("long").alias("tot_ref"),
         F.sum("n_cur").cast("long").alias("tot_cur"),
@@ -896,8 +909,8 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(t))
         .select(
             "event_type",
-            "n_ref",
-            "n_cur",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
             p_ref.cast("long").alias("p_ref_fp"),
             p_cur.cast("long").alias("p_cur_fp"),
             delta.cast("long").alias("delta_fp"),

@@ -744,3 +744,153 @@ def sk_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SK6 — Bloom membership filter (Bloom 1970), the mergeable set-membership
+# sketch: m = 16384 bit positions, k = 3 hashes sliced from one md5 (16
+# bits each; 65536 % 16384 == 0 so positions are uniform; m sized for
+# ~1% FPR at the gate SF's member count per m = -n*ln(p)/ln(2)^2 — the
+# report SHOWS saturation honestly when n outgrows m). The SKETCH is
+# the distinct-position relation (<= m rows) — shards merge by UNION
+# (bitwise OR), the defining property, and the whole filter broadcasts.
+# Member set: customers with non-negative account balance; probe set: ALL
+# customers — the negative-balance ones are genuine non-members, so the
+# observed false-positive rate is a real measurement, not vacuous.
+# Everything up to the two final divisions is md5 + integer arithmetic —
+# bit-exact across engines and partitionings.
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 16384
+_BLOOM_K = 3
+
+
+def bloom_position_cols(key: F.Column) -> list[F.Column]:
+    """The k = 3 bit positions of one key — THE hash mapping of the
+    sketch, shared by build and probe so the two can never drift. Slices
+    hex digits [1:4], [5:8], [9:12] of md5(key) -> 16 bits each % m."""
+    hx = F.md5(key.cast("string"))
+    return [
+        F.conv(F.substring(hx, 1 + 4 * j, 4), 16, 10).cast("long") % _BLOOM_M
+        for j in range(_BLOOM_K)
+    ]
+
+
+_SQL_BLOOM_POS = ", ".join(
+    f"CAST(CAST('0x' || substr(md5(CAST({{key}} AS VARCHAR)), {1 + 4 * j}, 4) "
+    f"AS UBIGINT) AS BIGINT) % {_BLOOM_M}"
+    for j in range(_BLOOM_K)
+)
+
+
+@register(
+    "sk_bloom_filter",
+    oracle=f"""
+    WITH members AS (
+      SELECT c_custkey AS key FROM customer WHERE c_acctbal >= 0),
+    bloom AS (
+      SELECT DISTINCT pos FROM members,
+        UNNEST([{_SQL_BLOOM_POS.format(key="key")}]) AS t(pos)),
+    probes AS (
+      SELECT c_custkey AS key, (c_acctbal >= 0) AS is_member FROM customer),
+    ppos AS (
+      SELECT key, is_member, pos FROM probes,
+        UNNEST([{_SQL_BLOOM_POS.format(key="key")}]) AS t(pos)),
+    verdict AS (
+      SELECT p.key, p.is_member,
+             (COUNT(b.pos) = {_BLOOM_K}) AS positive
+      FROM ppos p LEFT JOIN bloom b ON p.pos = b.pos
+      GROUP BY 1, 2)
+    SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+           CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bloom) AS bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_members,
+           CAST(SUM(CASE WHEN positive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_positive,
+           CAST(SUM(CASE WHEN positive AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN positive AND NOT is_member THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+             AS fpr_observed
+    FROM verdict
+    """,
+    tags=("SK6",),
+)
+def sk_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK6: build the Bloom filter over non-negative-balance customers,
+    probe EVERY customer key through it, and report the one-row audit:
+    filter geometry, bits set, probe/membership/positive counts, and the
+    observed false-positive rate. Bloom guarantees zero false negatives —
+    the oracle diff proves it, since n_bloom_positive must equal
+    n_true_members + n_false_positive with every member positive.
+
+    Spark shape at 100 TB: the build is a map-side explode of k positions
+    per member followed by ONE distinct on a domain capped at m = 16384 —
+    the dedup exchange carries at most m rows per partition after partial
+    aggregation, and shard filters merge by union. The <= 16384-row filter
+    then BROADCASTS to the probe side (exactly how Spark's own runtime
+    bloom-pruning ships filters, XS6): probes explode to k position rows,
+    left-join the broadcast filter, and collapse per key with
+    count == k — no shuffle of the probe relation beyond its own
+    per-key aggregation. The verdict relation reduces to one summary row;
+    the two divisions at the end are the only float ops."""
+    ensure_session_conf(spark)
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        (F.col("c_acctbal") >= 0).alias("is_member"),
+    )
+    def explode_pos(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*", F.explode(F.array(*bloom_position_cols(F.col("key")))).alias("pos")
+        )
+
+    bloom = (
+        explode_pos(cust.filter("is_member"))
+        .select("pos")
+        .distinct()
+        # the sketch artifact: <= m rows, consumed by the probe join and
+        # the bits_set count — materialize once
+        .localCheckpoint(eager=False)
+    )
+    bits = bloom.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    verdict = (
+        explode_pos(cust)
+        .join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("key", "is_member")
+        .agg((F.count("hit") == _BLOOM_K).alias("positive"))
+    )
+    fp = F.sum(F.when(F.col("positive") & ~F.col("is_member"), 1).otherwise(0))
+    return (
+        verdict.agg(
+            F.lit(_BLOOM_M).cast("long").alias("m_bits"),
+            F.lit(_BLOOM_K).cast("long").alias("k_hashes"),
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_members"),
+            F.sum(F.when(F.col("positive"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_positive"),
+            fp.cast("long").alias("n_false_positive"),
+            (
+                fp.cast("double")
+                / F.sum(F.when(~F.col("is_member"), 1).otherwise(0)).cast(
+                    "double"
+                )
+            ).alias("fpr_observed"),
+        )
+        .crossJoin(F.broadcast(bits))
+        .select(
+            "m_bits",
+            "k_hashes",
+            "bits_set",
+            "n_probes",
+            "n_true_members",
+            "n_bloom_positive",
+            "n_false_positive",
+            "fpr_observed",
+        )
+    )

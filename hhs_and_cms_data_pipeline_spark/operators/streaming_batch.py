@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum, sql_dsum
+from .ingest_queries import _DRIFT_SCALE, _DRIFT_SPLIT
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import table
@@ -1667,4 +1668,164 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_estimate",
         )
         .orderBy("register")
+    )
+
+
+# --------------------------------------------------------------------------
+# ST17 — streaming drift monitor: DQ6's categorical-drift audit maintained
+# incrementally. Each micro-batch counts its rows per (event_type,
+# ref/current window) and folds them into a published store via the ST14
+# replay-guarded additive merge (counts are a commutative monoid; the
+# stored last_batch_id makes at-least-once redelivery a no-op). The
+# readout runs DQ6's EXACT drift algebra (drift_from_counts — shared
+# code, not a copy) over the store, so the monitor's report is
+# bit-identical to the from-scratch batch audit no matter how arrival
+# sliced the stream. This is how the drift alarm actually deploys at
+# 100 TB: the store is O(|event_type|) rows, each batch touches
+# batch-sized data once, and the report is recomputed from the tiny
+# store — never from the corpus.
+# --------------------------------------------------------------------------
+
+
+def make_drift_merger(target: str):
+    """The ST17 foreachBatch body as a module-level factory (same contract
+    as make_rollup_merger, so tests can drive the exact production merge).
+    Additive count merge with the stored-last_batch_id replay guard."""
+    import os
+
+    from ..sinks import read_published, write_parquet_atomic
+    from .ingest_queries import drift_is_ref_col
+
+    def _merge(batch_df, batch_id):
+        stored = None
+        if os.path.islink(target):
+            stored = read_published(batch_df.sparkSession, target)
+            last = stored.agg(F.max("last_batch_id")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already folded into the store
+        part = (
+            batch_df.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+            .select("event_type", drift_is_ref_col().alias("is_ref"))
+            .groupBy("event_type")
+            .agg(
+                F.sum("is_ref").cast("long").alias("n_ref"),
+                F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+            )
+        )
+        if stored is not None:
+            merged = (
+                stored.select(
+                    "event_type",
+                    F.col("n_ref").alias("r_a"),
+                    F.col("n_cur").alias("c_a"),
+                )
+                .join(
+                    part.select(
+                        "event_type",
+                        F.col("n_ref").alias("r_b"),
+                        F.col("n_cur").alias("c_b"),
+                    ),
+                    "event_type",
+                    "full_outer",
+                )
+                .select(
+                    "event_type",
+                    (
+                        F.coalesce(F.col("r_a"), F.lit(0))
+                        + F.coalesce(F.col("r_b"), F.lit(0))
+                    ).alias("n_ref"),
+                    (
+                        F.coalesce(F.col("c_a"), F.lit(0))
+                        + F.coalesce(F.col("c_b"), F.lit(0))
+                    ).alias("n_cur"),
+                )
+            )
+        else:
+            merged = part
+        write_parquet_atomic(
+            merged.withColumn("last_batch_id", F.lit(int(batch_id))),
+            target,
+            gc_grace_seconds=3600.0,
+        )
+
+    return _merge
+
+
+@register(
+    "stream_drift_monitor",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+    c AS (
+      SELECT event_type,
+             CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+      FROM ev GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+      FROM c)
+    SELECT event_type, n_ref, n_cur,
+           CAST(({_DRIFT_SCALE} * n_ref) // tot_ref AS BIGINT) AS p_ref_fp,
+           CAST(({_DRIFT_SCALE} * n_cur) // tot_cur AS BIGINT) AS p_cur_fp,
+           CAST(ABS(({_DRIFT_SCALE} * n_ref) // tot_ref
+                    - ({_DRIFT_SCALE} * n_cur) // tot_cur) AS BIGINT) AS delta_fp,
+           CAST(SUM(ABS(({_DRIFT_SCALE} * n_ref) // tot_ref
+                        - ({_DRIFT_SCALE} * n_cur) // tot_cur))
+                  OVER () AS BIGINT) AS l1_drift_fp
+    FROM c CROSS JOIN t
+    ORDER BY event_type
+    """,
+    tags=("ST17",),
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST17: drain the staged event files as chronological micro-batches
+    (availableNow) and maintain the per-type window counts in a published
+    parquet store via the replay-guarded additive merge (module comment);
+    the readout is DQ6's drift algebra over the store.
+
+    Scale shape: per batch, batch-sized data collapses map-side to
+    |event_type| rows; the merge joins that against the equally tiny
+    store; publishes are atomic symlink swaps. The drift report itself
+    never touches the corpus — it is a pure function of the maintained
+    counts."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks import clear_published_versions, read_published
+    from ..streaming.events import events_raw_schema
+    from ..streaming.stateful import stage_chronological_files
+    from ..sources.tables import normalize_events_ts
+    from .ingest_queries import drift_from_counts
+
+    ensure_session_conf(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"drift_stage_{tag}")
+    target = os.path.join(tempfile.gettempdir(), f"drift_store_{tag}")
+    clear_published_versions(target)  # deterministic rerun
+    ckpt = tempfile.mkdtemp(prefix="drift_ckpt_")
+    stage_chronological_files(spark, sf_dir, stage)
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, stage))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    q = (
+        normalize_events_ts(raw)
+        .writeStream.foreachBatch(make_drift_merger(target))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"drift_monitor_{tag}")
+        .start()
+    )
+    q.awaitTermination()
+    # single-use checkpoint (availableNow drain over a fixed stage)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return drift_from_counts(
+        read_published(spark, target).select("event_type", "n_ref", "n_cur")
     )

@@ -783,3 +783,13 @@ def test_ivf_incremental_add_never_rescans_base_corpus(spark, specs):
     assert plan.count("Scan parquet") <= 2
     assert count_broadcast_joins(plan) >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_filter_broadcasts_and_never_sorts(spark, specs):
+    """SK6: the <= m-row position set must broadcast to the probe side;
+    the probe relation's only exchange is its own per-key aggregation —
+    a SortMergeJoin would mean the corpus-sized probe side is being
+    shuffled against a 16k-row sketch."""
+    plan = formatted_plan(specs["sk_bloom_filter"].builder(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 1
+    assert "SortMergeJoin" not in plan

@@ -187,6 +187,8 @@ def test_partition_count_invariant_registry_wide(name, spark):
         sim._PQ_BUILD_CACHE.clear()
         sim._IVF_BUILD_CACHE.clear()
         sim._IVF_INC_CACHE.clear()
+        from hhs_and_cms_data_pipeline_spark.operators import graph as _g
+        _g._EDGE_CACHE.clear()
         return sorted(map(tuple, spec.builder(spark, sf).collect()), key=repr)
 
     sf = SF_SMOKE

@@ -702,3 +702,47 @@ def test_hll_merge_is_replay_idempotent(spark, tmp_path):
         for r in hll_batch_registers(b1.union(b2)).collect()
     }
     assert after_b2 == whole
+
+
+def test_drift_merge_replay_guard_and_count_identity(spark, tmp_path):
+    """ST17's exactly-once contract: the additive (event_type, window)
+    count merge is NOT idempotent, so the stored last_batch_id guard must
+    turn a redelivered batch into a no-op; and after any slicing the
+    store must equal the from-scratch per-window counts."""
+    import datetime as dt
+
+    from hhs_and_cms_data_pipeline_spark.operators.ingest_queries import (
+        _DRIFT_SPLIT,
+    )
+    from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
+        make_drift_merger,
+    )
+    from hhs_and_cms_data_pipeline_spark.sinks import read_published
+
+    split = dt.datetime.fromisoformat(_DRIFT_SPLIT)
+    before = split - dt.timedelta(days=1)
+    after = split + dt.timedelta(days=1)
+    target = str(tmp_path / "drift_store")
+    merge = make_drift_merger(target)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+    def store():
+        return {
+            r["event_type"]: (r["n_ref"], r["n_cur"])
+            for r in read_published(spark, target).collect()
+        }
+
+    b1 = mk([(before, "click"), (before, "click"), (after, "view")])
+    b2 = mk([(after, "click"), (before, "view"), (after, "view"), (None, "x"),
+             (before, None)])
+    merge(b1, 0)
+    assert store() == {"click": (2, 0), "view": (0, 1)}
+    merge(b1, 0)  # redelivered: the guard must make this a no-op
+    assert store() == {"click": (2, 0), "view": (0, 1)}
+    merge(b2, 1)  # null ts / null type rows are dropped, not counted
+    whole = {"click": (2, 1), "view": (1, 2)}
+    assert store() == whole
+    merge(b2, 1)  # replay after a second batch: still a no-op
+    assert store() == whole
