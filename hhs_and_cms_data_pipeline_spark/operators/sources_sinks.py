@@ -270,6 +270,106 @@ def s4_geojson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_geojson_features(spark, _GEOJSON_PATH).orderBy("state_id")
 
 
+# S10: the fetch itself as a Spark 4 Python Data Source — one URL per
+# input partition (sources/geojson_datasource.py module comment). Two
+# disjoint synthetic shards stand in for two API pages; file:// is the
+# offline transport for the identical fetch code that takes https:// in
+# deployment.
+_GEOJSON_SHARD_A = os.path.join(_IO_DIR, "us_states_shard_a.geojson")
+_GEOJSON_SHARD_B = os.path.join(_IO_DIR, "us_states_shard_b.geojson")
+
+
+def _write_geojson_shards() -> None:
+    from ..sources.geojson import write_synthetic_geojson
+
+    write_synthetic_geojson(_GEOJSON_SHARD_A, n_states=12, start=0)
+    write_synthetic_geojson(_GEOJSON_SHARD_B, n_states=8, start=12)
+
+
+try:  # oracle SQL reads these files; materialize before any builder runs
+    _write_geojson_shards()
+except Exception:
+    pass  # builder re-materializes on call; import must never fail
+
+
+_SQL_GEOJSON_COLUMNS = (
+    "{'type': 'VARCHAR', 'features': 'STRUCT(type VARCHAR, id VARCHAR, "
+    "properties STRUCT(name VARCHAR), geometry STRUCT(type VARCHAR, "
+    "coordinates DOUBLE[][][]))[]'}"
+)
+
+
+@register(
+    "s10_geojson_datasource",
+    oracle=f"""
+    WITH feats AS (
+      SELECT unnest(features) AS feat,
+             'file://{_GEOJSON_SHARD_A}' AS source_url
+      FROM read_json('{_GEOJSON_SHARD_A}', format='unstructured',
+                     columns={_SQL_GEOJSON_COLUMNS})
+      UNION ALL
+      SELECT unnest(features) AS feat,
+             'file://{_GEOJSON_SHARD_B}' AS source_url
+      FROM read_json('{_GEOJSON_SHARD_B}', format='unstructured',
+                     columns={_SQL_GEOJSON_COLUMNS}))
+    SELECT feat.id AS state_id,
+           feat.properties.name AS state_name,
+           feat.geometry.type AS geom_type,
+           len(feat.geometry.coordinates) AS n_rings,
+           len(flatten(feat.geometry.coordinates)) AS n_vertices,
+           list_min(list_transform(flatten(feat.geometry.coordinates), p -> p[1])) AS min_lon,
+           list_max(list_transform(flatten(feat.geometry.coordinates), p -> p[1])) AS max_lon,
+           list_min(list_transform(flatten(feat.geometry.coordinates), p -> p[2])) AS min_lat,
+           list_max(list_transform(flatten(feat.geometry.coordinates), p -> p[2])) AS max_lat,
+           source_url
+    FROM feats
+    ORDER BY state_id
+    """,
+    tags=("S10",),
+)
+def s10_geojson_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: the reference's HTTP GeoJSON fetch (weekly-report.py:139-152)
+    as a first-class Python Data Source — `format("geojson_features")`,
+    one URL per input partition, so a URL manifest fans out across the
+    cluster instead of serializing through the driver. The Python layer
+    does I/O + parse only and emits RAW nested coordinates; ring/vertex
+    counts and bounding boxes are computed here with JVM-side nested-array
+    expressions (flatten/transform/array_min) — identical compute contract
+    to s4_geojson_scan, proven by the shared oracle shape.
+
+    Scale posture: per-URL partitioning is the available parallelism axis
+    for one-document-per-URL APIs; each task fetches, parses, and hands
+    Spark columnar batches. Adding pages = adding partitions, no driver
+    bottleneck, no shuffle anywhere in this plan."""
+    ensure_session_conf(spark)
+    from ..sources.geojson_datasource import GeoJsonFeaturesDataSource
+
+    _write_geojson_shards()
+    spark.dataSource.register(GeoJsonFeaturesDataSource)
+    urls = ";".join(
+        f"file://{p}" for p in (_GEOJSON_SHARD_A, _GEOJSON_SHARD_B)
+    )
+    raw = spark.read.format("geojson_features").option("urls", urls).load()
+    verts = F.flatten(F.col("coordinates"))
+    lons = F.transform(verts, lambda p: p.getItem(0))
+    lats = F.transform(verts, lambda p: p.getItem(1))
+    return (
+        raw.select(
+            "state_id",
+            "state_name",
+            "geom_type",
+            F.size("coordinates").cast("long").alias("n_rings"),
+            F.size(verts).cast("long").alias("n_vertices"),
+            F.array_min(lons).alias("min_lon"),
+            F.array_max(lons).alias("max_lon"),
+            F.array_min(lats).alias("min_lat"),
+            F.array_max(lats).alias("max_lat"),
+            "source_url",
+        )
+        .orderBy("state_id")
+    )
+
+
 @register(
     "k1_partitioned_append",
     oracle="""

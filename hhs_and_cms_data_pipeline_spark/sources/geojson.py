@@ -126,13 +126,15 @@ def read_geojson_features(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def synthetic_feature_collection(n_states: int = 12) -> dict:
+def synthetic_feature_collection(n_states: int = 12, start: int = 0) -> dict:
     """Deterministic synthetic US-states-shaped FeatureCollection: unit
     squares marching north-east, every third state with a second (island)
     ring. All coordinates are sums of small integers and 0.5 — exact in
-    float64, so JSON round-trip and cross-engine parse are bit-identical."""
+    float64, so JSON round-trip and cross-engine parse are bit-identical.
+    `start` offsets the state index so multiple files form disjoint
+    shards (the S10 multi-URL data source reads one file per partition)."""
     feats = []
-    for i in range(n_states):
+    for i in range(start, start + n_states):
         lon, lat = -120.0 + 3 * i, 30.0 + i
         rings = [
             [[lon, lat], [lon + 1.0, lat], [lon + 1.0, lat + 1.0], [lon, lat]],
@@ -157,8 +159,12 @@ def synthetic_feature_collection(n_states: int = 12) -> dict:
     return {"type": "FeatureCollection", "features": feats}
 
 
-def write_synthetic_geojson(path: str, n_states: int = 12) -> str:
+def write_synthetic_geojson(path: str, n_states: int = 12, start: int = 0) -> str:
+    """Atomic write (tmp + rename) so a concurrent reader at another SF
+    never observes a torn document."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(synthetic_feature_collection(n_states), f)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(synthetic_feature_collection(n_states, start), f)
+    os.replace(tmp, path)
     return path

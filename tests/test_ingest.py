@@ -347,6 +347,70 @@ def test_geojson_parse_stats(spark, tmp_path):
     assert all(r["geom_type"] == "Polygon" for r in rows.values())
 
 
+def test_geojson_datasource_fanout_and_loud_failures(spark, tmp_path):
+    """S10: the Python Data Source maps one URL to one input partition
+    (the scale axis for one-document-per-URL APIs), unions disjoint
+    shards with provenance, and fails LOUDLY per-task on a non-JSON
+    payload or a non-Polygon geometry — never silently emitting rows."""
+    import json
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from hhs_and_cms_data_pipeline_spark.sources.geojson import (
+        write_synthetic_geojson,
+    )
+    from hhs_and_cms_data_pipeline_spark.sources.geojson_datasource import (
+        GeoJsonFeaturesDataSource,
+    )
+
+    spark.dataSource.register(GeoJsonFeaturesDataSource)
+    a = write_synthetic_geojson(str(tmp_path / "a.geojson"), n_states=3, start=0)
+    b = write_synthetic_geojson(str(tmp_path / "b.geojson"), n_states=2, start=3)
+
+    def load(*paths):
+        urls = ";".join(f"file://{p}" for p in paths)
+        return (
+            spark.read.format("geojson_features").option("urls", urls).load()
+        )
+
+    raw = load(a, b)
+    assert raw.rdd.getNumPartitions() == 2, "one partition per URL"
+    rows = raw.collect()
+    assert sorted(r["state_id"] for r in rows) == [f"S{i:02d}" for i in range(5)]
+    by_url = {r["state_id"]: r["source_url"] for r in rows}
+    assert by_url["S00"].endswith("a.geojson")
+    assert by_url["S04"].endswith("b.geojson")
+
+    bad_json = tmp_path / "error_page.html"
+    bad_json.write_text("<html>503 Service Unavailable</html>")
+    with pytest.raises((PythonException, Py4JJavaError), match="non-JSON"):
+        load(str(bad_json)).collect()
+
+    multi = tmp_path / "multi.geojson"
+    multi.write_text(
+        json.dumps(
+            {
+                "type": "FeatureCollection",
+                "features": [
+                    {
+                        "type": "Feature",
+                        "id": "MP",
+                        "properties": {"name": "Multi"},
+                        "geometry": {
+                            "type": "MultiPolygon",
+                            "coordinates": [[[[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 0.0]]]],
+                        },
+                    }
+                ],
+            }
+        )
+    )
+    with pytest.raises((PythonException, Py4JJavaError), match="not a Polygon"):
+        load(str(multi)).collect()
+
+
 def test_permissive_csv_quarantines_bad_lines(spark):
     """S5: both malformed lines (type error, wrong arity) land in the
     corrupt-record column VERBATIM; good rows parse typed; nothing is
