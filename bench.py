@@ -58,6 +58,8 @@ def main() -> None:
         "sk_bloom_filter",
         "stream_drift_monitor",
         "sim_ivf_incremental_add",
+        "sk_hll_rollup",
+        "stream_cms_heavy_hitters",
         # graph_triangle_counts is intentionally NOT here: ~34s at sf0.1
         # (honest wedge-join enumeration) would dominate the bench wall
         # clock; its per-round correctness cost is covered by the sf0.01

@@ -254,9 +254,75 @@ def _cms_bucket_col(r: int, s: F.Column) -> F.Column:
     )
 
 
-@register(
-    "sk_cms_heavy_hitters",
-    oracle=f"""
+def _cms_pairs_col(s: F.Column) -> F.Column:
+    """array<struct<r,bucket>> of one key's d cells — THE hash mapping of
+    the sketch, shared by the batch build, the probe side, and the ST18
+    streaming merger so the three can never drift."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("r"),
+                _cms_bucket_col(r, s).alias("bucket"),
+            )
+            for r in range(_CMS_D)
+        ]
+    )
+
+
+def cms_batch_cells(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """(r, bucket, c) cell table of one slice of items — map-only explode
+    of the d-element literal array into one hash aggregate whose reduce
+    side is <= d*w = 2048 rows; slices merge by elementwise + (the CMS
+    property). Shared by SK2 and the ST18 incremental twin."""
+    s = F.col(key_col).cast("string")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(_cms_pairs_col(s)).alias("p"))
+        .select("p.r", "p.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_probe_report(cells: DataFrame, truth: DataFrame) -> DataFrame:
+    """SK2's readout over any (r, bucket, c) cell table: probe the true
+    top-k keys through the broadcast sketch, MIN over rows, report the
+    always->=0 overestimate. Shared by SK2 and ST18 so the batch and
+    incrementally-merged sketches produce the identical report."""
+    probes = truth.select(
+        "s",
+        "true_count",
+        F.explode(_cms_pairs_col(F.col("s"))).alias("p"),
+    ).select("s", "true_count", "p.r", "p.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("s", "true_count")
+        .agg(F.min("c").alias("cms"))
+        .select(
+            F.col("s").alias("user_key"),
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("cms").cast("long").alias("cms_estimate"),
+            (F.col("cms") - F.col("true_count")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), F.asc("user_key"))
+    )
+
+
+def cms_truth_topk(ev: DataFrame, k: int = 10) -> DataFrame:
+    """True top-k keys of an (s) relation — the exact audit the sketch
+    replaces at scale (hash agg + TakeOrderedAndProject)."""
+    return (
+        ev.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("s"))
+        .limit(k)
+    )
+
+
+# SK2's full report SQL, shared verbatim with ST18's streaming twin (the
+# incrementally-merged cells are bit-identical to the from-scratch build
+# by additivity, so the identical report text is the right oracle).
+_SQL_CMS_REPORT = f"""
     WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events
              WHERE user_id IS NOT NULL),
     cells AS (
@@ -283,7 +349,12 @@ def _cms_bucket_col(r: int, s: F.Column) -> F.Column:
     FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
     GROUP BY p.s, p.true_count
     ORDER BY true_count DESC, user_key
-    """,
+    """
+
+
+@register(
+    "sk_cms_heavy_hitters",
+    oracle=_SQL_CMS_REPORT,
     tags=("SK2",),
 )
 def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,62 +371,13 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     to them, so nothing after the two corpus aggregates exceeds a few
     thousand rows."""
     ensure_session_conf(spark)
-    s = F.col("user_id").cast("string")
     # NULL keys are excluded on both sides: Spark sorts nulls first on
     # asc, DuckDB last, so a NULL heavy hitter would order differently.
-    ev = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull())
-        .select(s.alias("s"))
+    events = table(spark, sf_dir, "events")
+    ev = events.filter(F.col("user_id").isNotNull()).select(
+        F.col("user_id").cast("string").alias("s")
     )
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(r).cast("long").alias("r"),
-                _cms_bucket_col(r, F.col("s")).alias("bucket"),
-            )
-            for r in range(_CMS_D)
-        ]
-    )
-    cells = (
-        ev.select(F.explode(pairs).alias("p"))
-        .select("p.r", "p.bucket")
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    truth = (
-        ev.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("true_count"))
-        .orderBy(F.desc("true_count"), F.asc("s"))
-        .limit(10)
-    )
-    probes = truth.select(
-        "s",
-        "true_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("long").alias("r"),
-                        _cms_bucket_col(r, F.col("s")).alias("bucket"),
-                    )
-                    for r in range(_CMS_D)
-                ]
-            )
-        ).alias("p"),
-    ).select("s", "true_count", "p.r", "p.bucket")
-    return (
-        probes.join(F.broadcast(cells), ["r", "bucket"])
-        .groupBy("s", "true_count")
-        .agg(F.min("c").alias("cms"))
-        .select(
-            F.col("s").alias("user_key"),
-            F.col("true_count").cast("long").alias("true_count"),
-            F.col("cms").cast("long").alias("cms_estimate"),
-            (F.col("cms") - F.col("true_count")).cast("long").alias("overestimate"),
-        )
-        .orderBy(F.desc("true_count"), F.asc("user_key"))
-    )
+    return cms_probe_report(cms_batch_cells(events), cms_truth_topk(ev))
 
 
 # --------------------------------------------------------------------------
@@ -893,4 +915,224 @@ def sk_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_positive",
             "fpr_observed",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# SK7 — HLL sketch-table rollup: the pattern that makes sketches pay rent
+# at 100 TB. The corpus is collapsed ONCE into a pre-aggregated sketch
+# table keyed (event_type, day, register) — the thing a warehouse stores
+# instead of raw events — and every coarser cardinality (per type, global)
+# is a pure elementwise-MAX merge of those daily sketches, never a rescan.
+# Correct BY ALGEBRA because max is associative/commutative/idempotent:
+# merging day-sketches per type gives bit-identical registers to hashing
+# the raw per-type stream (the oracle computes the same rollup, so the
+# differential gate checks the merge identity end-to-end, bit-exactly).
+# Registers with no row are empty (rho 0): s_denom adds 2^R per missing
+# register and nz = m - n_present — no spine join needed group-side.
+# --------------------------------------------------------------------------
+
+
+def _hll_grouped_estimate(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-key (s_denom, nz) -> corrected HLL estimate over a grouped
+    register relation (rows only for non-empty registers, rho >= 1).
+    Same estimator as hll_estimate_frame, generalized to grouped keys;
+    the 64-entry linear-counting literal table broadcasts."""
+    spark = regs.sparkSession
+    g = regs.groupBy(*keys).agg(
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), cast({_HLL_R} - rho as int))"
+                )
+            )
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_R).cast("long")
+        ).alias("s_denom"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("int").alias("nz"),
+    )
+    spine = spark.createDataFrame(
+        [(v, float(x)) for v, x in _HLL_LC.items()], "v int, lc_est double"
+    )
+    raw = F.lit(float(_HLL_NUM)) / F.col("s_denom").cast("double")
+    est = F.when(
+        (raw <= F.lit(float(_HLL_LC_BOUND))) & (F.col("nz") > 0),
+        F.col("lc_est"),
+    ).otherwise(raw)
+    return g.join(F.broadcast(spine), g.nz == spine.v, "left").select(
+        *keys, est.alias("hll_estimate")
+    )
+
+
+_SQL_HLL_ROLLUP_EST = (
+    f"SUM(CAST(1 AS BIGINT) << ({_HLL_R} - rho)) "
+    f"+ ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {_HLL_R}) AS s_denom, "
+    f"{_HLL_M} - COUNT(*) AS nz"
+)
+_SQL_HLL_ROLLUP_CASE = (
+    f"CASE WHEN {_HLL_NUM} / CAST(e.s_denom AS DOUBLE) <= {_HLL_LC_BOUND} "
+    f"AND e.nz > 0 THEN l.lc_est "
+    f"ELSE {_HLL_NUM} / CAST(e.s_denom AS DOUBLE) END"
+)
+
+
+@register(
+    "sk_hll_rollup",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                  AS UBIGINT) AS BIGINT) % {_HLL_M} AS idx,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12)
+                  AS UBIGINT) AS BIGINT) AS w
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    pt AS (
+      SELECT event_type, day, user_id, idx,
+             CASE WHEN w = 0 THEN {_HLL_R}
+                  ELSE {_HLL_R} - length(bin(w)) END AS rho
+      FROM ev),
+    daily AS (
+      SELECT event_type, day, idx, MAX(rho) AS rho
+      FROM pt GROUP BY 1, 2, 3),
+    bytype AS (
+      SELECT event_type, idx, MAX(rho) AS rho FROM daily GROUP BY 1, 2),
+    overall AS (
+      SELECT idx, MAX(rho) AS rho FROM daily GROUP BY 1),
+    lc(v, lc_est) AS (VALUES {_HLL_LC_VALUES}),
+    t_est AS (
+      SELECT event_type, {_SQL_HLL_ROLLUP_EST} FROM bytype GROUP BY 1),
+    o_est AS (
+      SELECT {_SQL_HLL_ROLLUP_EST} FROM overall),
+    t_days AS (
+      SELECT event_type, COUNT(DISTINCT day) AS n_sketches
+      FROM daily GROUP BY 1),
+    o_days AS (
+      SELECT COUNT(*) AS n_sketches
+      FROM (SELECT DISTINCT event_type, day FROM daily)),
+    t_ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM pt GROUP BY 1),
+    o_ex AS (
+      SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM pt),
+    u AS (
+      SELECT 'type:' || e.event_type AS scope,
+             CAST(d.n_sketches AS BIGINT) AS n_sketches,
+             {_SQL_HLL_ROLLUP_CASE} AS hll_estimate,
+             CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+      FROM t_est e
+      JOIN t_days d USING (event_type)
+      JOIN t_ex x USING (event_type)
+      LEFT JOIN lc l ON l.v = e.nz
+      UNION ALL
+      SELECT 'ALL', CAST(d.n_sketches AS BIGINT),
+             {_SQL_HLL_ROLLUP_CASE},
+             CAST(x.exact_distinct AS BIGINT)
+      FROM o_est e
+      CROSS JOIN o_days d
+      CROSS JOIN o_ex x
+      LEFT JOIN lc l ON l.v = e.nz)
+    SELECT scope, n_sketches, hll_estimate, exact_distinct,
+           (hll_estimate - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE) AS rel_error
+    FROM u
+    ORDER BY scope
+    """,
+    tags=("SK7",),
+)
+def sk_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK7: build the (event_type, day, register) daily sketch table in ONE
+    corpus aggregation, then answer per-type and global distinct-user
+    questions by MAX-merging the stored sketches — never rescanning events.
+    One output row per scope ('type:<event_type>' rows + the 'ALL' rollup)
+    with the number of daily sketches merged, the HLL estimate, the exact
+    distinct audit, and the relative error.
+
+    Spark shape at 100 TB: the daily agg is the only corpus-sized exchange
+    on the sketch path — map-side partials collapse each partition to at
+    most |types| x |days| x 64 rows before the shuffle, and the
+    localCheckpoint makes it the stored artifact both rollup levels
+    consume. Everything downstream operates on sketch-table-sized data
+    (thousands of rows); estimate joins broadcast a 64-entry literal
+    table. The exact_distinct audit is the expensive part the sketch
+    replaces (a corpus exchange on (type, user)) — drop it in production,
+    exactly as SK1 documents. Register contents are md5 + integer
+    arithmetic, so the merge identity (rollup registers == direct
+    registers) is checked bit-exactly by the differential oracle."""
+    ensure_session_conf(spark)
+    idx, rho = hll_point_cols()
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("user_id").cast("string").alias("s"),
+            idx.alias("idx"),
+            rho.alias("rho"),
+        )
+    )
+    daily = (
+        ev.groupBy("event_type", "day", "idx")
+        .agg(F.max("rho").alias("rho"))
+        # THE sketch table: one corpus pass, consumed by both rollup
+        # levels and the day counts
+        .localCheckpoint(eager=False)
+    )
+    bytype = daily.groupBy("event_type", "idx").agg(F.max("rho").alias("rho"))
+    overall = daily.groupBy("idx").agg(F.max("rho").alias("rho"))
+    t_est = _hll_grouped_estimate(bytype, ["event_type"])
+    o_est = _hll_grouped_estimate(overall.withColumn("k", F.lit(1)), ["k"])
+    t_days = daily.groupBy("event_type").agg(
+        F.countDistinct("day").cast("long").alias("n_sketches")
+    )
+    o_days = (
+        daily.select("event_type", "day")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sketches"))
+    )
+    t_ex = ev.groupBy("event_type").agg(
+        F.countDistinct("s").cast("long").alias("exact_distinct")
+    )
+    o_ex = ev.agg(
+        F.countDistinct("s").cast("long").alias("exact_distinct")
+    )
+    typed = (
+        t_est.join(t_days, "event_type")
+        .join(t_ex, "event_type")
+        .select(
+            F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+            "n_sketches",
+            "hll_estimate",
+            "exact_distinct",
+        )
+    )
+    allrow = (
+        o_est.crossJoin(F.broadcast(o_days))
+        .crossJoin(F.broadcast(o_ex))
+        .select(
+            F.lit("ALL").alias("scope"),
+            "n_sketches",
+            "hll_estimate",
+            "exact_distinct",
+        )
+    )
+    return (
+        typed.unionAll(allrow)
+        .select(
+            "scope",
+            "n_sketches",
+            "hll_estimate",
+            "exact_distinct",
+            (
+                (F.col("hll_estimate") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_error"),
+        )
+        .orderBy("scope")
     )

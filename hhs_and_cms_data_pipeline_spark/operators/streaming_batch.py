@@ -1829,3 +1829,124 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_from_counts(
         read_published(spark, target).select("event_type", "n_ref", "n_cur")
     )
+
+
+# --------------------------------------------------------------------------
+# ST18 — streaming Count-Min maintenance: SK2's frequency sketch maintained
+# incrementally across micro-batches. The algebraic contrast with ST16
+# completes the mergeable-sketch pair: CMS cells merge by elementwise +
+# (a commutative monoid, NOT a semilattice), so unlike the HLL MAX-merge a
+# replayed batch WOULD double-count — ST14/ST17's stored-last_batch_id
+# replay guard is load-bearing here. Per batch, batch-sized data collapses
+# map-side to <= d*w = 2048 cells; the merge is a 2048-vs-2048 full-outer
+# join; publishes are atomic symlink swaps. The readout probes the true
+# top-10 through the maintained sketch via SK2's shared report code AND
+# shared oracle text — additivity makes the incrementally-merged cells
+# bit-identical to the from-scratch build however arrival sliced the
+# stream, so the two reports cannot differ.
+# --------------------------------------------------------------------------
+
+
+def make_cms_merger(target: str):
+    """The ST18 foreachBatch body as a module-level factory (same contract
+    as make_drift_merger, so tests drive the exact production merge).
+    Additive cell merge with the stored-last_batch_id replay guard."""
+    import os
+
+    from ..sinks import read_published, write_parquet_atomic
+    from .sketch import cms_batch_cells
+
+    def _merge(batch_df, batch_id):
+        stored = None
+        if os.path.islink(target):
+            stored = read_published(batch_df.sparkSession, target)
+            last = stored.agg(F.max("last_batch_id")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already folded into the store
+        part = cms_batch_cells(batch_df)
+        if stored is not None:
+            merged = (
+                stored.select("r", "bucket", F.col("c").alias("c_a"))
+                .join(
+                    part.select("r", "bucket", F.col("c").alias("c_b")),
+                    ["r", "bucket"],
+                    "full_outer",
+                )
+                .select(
+                    "r",
+                    "bucket",
+                    (
+                        F.coalesce(F.col("c_a"), F.lit(0))
+                        + F.coalesce(F.col("c_b"), F.lit(0))
+                    ).alias("c"),
+                )
+            )
+        else:
+            merged = part
+        write_parquet_atomic(
+            merged.withColumn("last_batch_id", F.lit(int(batch_id))),
+            target,
+            gc_grace_seconds=3600.0,
+        )
+
+    return _merge
+
+
+from .sketch import _SQL_CMS_REPORT as _SQL_CMS_REPORT_SHARED  # shared text
+
+
+@register(
+    "stream_cms_heavy_hitters",
+    oracle=_SQL_CMS_REPORT_SHARED,
+    tags=("ST18",),
+)
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST18: drain the staged event files as chronological micro-batches
+    (availableNow) and maintain SK2's 4x512 Count-Min cell table in a
+    published parquet store via the replay-guarded additive merge (module
+    comment); the readout probes the true top-10 heavy hitters through
+    the maintained sketch with SK2's shared report code.
+
+    Scale shape: per batch, batch-sized data collapses map-side to <=2048
+    cells; the merge joins that against the equally tiny store; the report
+    touches the corpus only for the truth audit (the part the sketch
+    replaces in production). State is O(d*w), never O(keys) — THE reason
+    this replaces streaming per-key COUNT(*) at 100 TB."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks import clear_published_versions, read_published
+    from ..streaming.events import events_raw_schema
+    from ..streaming.stateful import stage_chronological_files
+    from .sketch import cms_probe_report, cms_truth_topk
+
+    ensure_session_conf(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"cms_stage_{tag}")
+    target = os.path.join(tempfile.gettempdir(), f"cms_store_{tag}")
+    clear_published_versions(target)  # deterministic rerun
+    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+    stage_chronological_files(spark, sf_dir, stage)
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, stage))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    q = (
+        raw.writeStream.foreachBatch(make_cms_merger(target))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"cms_cells_{tag}")
+        .start()
+    )
+    q.awaitTermination()
+    # single-use checkpoint (availableNow drain over a fixed stage)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cells = read_published(spark, target).select("r", "bucket", "c")
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(F.col("user_id").cast("string").alias("s"))
+    return cms_probe_report(cells, cms_truth_topk(ev))

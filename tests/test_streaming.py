@@ -746,3 +746,46 @@ def test_drift_merge_replay_guard_and_count_identity(spark, tmp_path):
     assert store() == whole
     merge(b2, 1)  # replay after a second batch: still a no-op
     assert store() == whole
+
+
+def test_cms_merge_replay_guard_and_additive_identity(spark, tmp_path):
+    """ST18's exactly-once contract: the additive (r, bucket) cell merge
+    is NOT idempotent (unlike ST16's MAX semilattice), so the stored
+    last_batch_id guard must turn a redelivered batch into a no-op; and
+    after any slicing the store must equal SK2's from-scratch cell build
+    — the additivity that makes the streaming report bit-identical."""
+    from hhs_and_cms_data_pipeline_spark.operators.sketch import (
+        cms_batch_cells,
+    )
+    from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
+        make_cms_merger,
+    )
+    from hhs_and_cms_data_pipeline_spark.sinks import read_published
+
+    target = str(tmp_path / "cms_store")
+    merge = make_cms_merger(target)
+
+    b1 = spark.createDataFrame(
+        [(i % 7,) for i in range(40)] + [(None,)], "user_id bigint"
+    )
+    b2 = spark.createDataFrame([(i % 13,) for i in range(60)], "user_id bigint")
+
+    def store():
+        return {
+            (r["r"], r["bucket"]): r["c"]
+            for r in read_published(spark, target).collect()
+        }
+
+    merge(b1, 0)
+    after_b1 = store()
+    assert sum(after_b1.values()) == 4 * 40  # d rows per non-null item
+    merge(b1, 0)  # redelivered: the guard must make this a no-op
+    assert store() == after_b1
+    merge(b2, 1)
+    whole = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in cms_batch_cells(b1.union(b2)).collect()
+    }
+    assert store() == whole
+    merge(b2, 1)  # replay after a second batch: still a no-op
+    assert store() == whole
