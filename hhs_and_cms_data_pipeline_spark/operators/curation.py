@@ -1258,3 +1258,121 @@ def priority_sample_table(docs: DataFrame) -> DataFrame:
         )
         .orderBy(F.desc("priority"), F.asc("doc_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# C17 — DSIR-style importance selection (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", NeurIPS 2023): pick from a
+# SOURCE pool the documents whose hashed-n-gram feature distribution looks
+# most like a TARGET corpus. Both distributions are bag-of-hashed-unigram
+# models over B buckets; a document's importance is the log-likelihood
+# ratio sum_tokens [log p_target(bucket) - log p_source(bucket)].
+#
+# Bit-exactness: log() is not reproducible across engines, so the LLR is
+# quantized to the integer floor-log2 of the Laplace-smoothed bucket
+# counts — wt(b) = flog2(t_b + 1) - flog2(s_b + 1) with flog2(n) =
+# length(bin(n)) - 1 (exact in both engines; the same idiom as TX13's
+# bigram surprisal). The normalizing constants log|T| / log|S| are per-
+# model scalars: they shift every document's score by n_tokens * const,
+# which the ranking-by-LLR contract absorbs into the (llr, n_tokens)
+# output pair. Production swaps the quantized weights for float logs —
+# the plan is unchanged.
+#
+# Spark shape at 100 TB: two corpus passes, exactly like the paper's
+# fit-then-score deployment — pass 1 builds the B-row model with ONE
+# conditional hash aggregation (target and source counted in the same
+# shuffle); pass 2 reduces tokens to (doc, bucket) counts, joins the
+# BROADCAST model, and folds to one row per doc; selection is
+# TakeOrderedAndProject(k), never a global sort.
+# --------------------------------------------------------------------------
+
+_DSIR_SALT = "dsir1:"
+_DSIR_BUCKETS = 256
+_DSIR_K = 64
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "curation_dsir_select",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    bt AS (
+      SELECT doc_id, lang,
+             CAST(CAST('0x' || substr(md5('{_DSIR_SALT}' || w), 1, 4)
+                       AS UBIGINT) AS BIGINT) % {_DSIR_BUCKETS} AS b
+      FROM tk),
+    model AS (
+      SELECT b,
+             (length(bin(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                                  THEN 1 ELSE 0 END) + 1)) - 1)
+           - (length(bin(SUM(CASE WHEN lang <> '{_DSIR_TARGET_LANG}'
+                                  THEN 1 ELSE 0 END) + 1)) - 1) AS wt
+      FROM bt GROUP BY b),
+    dc AS (
+      SELECT doc_id, b, COUNT(*) AS c
+      FROM bt WHERE lang <> '{_DSIR_TARGET_LANG}' GROUP BY 1, 2),
+    score AS (
+      SELECT dc.doc_id,
+             CAST(SUM(dc.c) AS BIGINT) AS n_tokens,
+             CAST(SUM(dc.c * m.wt) AS BIGINT) AS llr
+      FROM dc JOIN model m USING (b) GROUP BY 1)
+    SELECT doc_id, n_tokens, llr
+    FROM score
+    ORDER BY llr DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+    tags=("C17",),
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: DSIR-style importance selection (block comment above) — the
+    top-{k} non-target documents by integer-quantized hashed-unigram
+    log-likelihood ratio against the '{target}' target corpus."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_DSIR_SALT), F.col("w"))), 1, 4), 16, 10
+        ).cast("long")
+        % _DSIR_BUCKETS
+    )
+    bt = docs.select(
+        "doc_id", "lang", F.explode(tokens()).alias("w")
+    ).select("doc_id", "lang", bucket.alias("b"))
+    is_tgt = F.col("lang") == _DSIR_TARGET_LANG
+    flog2 = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    model = (
+        bt.groupBy("b")
+        .agg(
+            F.sum(F.when(is_tgt, 1).otherwise(0)).alias("t_cnt"),
+            F.sum(F.when(is_tgt, 0).otherwise(1)).alias("s_cnt"),
+        )
+        .select(
+            "b",
+            (flog2(F.col("t_cnt") + 1) - flog2(F.col("s_cnt") + 1)).alias("wt"),
+        )
+    )
+    dc = (
+        bt.filter(~is_tgt)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    score = (
+        dc.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("wt")).cast("long").alias("llr"),
+        )
+    )
+    return (
+        score.select("doc_id", "n_tokens", "llr")
+        .orderBy(F.desc("llr"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+    )
+
+
+curation_dsir_select.__doc__ = curation_dsir_select.__doc__.format(
+    k=_DSIR_K, target=_DSIR_TARGET_LANG
+)

@@ -1854,3 +1854,115 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("chunk_bytes").cast("double")
         ).alias("dup_frac"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D16 — containment dedup (Broder 1997's second resemblance measure): the
+# DIRECTIONAL overlap C(A->B) = |A ∩ B| / |A| over bigram shingle sets.
+# Jaccard misses subset relationships — a document pasted inside a 10x
+# larger one scores J <= 0.1 but containment 1.0 — and quote/boilerplate
+# inclusion is exactly what corpus dedup must catch. Candidates ride the
+# same rare-shingle inverted index as D2 (df-capped, skew-proof); the
+# filter is integer-exact (10 * shared >= tau10 * min side) and the
+# reported ratios are single exact-int divisions in DOUBLE.
+# --------------------------------------------------------------------------
+
+_CONTAIN_TAU10 = 8  # keep pairs with max-direction containment >= 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH big AS ({SQL_BIGRAMS}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM big GROUP BY 1),
+    rare AS (
+      SELECT bg FROM big GROUP BY 1 HAVING COUNT(*) <= {_STOP_SHINGLE_DF}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM big a
+      JOIN rare r ON a.bg = r.bg
+      JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN big a ON a.doc_id = c.doc_a
+      JOIN big b ON b.doc_id = c.doc_b AND a.bg = b.bg
+      GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(s.n_shared AS DOUBLE) / CAST(sa.n AS DOUBLE) AS contain_ab,
+           CAST(s.n_shared AS DOUBLE) / CAST(sb.n AS DOUBLE) AS contain_ba
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc_id
+    JOIN sizes sb ON s.doc_b = sb.doc_id
+    WHERE 10 * s.n_shared >= {_CONTAIN_TAU10} * LEAST(sa.n, sb.n)
+    ORDER BY s.doc_a, s.doc_b
+    """,
+    tags=("D16",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16: shingle-containment near-dup pairs (block comment above) —
+    candidate pairs from the rare-shingle inverted index whose
+    max-direction containment clears tau = 0.8, with both directional
+    ratios reported. The same exchange structure as D2 (map-only
+    shingling, df-capped index join, candidate-only verification); only
+    the final filter differs, so everything that makes D2 100 TB-safe
+    carries over verbatim."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    arrays = word_bigram_arrays(docs)
+    big = arrays.select("doc_id", F.explode("bgs").alias("bg"))
+    sizes = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _STOP_SHINGLE_DF)
+        .select("bg")
+    )
+    a, b = big.alias("a"), big.alias("b")
+    cand = (
+        a.join(rare, "bg", "semi")
+        .alias("a")
+        .join(
+            b,
+            (F.col("a.bg") == F.col("b.bg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shared = (
+        cand.join(big.alias("ba"), F.col("doc_a") == F.col("ba.doc_id"))
+        .join(
+            big.alias("bb"),
+            (F.col("doc_b") == F.col("bb.doc_id"))
+            & (F.col("ba.bg") == F.col("bb.bg")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            10 * F.col("n_shared")
+            >= _CONTAIN_TAU10 * F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("n_shared").cast("double") / F.col("n_a").cast("double")).alias(
+                "contain_ab"
+            ),
+            (F.col("n_shared").cast("double") / F.col("n_b").cast("double")).alias(
+                "contain_ba"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

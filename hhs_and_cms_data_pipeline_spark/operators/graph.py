@@ -470,3 +470,110 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("deg")
     )
+
+
+# --------------------------------------------------------------------------
+# GRAPH6 — common-neighbor link prediction (Liben-Nowell & Kleinberg, CIKM
+# 2003): for every NON-adjacent pair (u, v), score the missing edge by the
+# number of shared neighbors plus the neighborhood-Jaccard variant
+# cn / (deg u + deg v - cn). All-integer scores (the Jaccard is one
+# exact-int division in DOUBLE at the end), deterministic tiebreaks.
+#
+# Scale posture: exact common-neighbor counting is inherently
+# Theta(sum deg(c)^2) — the wedge-pair relation IS the candidate set. The
+# standard scale valve (the "stop words of graphs") is a HUB CAP: centers
+# with degree > cap are excluded from wedge generation; a node adjacent to
+# everything certifies nothing about pair affinity, and dropping it bounds
+# the per-center fanout at cap^2 so the exchange is skew-proof. The cap
+# (4096) is far above every test SF's max degree (206 at sf0.01; asserted
+# non-binding by tests/test_plans.py) and binds only on true hubs at
+# corpus scale.
+# The wedge self-join is keyed on the center; hash-shuffle forced like
+# GRAPH1 (no stats on the checkpointed edge artifact).
+# --------------------------------------------------------------------------
+
+_LP_HUB_CAP = 4096
+_LP_TOP_K = 20
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    degs AS (
+      SELECT n, COUNT(*) AS deg FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY 1),
+    adj AS (
+      SELECT u AS c, v AS n FROM edges
+      UNION ALL
+      SELECT v AS c, u AS n FROM edges),
+    wedge AS (
+      SELECT a.n AS u, b.n AS v, COUNT(*) AS cn
+      FROM adj a
+      JOIN adj b ON a.c = b.c AND a.n < b.n
+      JOIN degs d ON a.c = d.n AND d.deg <= {_LP_HUB_CAP}
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.u, w.v, w.cn
+      FROM wedge w
+      ANTI JOIN edges e ON w.u = e.u AND w.v = e.v)
+    SELECT c.u, c.v, CAST(c.cn AS BIGINT) AS cn,
+           CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v,
+           CAST(c.cn AS DOUBLE)
+             / CAST(du.deg + dv.deg - c.cn AS DOUBLE) AS nbr_jaccard
+    FROM cand c
+    JOIN degs du ON c.u = du.n
+    JOIN degs dv ON c.v = dv.n
+    ORDER BY cn DESC, c.u, c.v
+    LIMIT {_LP_TOP_K}
+    """,
+    tags=("GRAPH6",),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH6: top-20 missing edges by common-neighbor count (block comment
+    above), with degrees and neighborhood Jaccard riding along."""
+    ensure_session_conf(spark)
+    und = cooccurrence_edges_cached(spark, sf_dir)
+    deg = _degrees(und)
+    adj = (
+        und.select(F.col("u").alias("c"), F.col("v").alias("n"))
+        .unionAll(und.select(F.col("v").alias("c"), F.col("u").alias("n")))
+        # adjacency is read twice by the self-join below; materialize the
+        # union + the hub-cap join once
+        .join(
+            deg.filter(F.col("deg") <= _LP_HUB_CAP).select(F.col("n").alias("c")),
+            "c",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    wedge = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n")),
+        )
+        .select(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedge.join(und, ["u", "v"], "anti")
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("long").alias("cn"),
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast("double")
+            ).alias("nbr_jaccard"),
+        )
+        .orderBy(F.desc("cn"), F.asc("u"), F.asc("v"))
+        .limit(_LP_TOP_K)
+    )

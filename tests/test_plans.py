@@ -793,3 +793,50 @@ def test_bloom_filter_broadcasts_and_never_sorts(spark, specs):
     plan = formatted_plan(specs["sk_bloom_filter"].builder(spark, SF_SMOKE))
     assert count_broadcast_joins(plan) >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_dsir_model_broadcasts_and_selects_via_topk(spark, specs):
+    plan = formatted_plan(specs["curation_dsir_select"].builder(spark, SF_SMOKE))
+    # the 256-row bucket model joins the per-doc counts as a broadcast —
+    # the scored corpus never shuffles for the model lookup
+    assert count_broadcast_joins(plan) >= 1
+    # selection is a per-partition heap, never a global sort of all scores
+    assert "TakeOrderedAndProject" in plan
+    # scoring needs exactly the id/lang/text columns
+    assert scan_columns(plan, containing="text") <= {"doc_id", "lang", "text"}
+
+
+def test_link_prediction_wedge_join_never_broadcasts_adjacency(spark, specs):
+    plan = formatted_plan(specs["graph_link_prediction"].builder(spark, SF_SMOKE))
+    # the adjacency self-join is EDGE x EDGE: stats-less checkpoint must
+    # not be auto-broadcast (same failure mode as the triangle wedge join)
+    assert "ShuffledHashJoin" in plan
+    # top-20 missing edges via per-partition heaps
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_containment_candidates_are_rare_filtered(spark, specs):
+    plan = formatted_plan(specs["dedup_containment"].builder(spark, SF_SMOKE))
+    # the inverted-index side must pass through the df-cap semi join before
+    # the candidate self-join (the D2 skew valve, shared by contract)
+    assert "LeftSemi" in plan
+
+
+def test_link_prediction_hub_cap_not_binding_at_test_sf(spark):
+    """GRAPH6's hub cap must be a pure scale valve at test SFs: if a test
+    graph's max degree crossed it, the oracle and Spark would still agree
+    (both apply the cap) but the query would silently stop being the exact
+    common-neighbor count — keep the cap comfortably above reality."""
+    from hhs_and_cms_data_pipeline_spark.operators.graph import (
+        _LP_HUB_CAP,
+        _degrees,
+        cooccurrence_edges_cached,
+    )
+    from pyspark.sql import functions as F
+
+    max_deg = (
+        _degrees(cooccurrence_edges_cached(spark, SF_SMOKE))
+        .agg(F.max("deg"))
+        .collect()[0][0]
+    )
+    assert max_deg * 4 < _LP_HUB_CAP
