@@ -63,7 +63,11 @@ def main() -> None:
         # graph_triangle_counts is intentionally NOT here: ~34s at sf0.1
         # (honest wedge-join enumeration) would dominate the bench wall
         # clock; its per-round correctness cost is covered by the sf0.01
-        # gate (~3s).
+        # gate (~3s). graph_link_prediction is excluded for the same
+        # reason (~49s at sf0.1: exact common-neighbor counting is
+        # Theta(sum deg^2) = ~130M wedge pairs on this dense graph).
+        "curation_dsir_select",
+        "dedup_containment",
     ]
     missing = [n for n in extended_names if n not in all_]
     if missing:

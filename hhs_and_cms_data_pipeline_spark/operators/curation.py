@@ -1331,6 +1331,18 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood ratio against the '{target}' target corpus."""
     ensure_session_conf(spark)
     docs = spread(table(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
+    return (
+        dsir_scores(docs)
+        .orderBy(F.desc("llr"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+    )
+
+
+def dsir_scores(docs: DataFrame) -> DataFrame:
+    """C17's scoring DAG over any (doc_id, lang, text) frame, pre-top-k —
+    THE definition of the quantized-LLR rule, factored so the
+    monotonicity property test (tests/test_properties.py) can push
+    synthetic target/source corpora through the exact production plan."""
     bucket = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(_DSIR_SALT), F.col("w"))), 1, 4), 16, 10
@@ -1366,11 +1378,7 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("wt")).cast("long").alias("llr"),
         )
     )
-    return (
-        score.select("doc_id", "n_tokens", "llr")
-        .orderBy(F.desc("llr"), F.asc("doc_id"))
-        .limit(_DSIR_K)
-    )
+    return score.select("doc_id", "n_tokens", "llr")
 
 
 curation_dsir_select.__doc__ = curation_dsir_select.__doc__.format(

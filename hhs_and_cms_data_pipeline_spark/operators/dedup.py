@@ -1910,7 +1910,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final filter differs, so everything that makes D2 100 TB-safe
     carries over verbatim."""
     ensure_session_conf(spark)
-    docs = spread(table(spark, sf_dir, "documents"))
+    return containment_pairs(spread(table(spark, sf_dir, "documents")))
+
+
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """D16's DAG over any (doc_id, text) frame — THE definition of the
+    containment rule, factored (like cdc_chunk_table for D14) so the
+    subset-detection property test can push synthetic corpora through the
+    exact production plan."""
     arrays = word_bigram_arrays(docs)
     big = arrays.select("doc_id", F.explode("bgs").alias("bg"))
     sizes = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -1463,3 +1463,97 @@ def test_priority_sample_small_corpus_is_exact(spark):
         assert r["exact_total_weight"] == total
         assert r["est_total_weight"] == float(total)
         assert r["rel_error"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# D16 containment — subset detection + brute-force model equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_containment_detects_doc_inside_doc(spark):
+    """The case D16 exists for and Jaccard misses: doc 1 pasted verbatim
+    inside a much larger doc 2 must surface with contain_ab = 1.0 even
+    though the pair's Jaccard is far below D2's 0.5 threshold."""
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import containment_pairs
+
+    inner = "q w e r t y"
+    filler = " ".join(f"f{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, inner), (2, filler + " " + inner + " " + filler), (3, "z z z z")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(docs).collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r["contain_ab"] == 1.0 and r["n_shared"] == r["n_a"]
+    # and the pair IS a low-jaccard pair: shared / union far below 0.5
+    assert r["n_shared"] / (r["n_a"] + r["n_b"] - r["n_shared"]) < 0.2
+
+
+_ctn_vocab = st.sampled_from(list("abcdef"))
+_ctn_doc = st.lists(_ctn_vocab, min_size=2, max_size=20).map(" ".join)
+_ctn_corpus = st.lists(_ctn_doc, min_size=2, max_size=7)
+
+
+@given(texts=_ctn_corpus)
+@settings(**_SETTINGS)
+def test_containment_matches_bruteforce_model(spark, texts):
+    """D16 against the python reference model: over ANY corpus, the
+    df-capped inverted-index pipeline must emit exactly the pairs whose
+    max-direction distinct-bigram containment clears 0.8, with exact
+    shared/size counts (corpora stay far below the 100-doc shingle cap,
+    so candidates == all pairs sharing a shingle)."""
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        _CONTAIN_TAU10,
+        containment_pairs,
+    )
+
+    def bigrams(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    expect = {}
+    for i, ta in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            a, b = bigrams(ta), bigrams(texts[j])
+            shared = a & b
+            if shared and 10 * len(shared) >= _CONTAIN_TAU10 * min(len(a), len(b)):
+                expect[(i, j)] = (len(shared), len(a), len(b))
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["n_a"], r["n_b"])
+        for r in containment_pairs(docs).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# C17 DSIR — importance scoring must rank target-like source docs first
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_ranks_targetlike_docs_first(spark):
+    """A source-pool doc written in the target corpus' vocabulary must
+    out-score a doc written in source-only vocabulary, and only source-
+    pool (non-target-lang) docs may be scored at all. The magnitudes are
+    oracle-checked; this pins the SEMANTICS (direction of the LLR) the
+    differential gate cannot distinguish from a sign flip that both
+    engines share."""
+    from hhs_and_cms_data_pipeline_spark.operators.curation import dsir_scores
+
+    tgt_vocab = "alpha beta gamma delta " * 12
+    src_vocab = "omega psi chi phi " * 12
+    docs = spark.createDataFrame(
+        [
+            (1, "en", tgt_vocab),    # defines the target distribution
+            (2, "de", tgt_vocab),    # source doc, target-like -> high LLR
+            (3, "de", src_vocab),    # source doc, source-like -> low LLR
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["doc_id"]: r["llr"] for r in dsir_scores(docs).collect()}
+    assert set(rows) == {2, 3}, "only non-target docs are scored"
+    assert rows[2] > rows[3]
