@@ -967,3 +967,151 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(keyframe_batches, KEYFRAME_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# MM9 — voice-activity segmentation (VAD) over binary PCM payloads: frame
+# energies (MM5's framing) thresholded at the per-document mean, then
+# maximal runs of consecutive voiced frames found with the gaps-and-islands
+# trick (frame_idx - row_number() is constant within a run). This is the
+# silence-trimming / utterance-splitting pass an audio training pipeline
+# runs before transcription — the per-doc segment count, longest segment,
+# and voiced fraction are its selection signals.
+#
+# Hybrid shape the multimodal family is built on: Arrow-batched numpy does
+# the byte-level work (payload -> int16 samples -> per-frame int64
+# energies, one frombuffer + one reshaped matmul per batch), then
+# JVM-side windows do the relational work (islands, runs, aggregates) —
+# exchanges are ONE hash partition by doc_id reused by both windows plus
+# the two keyed aggregations. Thresholding is exact-integer (voiced iff
+# nf * e > total_e, i.e. e > mean without the division); only voiced_frac
+# divides, once, at the end.
+# --------------------------------------------------------------------------
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("f", T.IntegerType(), False),
+        T.StructField("e", T.LongType(), False),
+    ]
+)
+
+
+def audio_frame_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload bytes -> one row per 32-sample frame
+    with its int64 sum-of-squares energy (MM5's framing, row-expanded)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, fs, es = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            sam = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+                np.int64
+            )
+            nf = len(sam) // _PCM_FRAME
+            if not nf:
+                continue
+            en = (
+                sam[: nf * _PCM_FRAME].reshape(nf, _PCM_FRAME) ** 2
+            ).sum(axis=1)
+            ids.extend([int(doc_id)] * nf)
+            fs.extend(range(nf))
+            es.extend(int(x) for x in en)
+        yield pd.DataFrame({"doc_id": ids, "f": fs, "e": es})
+
+
+@register(
+    "mm_vad_segments",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    sam AS (
+      SELECT doc_id, n // 2 AS ns,
+             list_transform(range(0, n // 2), j ->
+               (('0x' || substr(hx, 4*j+1, 2))::UBIGINT)::BIGINT
+               + 256 * ((('0x' || substr(hx, 4*j+3, 2))::UBIGINT)::BIGINT)
+               - CASE WHEN (('0x' || substr(hx, 4*j+3, 2))::UBIGINT)::BIGINT >= 128
+                      THEN 65536 ELSE 0 END) AS ss
+      FROM b),
+    en AS (
+      SELECT doc_id, ns // {_PCM_FRAME} AS nf,
+             list_transform(range(0, ns // {_PCM_FRAME}), f ->
+               list_sum(list_transform(
+                 list_slice(ss, {_PCM_FRAME}*f + 1, {_PCM_FRAME}*f + {_PCM_FRAME}),
+                 x -> x*x))) AS es
+      FROM sam WHERE ns // {_PCM_FRAME} >= 1),
+    fr AS (
+      SELECT doc_id, nf,
+             CAST(unnest(range(0, nf)) AS BIGINT) AS f,
+             CAST(list_sum(es) AS BIGINT) AS tot,
+             unnest(es) AS e
+      FROM en),
+    voiced AS (
+      SELECT doc_id, nf, f,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      FROM fr WHERE nf * e > tot),
+    seg AS (
+      SELECT doc_id, nf, COUNT(*) AS seg_len
+      FROM voiced GROUP BY doc_id, nf, grp)
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(SUM(seg_len) AS BIGINT) AS n_voiced,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(MAX(seg_len) AS BIGINT) AS longest_seg,
+           CAST(SUM(seg_len) AS DOUBLE) / CAST(nf AS DOUBLE) AS voiced_frac
+    FROM seg
+    GROUP BY doc_id, nf
+    ORDER BY doc_id
+    """,
+    tags=("MM9",),
+)
+def mm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM9: per-document voice-activity segments (block comment above).
+    Documents whose energy never crosses the mean (e.g. constant-energy
+    payloads) have no voiced frames and drop out — the report lists docs
+    with at least one segment."""
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    payloads = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    fr = payloads.mapInPandas(audio_frame_rows, AUDIO_FRAME_SCHEMA)
+    wdoc = Window.partitionBy("doc_id")
+    fr = fr.select(
+        "doc_id",
+        F.col("f").cast("long").alias("f"),
+        "e",
+        F.count(F.lit(1)).over(wdoc).alias("nf"),
+        F.sum("e").over(wdoc).alias("tot"),
+    )
+    worder = Window.partitionBy("doc_id").orderBy("f")
+    voiced = fr.filter(F.col("nf") * F.col("e") > F.col("tot")).select(
+        "doc_id",
+        "nf",
+        (F.col("f") - F.row_number().over(worder)).alias("grp"),
+    )
+    seg = voiced.groupBy("doc_id", "nf", "grp").agg(
+        F.count(F.lit(1)).alias("seg_len")
+    )
+    return (
+        seg.groupBy("doc_id", "nf")
+        .agg(
+            F.sum("seg_len").cast("long").alias("n_voiced"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.max("seg_len").cast("long").alias("longest_seg"),
+        )
+        .select(
+            "doc_id",
+            F.col("nf").cast("long").alias("n_frames"),
+            "n_voiced",
+            "n_segments",
+            "longest_seg",
+            (
+                F.col("n_voiced").cast("double") / F.col("nf").cast("double")
+            ).alias("voiced_frac"),
+        )
+        .orderBy("doc_id")
+    )

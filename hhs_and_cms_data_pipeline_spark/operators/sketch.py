@@ -1136,3 +1136,132 @@ def sk_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+# --------------------------------------------------------------------------
+# SK8 — AMS second-moment (F2 / self-join size) sketch (Alon, Matias &
+# Szegedy, STOC'96): F2 = sum_v f_v^2 is THE quantity a join planner needs
+# to size a self-join / skew-risk a key, and the AMS tug-of-war sketch
+# estimates it in O(1) memory per estimator: X_i = (sum_rows s_i(v))^2 for
+# a +-1 hash s_i, E[X_i] = F2. 128 estimators as a median of 16 means of
+# 8 (mean-of-8 halves the single-estimator std to ~0.5 F2; the 16-way
+# median concentrates it to ~15% typical error — pinned by the
+# calibration test). The sketch is MERGEABLE: the inner signed sums add
+# across partitions/shards — exactly a SUM aggregate, so Spark's map-side
+# partials ARE the sketch merge.
+#
+# Bit-exact across engines: the 128 sign bits come from FOUR md5s per row
+# (the low bit of each of the 32 hex nibbles — 32 estimators per hash);
+# signed sums, squares, and group sums are exact int64 (|S_i| <= n, so
+# X_i <= n^2 < 2^63 up to ~3e9 rows); the median of 16 group sums is the
+# mean of the two middle integers, and the only IEEE ops are the final
+# /16.0 (median's /2 and the group mean's /8) and the rel_error division.
+# --------------------------------------------------------------------------
+
+_AMS_HASHES = 4        # md5 calls per row
+_AMS_K = 32 * _AMS_HASHES  # estimators
+_AMS_GSZ = 8           # estimators per mean
+_AMS_G = _AMS_K // _AMS_GSZ  # 16 groups
+
+
+def _ams_sql_sign(i: int) -> str:
+    """DuckDB: the +-1 sign of estimator i (hash i//32, nibble i%32)."""
+    return (
+        f"(1 - 2 * CAST(('0x' || substr(h{i // 32}, {i % 32 + 1}, 1))"
+        "::UBIGINT % 2 AS BIGINT))"
+    )
+
+
+@register(
+    "sk_ams_f2",
+    oracle=f"""
+    WITH h AS (
+      SELECT {", ".join(
+        f"md5('ams{j}:' || CAST(user_id AS VARCHAR)) AS h{j}"
+        for j in range(_AMS_HASHES))}
+      FROM events),
+    s AS (
+      SELECT {", ".join(
+        f"SUM({_ams_sql_sign(i)}) AS s{i}" for i in range(_AMS_K))},
+             COUNT(*) AS n_rows
+      FROM h),
+    grp AS (
+      SELECT n_rows,
+             list_sort([{", ".join(
+        " + ".join(f"s{_AMS_GSZ * g + j} * s{_AMS_GSZ * g + j}"
+                   for j in range(_AMS_GSZ))
+        for g in range(_AMS_G))}]) AS ys
+      FROM s),
+    ex AS (
+      SELECT SUM(cnt * cnt) AS f2 FROM (
+        SELECT COUNT(*) AS cnt FROM events GROUP BY user_id))
+    SELECT m.n_rows,
+           CAST(x.f2 AS BIGINT) AS f2_exact,
+           CAST(ys[{_AMS_G // 2}] + ys[{_AMS_G // 2 + 1}] AS DOUBLE) / {2 * _AMS_GSZ}.0
+             AS f2_estimate,
+           (CAST(ys[{_AMS_G // 2}] + ys[{_AMS_G // 2 + 1}] AS DOUBLE) / {2 * _AMS_GSZ}.0
+              - CAST(x.f2 AS DOUBLE)) / CAST(x.f2 AS DOUBLE) AS rel_error
+    FROM grp m CROSS JOIN ex x
+    """,
+    tags=("SK8",),
+)
+def sk_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK8: AMS tug-of-war F2 sketch over events.user_id (block comment),
+    with the exact self-join size as the audit column the estimator
+    exists to replace (at 100 TB: keep the sketch, drop the audit)."""
+    ensure_session_conf(spark)
+    return ams_f2_sketch(
+        table(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("v"))
+    )
+
+
+def ams_f2_sketch(items: DataFrame) -> DataFrame:
+    """SK8's DAG over any single-column (v string) frame — factored so the
+    calibration and mergeability properties test the production plan."""
+    ev = items.select(
+        *[
+            F.md5(F.concat(F.lit(f"ams{j}:"), F.col("v"))).alias(f"h{j}")
+            for j in range(_AMS_HASHES)
+        ]
+    )
+    sign = lambda i: (  # noqa: E731
+        1
+        - 2
+        * (
+            F.conv(F.substring(f"h{i // 32}", i % 32 + 1, 1), 16, 10).cast("long")
+            % 2
+        )
+    )
+    s = ev.agg(
+        *[F.sum(sign(i)).alias(f"s{i}") for i in range(_AMS_K)],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ys = F.sort_array(
+        F.array(
+            *[
+                sum(
+                    (F.col(f"s{_AMS_GSZ * g + j}") * F.col(f"s{_AMS_GSZ * g + j}"))
+                    for j in range(_AMS_GSZ)
+                )
+                for g in range(_AMS_G)
+            ]
+        )
+    )
+    est = (
+        F.element_at(ys, _AMS_G // 2) + F.element_at(ys, _AMS_G // 2 + 1)
+    ).cast("double") / F.lit(float(2 * _AMS_GSZ))
+    sk = s.select("n_rows", est.alias("f2_estimate"))
+    ex = (
+        items.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2"))
+    )
+    return sk.crossJoin(F.broadcast(ex)).select(
+        "n_rows",
+        F.col("f2").cast("long").alias("f2_exact"),
+        "f2_estimate",
+        (
+            (F.col("f2_estimate") - F.col("f2").cast("double"))
+            / F.col("f2").cast("double")
+        ).alias("rel_error"),
+    )

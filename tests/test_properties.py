@@ -1557,3 +1557,25 @@ def test_dsir_ranks_targetlike_docs_first(spark):
     rows = {r["doc_id"]: r["llr"] for r in dsir_scores(docs).collect()}
     assert set(rows) == {2, 3}, "only non-target docs are scored"
     assert rows[2] > rows[3]
+
+
+# ---------------------------------------------------------------------------
+# SK8 AMS F2 — calibration on a known-F2 skewed multiset
+# ---------------------------------------------------------------------------
+
+
+def test_ams_f2_calibration_on_known_multiset(spark):
+    """The 128-estimator median-of-means must land within 35% of the exact
+    F2 on a Zipf-ish multiset (value i repeated i times: F2 = sum i^2).
+    Deterministic (md5 signs), so this pins the estimator's wiring — a
+    broken group/median step or a sign-bias bug lands far outside 35%,
+    while the theory std for a median of 16 means of 8 is ~15%."""
+    from hhs_and_cms_data_pipeline_spark.operators.sketch import ams_f2_sketch
+
+    n_vals = 60
+    rows = [(f"v{i}",) for i in range(1, n_vals + 1) for _ in range(i)]
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    r = ams_f2_sketch(df).collect()[0]
+    exact = sum(i * i for i in range(1, n_vals + 1))
+    assert r.f2_exact == exact and r.n_rows == len(rows)
+    assert abs(r.rel_error) < 0.35, r
