@@ -1384,3 +1384,74 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
 curation_dsir_select.__doc__ = curation_dsir_select.__doc__.format(
     k=_DSIR_K, target=_DSIR_TARGET_LANG
 )
+
+
+# --------------------------------------------------------------------------
+# C18 — alpha-temperature mixture planner (the exponentiated-sampling rule
+# of multilingual pretraining — mBERT / XLM-R, Conneau et al. 2020): the
+# sampling weight of stratum l is q_l ∝ p_l^alpha, flattening the natural
+# distribution so low-resource strata are seen more often. alpha = 0.5
+# here, deliberately: p^0.5 is sqrt, the ONE power IEEE 754 requires to be
+# correctly rounded — so unlike a pow()-based alpha, every engine computes
+# the identical double and the plan stays differentially testable. The
+# normalizer Z = sum sqrt(n_l) is a fold over the LANG-ORDERED list on
+# both engines (5 strata — identical addition order, identical rounding).
+#
+# Spark shape at 100 TB: one hash aggregation collapses the corpus to one
+# row per stratum; everything after is algebra on a handful of rows. The
+# planner's q feeds C12's replication weights — this op derives FROM the
+# data what C12 consumes as constants.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curation_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    z AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS z,
+                 SUM(n) AS tot FROM c)
+    SELECT c.lang,
+           CAST(c.n AS BIGINT) AS n_docs,
+           CAST(c.n AS DOUBLE) / CAST(z.tot AS DOUBLE) AS p_natural,
+           sqrt(CAST(c.n AS DOUBLE)) / z.z AS q_temperature,
+           (sqrt(CAST(c.n AS DOUBLE)) / z.z)
+             / (CAST(c.n AS DOUBLE) / CAST(z.tot AS DOUBLE)) AS boost
+    FROM c CROSS JOIN z
+    ORDER BY lang
+    """,
+    tags=("C18",),
+)
+def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18: per-language alpha=0.5 temperature mixture plan (block comment
+    above) — natural share p, temperature-flattened sampling weight q,
+    and the boost factor q/p a sampler applies per stratum."""
+    ensure_session_conf(spark)
+    cnt = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    z = cnt.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("lang", "n"))),
+                lambda s: F.sqrt(s["n"].cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z"),
+        F.sum("n").alias("tot"),
+    )
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    q = F.sqrt(F.col("n").cast("double")) / F.col("z")
+    return (
+        cnt.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            p.alias("p_natural"),
+            q.alias("q_temperature"),
+            (q / p).alias("boost"),
+        )
+        .orderBy("lang")
+    )

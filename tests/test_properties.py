@@ -1579,3 +1579,24 @@ def test_ams_f2_calibration_on_known_multiset(spark):
     exact = sum(i * i for i in range(1, n_vals + 1))
     assert r.f2_exact == exact and r.n_rows == len(rows)
     assert abs(r.rel_error) < 0.35, r
+
+
+def test_temperature_mixture_flattens_and_normalizes(spark):
+    """C18's defining properties: q sums to 1; rare strata get boost > 1
+    and common strata boost < 1 (flattening); and ordering by q preserves
+    ordering by n (alpha in (0,1) is monotone, never inverts ranks)."""
+    from hhs_and_cms_data_pipeline_spark.operators.curation import (
+        curation_temperature_mixture,
+    )
+
+    rows = curation_temperature_mixture(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    qs = [r.q_temperature for r in rows]
+    assert abs(sum(qs) - 1.0) < 1e-12
+    biggest = max(rows, key=lambda r: r.n_docs)
+    smallest = min(rows, key=lambda r: r.n_docs)
+    assert biggest.boost < 1.0 < smallest.boost
+    by_n = [r.lang for r in sorted(rows, key=lambda r: (r.n_docs, r.lang))]
+    by_q = [r.lang for r in sorted(rows, key=lambda r: (r.q_temperature, r.lang))]
+    assert by_n == by_q
