@@ -1332,3 +1332,143 @@ def ohlc_bars_table(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+# --------------------------------------------------------------------------
+# XT3 — linear-interpolation gap fill: XT1's dense hourly spine, but empty
+# hours get the straight line between the neighboring observations instead
+# of a carried-forward step. LOCF is right for state-like series (a rating
+# that holds until changed); interpolation is right for flow-like series
+# (a metered quantity sampled irregularly). Hours before the first / after
+# the last observation stay NULL — extrapolation is a modeling choice, not
+# a gap fill.
+#
+# Bit-exactness: the observed hourly sums ride the decimal route (exact,
+# order-free); the interpolation weight is a ratio of integer hour offsets
+# (one exact-int division); and both engines evaluate the identical
+# three-op expression prev + (next - prev) * frac — same order, same
+# roundings. The prev/next lookups are IGNORE NULLS window functions over
+# the per-type spine, never a self-join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xt3_gapfill_interpolate",
+    oracle=f"""
+    WITH ev AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             event_type, value
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+    spine_h AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    spine AS (SELECT h, event_type FROM spine_h CROSS JOIN types),
+    hourly AS (
+      SELECT h, event_type, COUNT(*) AS n,
+             {sql_dsum("value")} AS sum_value
+      FROM ev GROUP BY 1, 2),
+    j AS (
+      SELECT s.h, s.event_type, COALESCE(d.n, 0) AS n, d.sum_value
+      FROM spine s
+      LEFT JOIN hourly d ON s.h = d.h AND s.event_type = d.event_type),
+    nbr AS (
+      SELECT h, event_type, n, sum_value,
+             last_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+             last_value(CASE WHEN sum_value IS NOT NULL THEN h END
+                        IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_h,
+             first_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN sum_value IS NOT NULL THEN h END
+                         IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_h
+      FROM j)
+    SELECT h, event_type, n, sum_value,
+           CASE
+             WHEN sum_value IS NOT NULL THEN sum_value
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+                 * (CAST(date_diff('hour', prev_h, h) AS DOUBLE)
+                    / CAST(date_diff('hour', prev_h, next_h) AS DOUBLE))
+           END AS sum_value_interp
+    FROM nbr
+    ORDER BY event_type, h
+    """,
+    tags=("XT3",),
+)
+def xt3_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XT3: dense hourly series per event type with linearly interpolated
+    sums in the gaps (block comment above). Same spine construction as
+    XT1 — O(hours x types) rows from one scalar aggregate, the hourly
+    pre-aggregation is the only fact-sized stage — plus four IGNORE NULLS
+    window lookups sharing ONE per-type sort."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "event_type",
+            "value",
+        )
+    )
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine_h = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_h.crossJoin(F.broadcast(types))
+    hourly = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
+    j = spine.join(hourly, ["h", "event_type"], "left").select(
+        "h",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        "sum_value",
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("sum_value").isNotNull(), F.col("h"))
+    nbr = j.select(
+        "h",
+        "event_type",
+        "n",
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(wprev).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(wprev).alias("prev_h"),
+        F.first("sum_value", ignorenulls=True).over(wnext).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(wnext).alias("next_h"),
+    )
+    hours = lambda a, b: (  # noqa: E731
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(3600)
+    ).cast("long")
+    frac = hours(F.col("prev_h"), F.col("h")).cast("double") / hours(
+        F.col("prev_h"), F.col("next_h")
+    ).cast("double")
+    interp = (
+        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+    )
+    return nbr.select(
+        "h", "event_type", "n", "sum_value", interp.alias("sum_value_interp")
+    ).orderBy("event_type", "h")
