@@ -1472,3 +1472,81 @@ def xt3_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nbr.select(
         "h", "event_type", "n", "sum_value", interp.alias("sum_value_interp")
     ).orderBy("event_type", "h")
+
+
+# --------------------------------------------------------------------------
+# XA13 — daily new-vs-returning user split with the cumulative acquisition
+# curve: each event day reports how many distinct users were active, how
+# many of them were seen for the FIRST time that day, and the running
+# total of users ever seen — the growth-accounting rollup (XA8's cohort
+# retention is its per-cohort refinement). First-seen is a per-user MIN,
+# not a window over raw events, so the fact table collapses in ONE keyed
+# aggregation before any window touches it; the cumulative sum runs over
+# the tiny per-day frame.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa13_new_vs_returning",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS d
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    firsts AS (SELECT user_id, MIN(d) AS first_d FROM ev GROUP BY 1),
+    daily AS (
+      SELECT e.d,
+             COUNT(DISTINCT e.user_id) AS active_users,
+             COUNT(DISTINCT CASE WHEN e.d = f.first_d THEN e.user_id END)
+               AS new_users
+      FROM ev e JOIN firsts f USING (user_id)
+      GROUP BY e.d)
+    SELECT d,
+           CAST(active_users AS BIGINT) AS active_users,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(active_users - new_users AS BIGINT) AS returning_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS users_ever_seen
+    FROM daily
+    ORDER BY d
+    """,
+    tags=("XA13",),
+)
+def xa13_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA13: per-day active/new/returning users + cumulative users ever
+    seen (block comment above).
+
+    Exchanges at 100 TB: one user-keyed aggregation for first-seen dates,
+    one (day, user) distinct reduction, one day-keyed count — all with
+    map-side partials — then the running sum over the per-day frame,
+    which is O(days), bounded, and explicitly allowed to single-partition
+    (it is pre-aggregated; the registry-wide global-window audit checks
+    exactly this)."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    daily = (
+        ev.join(firsts, "user_id")
+        .groupBy("d")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.countDistinct(
+                F.when(F.col("d") == F.col("first_d"), F.col("user_id"))
+            ).alias("new_users"),
+        )
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        F.col("active_users").cast("long").alias("active_users"),
+        F.col("new_users").cast("long").alias("new_users"),
+        (F.col("active_users") - F.col("new_users"))
+        .cast("long")
+        .alias("returning_users"),
+        F.sum("new_users").over(wcum).cast("long").alias("users_ever_seen"),
+    ).orderBy("d")
