@@ -1021,48 +1021,58 @@ def audio_frame_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": ids, "f": fs, "e": es})
 
 
-@register(
-    "mm_vad_segments",
-    oracle=f"""
-    WITH b AS (
+# MM9's frame/segment derivation as a reusable oracle fragment (PIPE3's
+# manifest must agree with the standalone report verbatim).
+_SQL_VAD_CTES = f"""
+    vb AS (
       SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
       FROM documents),
-    sam AS (
+    vsam AS (
       SELECT doc_id, n // 2 AS ns,
              list_transform(range(0, n // 2), j ->
                (('0x' || substr(hx, 4*j+1, 2))::UBIGINT)::BIGINT
                + 256 * ((('0x' || substr(hx, 4*j+3, 2))::UBIGINT)::BIGINT)
                - CASE WHEN (('0x' || substr(hx, 4*j+3, 2))::UBIGINT)::BIGINT >= 128
                       THEN 65536 ELSE 0 END) AS ss
-      FROM b),
-    en AS (
+      FROM vb),
+    ven AS (
       SELECT doc_id, ns // {_PCM_FRAME} AS nf,
              list_transform(range(0, ns // {_PCM_FRAME}), f ->
                list_sum(list_transform(
                  list_slice(ss, {_PCM_FRAME}*f + 1, {_PCM_FRAME}*f + {_PCM_FRAME}),
                  x -> x*x))) AS es
-      FROM sam WHERE ns // {_PCM_FRAME} >= 1),
-    fr AS (
+      FROM vsam WHERE ns // {_PCM_FRAME} >= 1),
+    vfr AS (
       SELECT doc_id, nf,
              CAST(unnest(range(0, nf)) AS BIGINT) AS f,
              CAST(list_sum(es) AS BIGINT) AS tot,
              unnest(es) AS e
-      FROM en),
-    voiced AS (
+      FROM ven),
+    vvoiced AS (
       SELECT doc_id, nf, f,
              f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
-      FROM fr WHERE nf * e > tot),
-    seg AS (
+      FROM vfr WHERE nf * e > tot),
+    vseg AS (
       SELECT doc_id, nf, COUNT(*) AS seg_len
-      FROM voiced GROUP BY doc_id, nf, grp)
-    SELECT doc_id,
-           CAST(nf AS BIGINT) AS n_frames,
-           CAST(SUM(seg_len) AS BIGINT) AS n_voiced,
-           CAST(COUNT(*) AS BIGINT) AS n_segments,
-           CAST(MAX(seg_len) AS BIGINT) AS longest_seg,
-           CAST(SUM(seg_len) AS DOUBLE) / CAST(nf AS DOUBLE) AS voiced_frac
-    FROM seg
-    GROUP BY doc_id, nf
+      FROM vvoiced GROUP BY doc_id, nf, grp),
+    vad AS (
+      SELECT doc_id,
+             CAST(nf AS BIGINT) AS n_frames,
+             CAST(SUM(seg_len) AS BIGINT) AS n_voiced,
+             CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(MAX(seg_len) AS BIGINT) AS longest_seg,
+             CAST(SUM(seg_len) AS DOUBLE) / CAST(nf AS DOUBLE) AS voiced_frac
+      FROM vseg
+      GROUP BY doc_id, nf)
+"""
+
+
+@register(
+    "mm_vad_segments",
+    oracle=f"""
+    WITH {_SQL_VAD_CTES}
+    SELECT doc_id, n_frames, n_voiced, n_segments, longest_seg, voiced_frac
+    FROM vad
     ORDER BY doc_id
     """,
     tags=("MM9",),
@@ -1115,3 +1125,82 @@ def mm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PIPE3 — composed multimodal (audio) corpus build: the manifest a speech
+# training pipeline hands to its sampler. One DAG composes four operators
+# this module/family already proves piecewise: exact payload dedup (D1's
+# min-id-per-md5 rule), the TX8 hashed-weight quality gate, MM9's VAD
+# segmentation, and MM1's byte metadata — keep a document iff it is its
+# duplicate-group's exemplar, its quality score clears 0, and at least
+# half its frames are voiced (2 * n_voiced >= n_frames: the integer form,
+# no float threshold). Every constituent rule is stated ONCE module-wide
+# (shared SQL fragments / factored Columns), so the composition cannot
+# drift from the standalone reports.
+#
+# Spark shape at 100 TB: the quality gate and byte metadata are map-only
+# expressions on the scan; dedup is one md5-keyed aggregation + semi
+# join; VAD contributes its doc-keyed exchange; the final join is
+# doc_id-keyed. Nothing fact-sized funnels through a driver or a single
+# partition.
+# --------------------------------------------------------------------------
+
+
+from .text import SQL_QC_RAW as _SQL_QC_RAW  # noqa: E402  (no import cycle: text.py is leaf)
+
+
+@register(
+    "mm_audio_corpus_build",
+    oracle=f"""
+    WITH {_SQL_VAD_CTES},
+    qc AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS byte_len,
+             md5(text) AS content_md5,
+             {_SQL_QC_RAW} AS raw_score
+      FROM documents),
+    winners AS (
+      SELECT MIN(doc_id) AS doc_id FROM qc GROUP BY content_md5)
+    SELECT q.doc_id, CAST(q.byte_len AS BIGINT) AS byte_len, q.content_md5,
+           v.n_segments, v.longest_seg, v.voiced_frac
+    FROM qc q
+    SEMI JOIN winners w ON q.doc_id = w.doc_id
+    JOIN vad v ON q.doc_id = v.doc_id
+    WHERE q.raw_score >= 0 AND 2 * v.n_voiced >= v.n_frames
+    ORDER BY q.doc_id
+    """,
+    tags=("PIPE3",),
+)
+def mm_audio_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPE3: the composed audio-corpus manifest (block comment above) —
+    exemplar-deduped, quality-gated, voiced-majority documents with their
+    byte metadata and VAD stats."""
+    ensure_session_conf(spark)
+    from .text import quality_raw_score
+
+    payload = F.encode(F.col("text"), "UTF-8")
+    qc = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.md5(payload).alias("content_md5"),
+        quality_raw_score().alias("raw_score"),
+    )
+    winners = qc.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
+    vad = mm_vad_segments(spark, sf_dir)
+    return (
+        qc.join(winners.select("doc_id"), "doc_id", "semi")
+        .filter(F.col("raw_score") >= 0)
+        .join(vad, "doc_id")
+        .filter(2 * F.col("n_voiced") >= F.col("n_frames"))
+        .select(
+            "doc_id",
+            "byte_len",
+            "content_md5",
+            "n_segments",
+            "longest_seg",
+            "voiced_frac",
+        )
+        .orderBy("doc_id")
+    )
+
