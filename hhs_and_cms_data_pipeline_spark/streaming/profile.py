@@ -19,7 +19,17 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
-from pyspark.sql.streaming.stateful_processor import (
+from ..compat import protobuf_shim
+
+# Module-level so the bridge is active wherever this module is imported —
+# critically, in the PYTHON WORKER that unpickles UserProfileProcessor:
+# the state-server client's lazy pb2 import
+# (stateful_processor_api_client.py:90) happens there, mid-task. No-op
+# when a real protobuf is installed; harmless False when neither exists
+# (the e2e test skips on that return instead of importorskip).
+_PROTOBUF_OK = protobuf_shim.install()
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     StatefulProcessor,
     StatefulProcessorHandle,
 )
@@ -73,6 +83,20 @@ def run_profile_maintenance(spark, stage_dir: str, checkpoint_dir: str, query_na
     from ..sources.tables import normalize_events_ts
     from .events import events_raw_schema
 
+    # transformWithState keeps each state variable in its own COLUMN
+    # FAMILY; the default HDFSBackedStateStoreProvider rejects multiple
+    # families outright, so the RocksDB provider (bundled rocksdbjni) is a
+    # REQUIREMENT of this operator, not a tuning choice — it is also the
+    # provider a 100 TB deployment runs for state larger than executor
+    # heap. Runtime-settable; restored after the drain so co-resident
+    # applyInPandasWithState queries keep their session's provider.
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prior_provider = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(
+        _PROVIDER_KEY,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
     raw = (
         spark.readStream.schema(events_raw_schema(spark, stage_dir))
         .option("maxFilesPerTrigger", 1)
@@ -86,15 +110,21 @@ def run_profile_maintenance(spark, stage_dir: str, checkpoint_dir: str, query_na
         outputMode="Update",
         timeMode="None",
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior_provider)
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     final = (
         spark.table(query_name)
