@@ -1950,3 +1950,73 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull()
     ).select(F.col("user_id").cast("string").alias("s"))
     return cms_probe_report(cells, cms_truth_topk(ev))
+
+
+# --------------------------------------------------------------------------
+# ST19 — per-user N most recent events: the batch statement of the Spark-4
+# transformWithState ListState maintainer (streaming/recent.py), which the
+# e2e test drains micro-batch-wise and asserts equal to these rows. The
+# feature-store contract: at most N rows per user, most recent first, ties
+# broken by event_id, timestamps as integer microseconds (bit-exact
+# across engines and the streaming/batch boundary), plus the monotone
+# n_seen audit the streaming final-state selection keys on.
+# --------------------------------------------------------------------------
+
+_RECENT_N = 3
+
+
+@register(
+    "stream_recent_events",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_type, event_id
+      FROM events),
+    seen AS (SELECT user_id, COUNT(*) AS n_seen FROM ev GROUP BY 1),
+    rk AS (
+      SELECT user_id, ts_us, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us DESC, event_id DESC) AS rnk
+      FROM ev)
+    SELECT r.user_id, CAST(r.rnk AS BIGINT) AS rnk, r.ts_us, r.event_type,
+           r.event_id, s.n_seen
+    FROM rk r JOIN seen s USING (user_id)
+    WHERE r.rnk <= {_RECENT_N}
+    ORDER BY r.user_id, r.rnk
+    """,
+    tags=("ST19",),
+)
+def stream_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST19: per-user {n} most recent events (block comment above).
+
+    Batch shape: one user-keyed window (rank within user) — the windowed
+    relation is per-user bounded, so the sort inside each partition's
+    groups is O(events per user); n_seen shares the same exchange."""
+    ensure_session_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    seen = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_seen"))
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            "ts_us",
+            "event_type",
+            "event_id",
+        )
+        .filter(F.col("rnk") <= _RECENT_N)
+        .join(seen, "user_id")
+        .select("user_id", "rnk", "ts_us", "event_type", "event_id", "n_seen")
+        .orderBy("user_id", "rnk")
+    )
+
+
+stream_recent_events.__doc__ = stream_recent_events.__doc__.format(n=_RECENT_N)

@@ -790,3 +790,38 @@ def test_cms_merge_replay_guard_and_additive_identity(spark, tmp_path):
     assert store() == whole
     merge(b2, 1)  # replay after a second batch: still a no-op
     assert store() == whole
+
+
+def test_transform_with_state_recent_events_matches_batch(spark, tmp_path):
+    """ST19 twin: the ListState N-most-recent maintainer, drained over
+    chronological micro-batches, must converge to exactly the batch
+    window query — state stays O(N) per user across batches and the kept
+    set is a pure function of the event set (ties resolved by event_id).
+    Uses the same protobuf bridge + RocksDB provider as the ST10 e2e."""
+    import pytest
+
+    from hhs_and_cms_data_pipeline_spark.compat.protobuf_shim import install
+
+    if not install():
+        pytest.skip("no protobuf runtime (real or vendored) available")
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.streaming.recent import run_recent_events
+    from hhs_and_cms_data_pipeline_spark.streaming.stateful import (
+        stage_chronological_files,
+    )
+
+    stage = stage_chronological_files(
+        spark, SF_SMOKE, str(tmp_path / "stage"), n_files=3
+    )
+    final, n_batches = run_recent_events(
+        spark, stage, str(tmp_path / "ckpt"), "t_tws_recent"
+    )
+    assert n_batches >= 2, "state must actually cross micro-batches"
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(
+        map(
+            tuple,
+            all_specs()["stream_recent_events"].builder(spark, SF_SMOKE).collect(),
+        )
+    )
+    assert len(want) > 0 and got == want
