@@ -2020,3 +2020,46 @@ def stream_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 stream_recent_events.__doc__ = stream_recent_events.__doc__.format(n=_RECENT_N)
+
+
+# --------------------------------------------------------------------------
+# ST20 — per-user per-event-type counts: the batch statement of the
+# transformWithState MapState counter (streaming/typecounts.py) — the
+# third typed state handle (ValueState ST10, ListState ST19, MapState
+# here), asserted equal to this one-shot aggregation by the e2e drain.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_type_counts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type FROM events WHERE event_type IS NOT NULL),
+    seen AS (SELECT user_id, COUNT(*) AS n_seen FROM ev GROUP BY 1)
+    SELECT e.user_id, e.event_type,
+           COUNT(*) AS cnt,
+           s.n_seen
+    FROM ev e JOIN seen s USING (user_id)
+    GROUP BY e.user_id, e.event_type, s.n_seen
+    ORDER BY e.user_id, e.event_type
+    """,
+    tags=("ST20",),
+)
+def stream_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST20: per-(user, event_type) counts with the per-user total riding
+    along — one hash aggregation on the pair key plus a user-keyed count
+    joined back (both with map-side partials)."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("user_id", "event_type")
+    )
+    seen = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_seen"))
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(seen, "user_id")
+        .select("user_id", "event_type", "cnt", "n_seen")
+        .orderBy("user_id", "event_type")
+    )

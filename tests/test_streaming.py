@@ -825,3 +825,38 @@ def test_transform_with_state_recent_events_matches_batch(spark, tmp_path):
         )
     )
     assert len(want) > 0 and got == want
+
+
+def test_transform_with_state_type_counts_matches_batch(spark, tmp_path):
+    """ST20 twin: the MapState per-type counter, drained over
+    chronological micro-batches, must converge to the batch
+    per-(user, type) counts — each batch touches only the types it
+    contains, and the map flattens to identical rows regardless of how
+    the events were batched."""
+    import pytest
+
+    from hhs_and_cms_data_pipeline_spark.compat.protobuf_shim import install
+
+    if not install():
+        pytest.skip("no protobuf runtime (real or vendored) available")
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.streaming.typecounts import run_type_counts
+    from hhs_and_cms_data_pipeline_spark.streaming.stateful import (
+        stage_chronological_files,
+    )
+
+    stage = stage_chronological_files(
+        spark, SF_SMOKE, str(tmp_path / "stage"), n_files=3
+    )
+    final, n_batches = run_type_counts(
+        spark, stage, str(tmp_path / "ckpt"), "t_tws_typecounts"
+    )
+    assert n_batches >= 2, "state must actually cross micro-batches"
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(
+        map(
+            tuple,
+            all_specs()["stream_type_counts"].builder(spark, SF_SMOKE).collect(),
+        )
+    )
+    assert len(want) > 0 and got == want
