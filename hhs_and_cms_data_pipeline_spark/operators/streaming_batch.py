@@ -2063,3 +2063,115 @@ def stream_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "cnt", "n_seen")
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# ST21 — watermark-closed sessions: the batch statement of the
+# transformWithState EVENT-TIME TIMER sessionizer (streaming/timersess.py).
+# A session is emitted by the streaming drain iff it is CLOSABLE: either a
+# later session of the same user supersedes it, or the final watermark
+# (max event time - the 2h delay) passed its close timer
+# (last_ts + 30min). Sessions still open against the final watermark are
+# in-flight state — a real 24/7 job holds them, so the twin excludes
+# them. Timestamps in MILLISECONDS (floor of micros) because Spark's
+# watermark/timer plumbing is ms-granular — the twin truncates the same
+# way, so the comparison is integer-exact.
+# --------------------------------------------------------------------------
+
+_TIMER_GAP_MS = 30 * 60 * 1000
+_TIMER_DELAY_MS = 2 * 60 * 60 * 1000
+
+
+@register(
+    "stream_timer_sessions",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms,
+             event_id
+      FROM events WHERE ts IS NOT NULL),
+    wm AS (SELECT MAX(ts_ms) - {_TIMER_DELAY_MS} AS wm_ms FROM ev),
+    ordered AS (
+      SELECT user_id, ts_ms,
+             CASE WHEN ts_ms - LAG(ts_ms) OVER (
+                    PARTITION BY user_id ORDER BY ts_ms, event_id)
+                    > {_TIMER_GAP_MS}
+                  OR LAG(ts_ms) OVER (
+                    PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev),
+    sess AS (
+      SELECT user_id, ts_ms,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+                               ROWS UNBOUNDED PRECEDING) AS seq
+      FROM ordered),
+    agg AS (
+      SELECT user_id, seq,
+             MIN(ts_ms) AS session_start_ms,
+             MAX(ts_ms) AS session_end_ms,
+             COUNT(*) AS n_events,
+             MAX(seq) OVER (PARTITION BY user_id) AS max_seq
+      FROM sess GROUP BY user_id, seq)
+    SELECT a.user_id, a.session_start_ms, a.session_end_ms,
+           CAST(a.n_events AS BIGINT) AS n_events
+    FROM agg a CROSS JOIN wm
+    WHERE a.seq < a.max_seq
+       OR a.session_end_ms + {_TIMER_GAP_MS} <= wm.wm_ms
+    ORDER BY a.user_id, a.session_start_ms
+    """,
+    tags=("ST21",),
+)
+def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST21: the closable sessions of the timer sessionizer (block comment
+    above) — gaps-and-islands over ms timestamps, minus the per-user last
+    session when the final watermark has not passed its close timer."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
+            "event_id",
+        )
+    )
+    wm = ev.agg((F.max("ts_ms") - _TIMER_DELAY_MS).alias("wm_ms"))
+    worder = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    lag_ms = F.lag("ts_ms").over(worder)
+    ordered = ev.select(
+        "user_id",
+        "ts_ms",
+        (lag_ms.isNull() | (F.col("ts_ms") - lag_ms > _TIMER_GAP_MS))
+        .cast("int")
+        .alias("is_new"),
+        "event_id",
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = ordered.select(
+        "user_id", "ts_ms", F.sum("is_new").over(wcum).alias("seq")
+    )
+    agg = sess.groupBy("user_id", "seq").agg(
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wmax = Window.partitionBy("user_id")
+    agg = agg.withColumn("max_seq", F.max("seq").over(wmax))
+    return (
+        agg.crossJoin(F.broadcast(wm))
+        .filter(
+            (F.col("seq") < F.col("max_seq"))
+            | (F.col("session_end_ms") + _TIMER_GAP_MS <= F.col("wm_ms"))
+        )
+        .select(
+            "user_id",
+            "session_start_ms",
+            "session_end_ms",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start_ms")
+    )

