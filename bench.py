@@ -68,6 +68,10 @@ def main() -> None:
         # Theta(sum deg^2) = ~130M wedge pairs on this dense graph).
         "curation_dsir_select",
         "dedup_containment",
+        "sk_ams_f2",
+        "mm_vad_segments",
+        "stream_timer_sessions",
+        "xt3_gapfill_interpolate",
     ]
     missing = [n for n in extended_names if n not in all_]
     if missing:

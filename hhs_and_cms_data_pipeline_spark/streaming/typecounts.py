@@ -65,13 +65,33 @@ class TypeCountsProcessor(StatefulProcessor):
             }
         )
 
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        """Bootstrap from a batch snapshot (the backfill-then-stream
+        migration: historical counts computed as a batch query seed the
+        stream's state, and the stream continues from there). Rows carry
+        (event_type, cnt, n_seen); n_seen repeats per row."""
+        if len(initialState) == 0:
+            return
+        for et, c in zip(initialState["event_type"], initialState["cnt"]):
+            self._counts.updateValue((str(et),), (int(c),))
+        self._seen.update((int(initialState["n_seen"].iloc[0]),))
+
     def close(self) -> None:
         pass
 
 
-def run_type_counts(spark, stage_dir: str, checkpoint_dir: str, query_name: str):
+def run_type_counts(
+    spark,
+    stage_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    initial_state=None,
+):
     """Drain staged files through the MapState counter; returns (final
-    per-user-type counts DataFrame, micro-batch count)."""
+    per-user-type counts DataFrame, micro-batch count). Pass a
+    (user_id, event_type, cnt, n_seen) DataFrame as ``initial_state`` to
+    bootstrap each user's map from a batch backfill before the first
+    micro-batch."""
     from pyspark.sql import functions as F
 
     from ..sources.tables import normalize_events_ts
@@ -102,6 +122,9 @@ def run_type_counts(spark, stage_dir: str, checkpoint_dir: str, query_name: str)
         outputStructType=TYPECOUNT_OUTPUT_DDL,
         outputMode="Update",
         timeMode="None",
+        initialState=(
+            initial_state.groupBy("user_id") if initial_state is not None else None
+        ),
     )
     try:
         q = (

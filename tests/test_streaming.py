@@ -897,3 +897,72 @@ def test_transform_with_state_timer_sessions_matches_batch(spark, tmp_path):
     # the timer path must have really fired: some sessions are closed by
     # watermark alone (no superseding event) — assert they are present
     assert len(want) > 0 and got == want
+
+
+def test_transform_with_state_initial_state_bootstrap(spark, tmp_path):
+    """Backfill-then-stream migration: ST20's MapState counter seeded with
+    a BATCH snapshot of the first chronological third via initialState,
+    then drained over the remaining files — users active after the cut
+    must converge to exactly the full-history batch counts (bootstrap +
+    increments, never recounting history); users quiet after the cut
+    correctly emit nothing (their state is seeded but silent)."""
+    import os
+    import shutil
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.compat.protobuf_shim import install
+
+    if not install():
+        pytest.skip("no protobuf runtime (real or vendored) available")
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.streaming.typecounts import run_type_counts
+    from hhs_and_cms_data_pipeline_spark.streaming.stateful import (
+        stage_chronological_files,
+    )
+
+    stage = stage_chronological_files(
+        spark, SF_SMOKE, str(tmp_path / "stage"), n_files=3
+    )
+    files = sorted(os.listdir(stage))
+    assert len(files) == 3
+    # history = file 0 as a batch table; live stream = files 1..2
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for f in files[1:]:
+        shutil.copy(os.path.join(stage, f), os.path.join(live, f))
+    hist = (
+        spark.read.parquet(os.path.join(stage, files[0]))
+        .filter(F.col("event_type").isNotNull())
+        .select("user_id", "event_type")
+    )
+    seen = hist.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_seen"))
+    bootstrap = (
+        hist.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(seen, "user_id")
+        .select("user_id", "event_type", "cnt", "n_seen")
+    )
+    final, n_batches = run_type_counts(
+        spark, live, str(tmp_path / "ckpt"), "t_tws_bootstrap",
+        initial_state=bootstrap,
+    )
+    assert n_batches >= 2
+    streamed_users = {
+        r[0]
+        for f in files[1:]
+        for r in spark.read.parquet(os.path.join(stage, f))
+        .filter(F.col("event_type").isNotNull())
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(
+        tuple(r)
+        for r in all_specs()["stream_type_counts"].builder(spark, SF_SMOKE).collect()
+        if r["user_id"] in streamed_users
+    )
+    assert len(want) > 0 and got == want
