@@ -966,3 +966,44 @@ def test_transform_with_state_initial_state_bootstrap(spark, tmp_path):
         if r["user_id"] in streamed_users
     )
     assert len(want) > 0 and got == want
+
+
+def test_statestore_reader_exposes_tws_state(spark, tmp_path):
+    """The State Data Source (spark.read.format('statestore')) must read
+    the ValueState a transformWithState drain left in its RocksDB
+    checkpoint — the ops surface for state inspection/repair ('what does
+    the store believe about user X?') — and the recovered per-user
+    profiles must equal the batch truth for every user."""
+    import pytest
+
+    from hhs_and_cms_data_pipeline_spark.compat.protobuf_shim import install
+
+    if not install():
+        pytest.skip("no protobuf runtime (real or vendored) available")
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.streaming.profile import (
+        run_profile_maintenance,
+    )
+    from hhs_and_cms_data_pipeline_spark.streaming.stateful import (
+        stage_chronological_files,
+    )
+
+    stage = stage_chronological_files(
+        spark, SF_SMOKE, str(tmp_path / "stage"), n_files=3
+    )
+    ckpt = str(tmp_path / "ckpt")
+    run_profile_maintenance(spark, stage, ckpt, "t_tws_statereader")
+    state = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "profile")
+        .load()
+    )
+    got = sorted(
+        (r["key"]["user_id"], r["value"]["cnt"], r["value"]["sum_u6"])
+        for r in state.collect()
+    )
+    want = sorted(
+        map(tuple, all_specs()["stream_user_profile"].builder(spark, SF_SMOKE).collect())
+    )
+    assert len(want) > 0 and got == want
