@@ -109,12 +109,10 @@ def run_type_counts(
         .format("parquet")
         .load(stage_dir)
     )
-    from pyspark.sql import functions as _F
-
     # match the batch twin's NULL policy: n_seen counts TYPED events only
     stream = (
         normalize_events_ts(raw)
-        .filter(_F.col("event_type").isNotNull())
+        .filter(F.col("event_type").isNotNull())
         .select("user_id", "event_type")
     )
     out = stream.groupBy("user_id").transformWithStateInPandas(
