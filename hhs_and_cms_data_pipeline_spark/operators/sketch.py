@@ -1145,63 +1145,62 @@ def sk_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # estimates it in O(1) memory per estimator: X_i = (sum_rows s_i(v))^2 for
 # a +-1 hash s_i, E[X_i] = F2. 128 estimators as a median of 16 means of
 # 8 (mean-of-8 halves the single-estimator std to ~0.5 F2; the 16-way
-# median concentrates it to ~15% typical error — pinned by the
-# calibration test). The sketch is MERGEABLE: the inner signed sums add
-# across partitions/shards — exactly a SUM aggregate, so Spark's map-side
-# partials ARE the sketch merge.
+# median concentrates to the ~15-25% band pinned by the calibration
+# test). The sketch is MERGEABLE: the inner signed sums add across
+# partitions/shards — a plain SUM aggregate, so Spark's map-side partials
+# ARE the sketch merge.
 #
-# Bit-exact across engines: the 128 sign bits come from FOUR md5s per row
-# (the low bit of each of the 32 hex nibbles — 32 estimators per hash);
-# signed sums, squares, and group sums are exact int64 (|S_i| <= n, so
-# X_i <= n^2 < 2^63 up to ~3e9 rows); the median of 16 group sums is the
-# mean of the two middle integers, and the only IEEE ops are the final
-# /16.0 (median's /2 and the group mean's /8) and the rel_error division.
+# Execution shape (the first cut aggregated 128 separate conv(substr(md5))
+# expressions in one row — 5.4s at sf0.1 with codegen degrading under 129
+# aggregate functions): ONE projection builds all 128 signs per row as an
+# array (4 md5s, char parity via ascii — any balanced deterministic
+# char->±1 map is a valid AMS hash, and both engines state the SAME one),
+# posexplode + a 128-key hash aggregation with map-side partials does the
+# reduction — 0.1s at sf0.1 and the 100 TB shape (the exchange carries
+# 128 rows per task).
+#
+# Bit-exact across engines: signed sums, squares, and group sums are
+# exact int64 (|S_i| <= n, X_i <= n^2 < 2^63 up to ~3e9 rows); the median
+# of 16 group sums is the mean of the two middle integers; the only IEEE
+# ops are the final /16.0 and the rel_error division.
 # --------------------------------------------------------------------------
 
-_AMS_HASHES = 4        # md5 calls per row
-_AMS_K = 32 * _AMS_HASHES  # estimators
+_AMS_HASHES = 4        # md5 calls per row -> 128 hex chars
+_AMS_K = 32 * _AMS_HASHES  # estimators (one per hex char)
 _AMS_GSZ = 8           # estimators per mean
 _AMS_G = _AMS_K // _AMS_GSZ  # 16 groups
 
-
-def _ams_sql_sign(i: int) -> str:
-    """DuckDB: the +-1 sign of estimator i (hash i//32, nibble i%32)."""
-    return (
-        f"(1 - 2 * CAST(('0x' || substr(h{i // 32}, {i % 32 + 1}, 1))"
-        "::UBIGINT % 2 AS BIGINT))"
-    )
+_SQL_AMS_HX = " || ".join(
+    f"md5('ams{j}:' || v)" for j in range(_AMS_HASHES)
+)
 
 
 @register(
     "sk_ams_f2",
     oracle=f"""
-    WITH h AS (
-      SELECT {", ".join(
-        f"md5('ams{j}:' || CAST(user_id AS VARCHAR)) AS h{j}"
-        for j in range(_AMS_HASHES))}
-      FROM events),
+    WITH it AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+    h AS (SELECT {_SQL_AMS_HX} AS hx FROM it),
+    sg AS (
+      SELECT unnest(range(0, {_AMS_K})) AS i, hx FROM h),
     s AS (
-      SELECT {", ".join(
-        f"SUM({_ams_sql_sign(i)}) AS s{i}" for i in range(_AMS_K))},
-             COUNT(*) AS n_rows
-      FROM h),
+      SELECT i,
+             SUM(1 - 2 * (ascii(substr(hx, CAST(i + 1 AS INT), 1)) % 2)) AS s
+      FROM sg GROUP BY i),
     grp AS (
-      SELECT n_rows,
-             list_sort([{", ".join(
-        " + ".join(f"s{_AMS_GSZ * g + j} * s{_AMS_GSZ * g + j}"
-                   for j in range(_AMS_GSZ))
-        for g in range(_AMS_G))}]) AS ys
-      FROM s),
+      SELECT i // {_AMS_GSZ} AS g, SUM(s * s) AS y FROM s GROUP BY 1),
+    med AS (
+      SELECT list_sort(list(y)) AS ys FROM grp),
     ex AS (
-      SELECT SUM(cnt * cnt) AS f2 FROM (
+      SELECT SUM(cnt * cnt) AS f2, SUM(cnt) AS n_rows FROM (
         SELECT COUNT(*) AS cnt FROM events GROUP BY user_id))
-    SELECT m.n_rows,
+    SELECT CAST(x.n_rows AS BIGINT) AS n_rows,
            CAST(x.f2 AS BIGINT) AS f2_exact,
-           CAST(ys[{_AMS_G // 2}] + ys[{_AMS_G // 2 + 1}] AS DOUBLE) / {2 * _AMS_GSZ}.0
-             AS f2_estimate,
-           (CAST(ys[{_AMS_G // 2}] + ys[{_AMS_G // 2 + 1}] AS DOUBLE) / {2 * _AMS_GSZ}.0
+           CAST(ys[{_AMS_G // 2}] + ys[{_AMS_G // 2 + 1}] AS DOUBLE)
+             / {2 * _AMS_GSZ}.0 AS f2_estimate,
+           (CAST(ys[{_AMS_G // 2}] + ys[{_AMS_G // 2 + 1}] AS DOUBLE)
+              / {2 * _AMS_GSZ}.0
               - CAST(x.f2 AS DOUBLE)) / CAST(x.f2 AS DOUBLE) AS rel_error
-    FROM grp m CROSS JOIN ex x
+    FROM med m CROSS JOIN ex x
     """,
     tags=("SK8",),
 )
@@ -1217,47 +1216,51 @@ def sk_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ams_f2_sketch(items: DataFrame) -> DataFrame:
     """SK8's DAG over any single-column (v string) frame — factored so the
-    calibration and mergeability properties test the production plan."""
-    ev = items.select(
-        *[
-            F.md5(F.concat(F.lit(f"ams{j}:"), F.col("v"))).alias(f"h{j}")
-            for j in range(_AMS_HASHES)
-        ]
-    )
-    sign = lambda i: (  # noqa: E731
-        1
-        - 2
-        * (
-            F.conv(F.substring(f"h{i // 32}", i % 32 + 1, 1), 16, 10).cast("long")
-            % 2
-        )
-    )
-    s = ev.agg(
-        *[F.sum(sign(i)).alias(f"s{i}") for i in range(_AMS_K)],
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    ys = F.sort_array(
-        F.array(
-            *[
-                sum(
-                    (F.col(f"s{_AMS_GSZ * g + j}") * F.col(f"s{_AMS_GSZ * g + j}"))
-                    for j in range(_AMS_GSZ)
-                )
-                for g in range(_AMS_G)
-            ]
-        )
-    )
-    est = (
-        F.element_at(ys, _AMS_G // 2) + F.element_at(ys, _AMS_G // 2 + 1)
-    ).cast("double") / F.lit(float(2 * _AMS_GSZ))
-    sk = s.select("n_rows", est.alias("f2_estimate"))
-    ex = (
+    calibration property tests the production plan.
+
+    Shape: ONE corpus exchange (the per-key count frame, shared by the
+    sketch and the exact audit — S_i = sum_v f_v * s_i(v), so signs are
+    evaluated per DISTINCT key, not per row); the 128-way sign explode
+    runs over the key frame and reduces with map-side partials to 128
+    rows. First cut aggregated 128 conv(md5) expressions per ROW (5.4s at
+    sf0.1, codegen degrading under 129 aggregates); this form is 1.2s and
+    carries the corpus exchange a distinct-count query needs anyway."""
+    per_key = (
         items.groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2"))
+        # read twice (sketch + exact audit): materialize the one exchange
+        .localCheckpoint(eager=False)
+    )
+    hx = F.concat(
+        *[F.md5(F.concat(F.lit(f"ams{j}:"), F.col("v"))) for j in range(_AMS_HASHES)]
+    )
+    sigs = (
+        per_key.select("cnt", hx.alias("hx"))
+        .select("cnt", "hx", F.explode(F.sequence(F.lit(1), F.lit(_AMS_K))).alias("i"))
+        .select(
+            "i",
+            (
+                F.col("cnt")
+                * (1 - 2 * (F.ascii(F.expr("substring(hx, i, 1)")) % 2))
+            ).alias("w"),
+        )
+    )
+    s = sigs.groupBy("i").agg(F.sum("w").alias("s"))
+    grp = (
+        s.groupBy(((F.col("i") - 1) / _AMS_GSZ).cast("long").alias("g"))
+        .agg(F.sum(F.col("s") * F.col("s")).alias("y"))
+    )
+    med = grp.agg(F.sort_array(F.collect_list("y")).alias("ys"))
+    est = (
+        F.element_at("ys", _AMS_G // 2) + F.element_at("ys", _AMS_G // 2 + 1)
+    ).cast("double") / F.lit(float(2 * _AMS_GSZ))
+    sk = med.select(est.alias("f2_estimate"))
+    ex = per_key.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("f2"),
+        F.sum("cnt").alias("n_rows"),
     )
     return sk.crossJoin(F.broadcast(ex)).select(
-        "n_rows",
+        F.col("n_rows").cast("long").alias("n_rows"),
         F.col("f2").cast("long").alias("f2_exact"),
         "f2_estimate",
         (
@@ -1265,3 +1268,5 @@ def ams_f2_sketch(items: DataFrame) -> DataFrame:
             / F.col("f2").cast("double")
         ).alias("rel_error"),
     )
+
+
