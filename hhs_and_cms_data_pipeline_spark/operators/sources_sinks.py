@@ -1082,3 +1082,60 @@ def s9_text_lines_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# S11 — the landing-zone LEDGER as a Python Data Source
+# (sources/ledger_stream.py): batch half registered here; the streaming
+# half (SimpleDataSourceStreamReader with {"idx": N} offsets, one ledger
+# file per micro-batch, replayable readBetweenOffsets) is e2e-tested in
+# tests/test_streaming.py against this same batch surface. The oracle is
+# the strongest row-level check an external source can get: every ledger
+# row must be served EXACTLY once, so per-type counts and decimal-exact
+# value sums over the source must equal the same aggregation straight off
+# the events table the ledger was staged from.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s11_event_ledger_scan",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value")} AS sum_value
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S11",),
+)
+def s11_event_ledger_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: scan the staged event ledger through the custom Python Data
+    Source's batch reader (one input partition per ledger file) and
+    aggregate per event type. The ledger is staged from events.parquet
+    into 3 chronological files on first use per (session, sf)."""
+    ensure_session_conf(spark)
+    from ..functions.exact import dsum
+    from ..sources.ledger_stream import register_event_ledger
+    from ..streaming.stateful import stage_chronological_files
+
+    ledger_dir = os.path.join(
+        "/tmp", "spark_graft_ledger", sf_dir.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(ledger_dir, "part-0.parquet")
+    if not os.path.exists(marker):
+        stage_chronological_files(spark, sf_dir, ledger_dir, n_files=3)
+    register_event_ledger(spark)
+    rows = (
+        spark.read.format("event_ledger").option("path", ledger_dir).load()
+    )
+    return (
+        rows.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("event_type")
+    )

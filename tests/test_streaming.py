@@ -1007,3 +1007,54 @@ def test_statestore_reader_exposes_tws_state(spark, tmp_path):
         map(tuple, all_specs()["stream_user_profile"].builder(spark, SF_SMOKE).collect())
     )
     assert len(want) > 0 and got == want
+
+
+def test_event_ledger_stream_source_matches_batch(spark, tmp_path):
+    """S11 streaming half: the custom SimpleDataSourceStreamReader serves
+    one ledger file per micro-batch with {"idx": N} offsets; an
+    availableNow drain must deliver every ledger row exactly once (equal
+    to the batch reader over the same ledger), and readBetweenOffsets
+    must re-serve any committed range bit-identically (the recovery
+    path)."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sources.ledger_stream import (
+        EventLedgerStreamReader,
+        register_event_ledger,
+    )
+    from hhs_and_cms_data_pipeline_spark.streaming.stateful import (
+        stage_chronological_files,
+    )
+
+    ledger = stage_chronological_files(
+        spark, SF_SMOKE, str(tmp_path / "ledger"), n_files=3
+    )
+    register_event_ledger(spark)
+    q = (
+        spark.readStream.format("event_ledger")
+        .option("path", ledger)
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_ledger_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # simple stream readers prefetch ONE batch ahead, so an availableNow
+    # trigger would stop after the first ledger file; drain with
+    # processAllAvailable instead (the semantics a 24/7 run has anyway)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    streamed = spark.table("t_ledger_stream")
+    batch = spark.read.format("event_ledger").option("path", ledger).load()
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    got, want = canon(streamed), canon(batch)
+    assert len(want) > 0 and got == want
+    # multiple micro-batches really happened: all three file_seq values
+    assert {r["file_seq"] for r in streamed.select("file_seq").distinct().collect()} == {0, 1, 2}
+    # recovery path: re-serving a committed range is bit-identical
+    rdr = EventLedgerStreamReader(ledger)
+    replay = sorted(rdr.readBetweenOffsets({"idx": 0}, {"idx": 2}))
+    direct = sorted(t for t in want if t[0] in (0, 1))
+    assert replay == direct
