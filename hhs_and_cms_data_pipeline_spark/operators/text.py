@@ -816,7 +816,7 @@ def _sql_bpe_pairs(words: str) -> str:
     """DuckDB twin of _bpe_pair_counts over a (w, c) relation name."""
     return f"""
       SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
-             SUM(c) AS n_occurrences
+             CAST(SUM(c) AS BIGINT) AS n_occurrences
       FROM (SELECT w, c, unnest(range(1, length(w))) AS i FROM {words})
       GROUP BY 1"""
 
@@ -938,8 +938,8 @@ def _bpe_learn_merges(wc: DataFrame) -> list[DataFrame]:
       FROM wc1)
     SELECT t.doc_id,
            COUNT(*) AS n_words,
-           SUM(v.n_chars) AS n_chars,
-           SUM(v.n_syms) AS n_tokens,
+           CAST(SUM(v.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(v.n_syms) AS BIGINT) AS n_tokens,
            CAST(SUM(v.n_chars) AS DOUBLE) / CAST(SUM(v.n_syms) AS DOUBLE)
              AS chars_per_token
     FROM toks t JOIN vocab v USING (w)

@@ -53,7 +53,21 @@ def _rowset(cols, rows):
     return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
 
 
+def assert_no_hugeint(con, oracle: str) -> None:
+    """Flag DuckDB HUGEINT/UHUGEINT result columns in an oracle's output.
+
+    DuckDB's SUM(BIGINT) returns HUGEINT; the Python fetchall() path converts
+    it to int (so this module's value compare passes), but the driver's
+    Arrow/pandas hashing path stringifies it differently than Spark's bigint —
+    a silent hash mismatch class. Oracles must CAST(SUM(..) AS BIGINT).
+    """
+    desc = con.execute(f"DESCRIBE (\n{oracle}\n)").fetchall()
+    bad = [(r[0], r[1]) for r in desc if "HUGEINT" in str(r[1]).upper()]
+    assert not bad, f"oracle emits HUGEINT columns (cast to BIGINT): {bad}"
+
+
 def compare_spark_duckdb(spark_df, con, oracle: str) -> None:
+    assert_no_hugeint(con, oracle)
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(oracle)
