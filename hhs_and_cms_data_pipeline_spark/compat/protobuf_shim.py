@@ -72,16 +72,29 @@ def install() -> bool:
     pb_mod = sys.modules.get("google.protobuf")
     if pb_mod is not None and getattr(pb_mod, "__file__", None):
         return True  # already shimmed (or a real runtime imported oddly)
-    # evict namespace husks so the aliases below take effect
+    # Evict only the husks the aliases must replace: the bare ``google``
+    # namespace package (no __file__) and ``google.protobuf``(.*). Real
+    # sibling packages that happen to be loaded (google.auth, ...) keep
+    # their sys.modules entries — their own ``google.<sub>`` keys resolve
+    # first on re-import, so they survive the parent alias.
     for k in list(sys.modules):
-        if k == "google" or k.startswith("google."):
+        if k == "google.protobuf" or k.startswith("google.protobuf."):
             del sys.modules[k]
-    if _THIRD_PARTY not in sys.path:
-        sys.path.insert(0, _THIRD_PARTY)
+        elif k == "google" and not getattr(sys.modules[k], "__file__", None):
+            del sys.modules[k]
+    # Append (not insert(0)): the cloud-sdk tree also vendors six/yaml/
+    # httplib2/...; prepending would shadow genuine site-packages copies
+    # for every later import. ``cloudsdk`` is unique to this tree, so
+    # append still resolves it. Roll back if the vendored copy is absent.
+    added_path = _THIRD_PARTY not in sys.path
+    if added_path:
+        sys.path.append(_THIRD_PARTY)
     try:
         cloud_google = importlib.import_module("cloudsdk.google")
         pb = importlib.import_module("cloudsdk.google.protobuf")
     except ImportError:
+        if added_path:
+            sys.path.remove(_THIRD_PARTY)
         return False
 
     rv = types.ModuleType("cloudsdk.google.protobuf.runtime_version")

@@ -1972,7 +1972,8 @@ _RECENT_N = 3
       SELECT user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
              event_type, event_id
-      FROM events),
+      FROM events
+      WHERE ts IS NOT NULL AND event_id IS NOT NULL),
     seen AS (SELECT user_id, COUNT(*) AS n_seen FROM ev GROUP BY 1),
     rk AS (
       SELECT user_id, ts_us, event_type, event_id,
@@ -1994,11 +1995,18 @@ def stream_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is per-user bounded, so the sort inside each partition's
     groups is O(events per user); n_seen shares the same exchange."""
     ensure_session_conf(spark)
-    ev = table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_type",
-        "event_id",
+    # NULL ts/event_id are excluded by contract — the streaming processor
+    # (streaming/recent.py) coerces both to int per row and the two
+    # statements must stay symmetric (ADVICE r6).
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "event_id",
+        )
     )
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts_us"), F.desc("event_id")

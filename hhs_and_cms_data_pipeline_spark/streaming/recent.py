@@ -101,11 +101,18 @@ def run_recent_events(spark, stage_dir: str, checkpoint_dir: str, query_name: st
         .format("parquet")
         .load(stage_dir)
     )
-    stream = normalize_events_ts(raw).select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_type",
-        "event_id",
+    # NULL ts/event_id would arrive as NaN in the pandas batch and crash
+    # the processor's int() coercion; the contract (shared with the batch
+    # twin and its oracle) excludes them up front.
+    stream = (
+        normalize_events_ts(raw)
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "event_id",
+        )
     )
     out = stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RecentEventsProcessor(),

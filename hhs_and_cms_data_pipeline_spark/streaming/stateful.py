@@ -96,8 +96,13 @@ def stage_chronological_files(spark: SparkSession, sf_dir: str, stage_dir: str, 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    os.makedirs(stage_dir)
+    # Stage into a sibling temp dir and rename into place: a crash
+    # mid-staging must never leave a partially-written stage_dir that a
+    # later session's exists()-style cache guard would treat as complete
+    # (ADVICE r6 — the /tmp ledger cache keyed on part-0 existing).
+    tmp_dir = f"{stage_dir}.staging.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
     tbl = pq.read_table(f"{sf_dir}/events.parquet")
     # sort and slice into equal-count time ranges (ties share a ts value,
     # hence always land in the same slice); unit-agnostic arrow ops.
@@ -115,9 +120,11 @@ def stage_chronological_files(spark: SparkSession, sf_dir: str, stage_dir: str, 
         lo, hi = cuts[i], cuts[i + 1]
         if lo >= hi:
             continue
-        path = os.path.join(stage_dir, f"part-{i}.parquet")
+        path = os.path.join(tmp_dir, f"part-{i}.parquet")
         pq.write_table(tbl.slice(lo, hi - lo), path)
         os.utime(path, (base + i * 60, base + i * 60))
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.rename(tmp_dir, stage_dir)  # preserves per-file mtimes
     return stage_dir
 
 
