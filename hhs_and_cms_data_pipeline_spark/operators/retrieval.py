@@ -1,0 +1,302 @@
+"""Retrieval operators over `documents`: the index-build and query-scoring
+half of an LLM data platform (the reference's analytical surface has no
+search analogue; these extend the text north-star family the same way the
+similarity module extends embeddings).
+
+Three ops:
+
+- RET1 ``text_inverted_index``: the positional-postings BUILD — per term:
+  document frequency, collection frequency, and the head of the sorted
+  postings list (doc/pos packed into one BIGINT). At 100 TB this is the
+  classic index-construction job (one explode + one keyed aggregation,
+  both map-side-partial); sharding the postings is the groupBy's hash
+  partitioning itself.
+- RET2 ``text_phrase_search``: exact phrase query answered the way a
+  positional index answers it — filter each token relation to one phrase
+  word FIRST (the selective step, pushed to the scan), then equi-join on
+  (doc_id, adjacent position). No substring scan of the corpus ever runs.
+- RET3 ``text_bm25_topk``: BM25 ranking with the RATIONAL-IDF variant
+  (idf' = (N - df + 1/2)/(df + 1/2), i.e. Robertson idf without the outer
+  ln): the ln is the one transcendental whose last-ulp behavior differs
+  across engines, and dropping it keeps every per-term score an exact
+  integer ratio — bit-identical between Spark and the DuckDB oracle. With
+  k1 = 6/5 and b = 3/4 the per-term score reduces to
+
+      score(t, d) = (2N - 2df + 1)/(2df + 1)
+                  * (22 * tf * T) / (10 * tf * T + 3 * T + 9 * dl * N)
+
+  with N = #docs, T = total tokens, dl = doc length — every factor a
+  BIGINT (overflow headroom to ~2^63: at sf100, max term ~1.5e10), each
+  ratio one correctly-rounded IEEE division, the product one deterministic
+  multiply, and the cross-term sum decimal-routed (functions/exact.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, sql_dsum
+from ..registry import register
+from ..session import ensure_session_conf
+from ..sources import spread, table
+from .text import tokens
+
+# 1-based positional token relation (matches text.py's SQL_TOKS convention;
+# empty tokens excluded AFTER position assignment so positions are stable).
+SQL_POS_TOKS = """
+  SELECT doc_id, w, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents)
+  WHERE w <> ''
+"""
+
+
+def pos_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, w, pos) with 1-based positions — the Spark twin of
+    SQL_POS_TOKS. posexplode is 0-based, hence the +1."""
+    return (
+        docs.select("doc_id", F.posexplode(tokens()).alias("pos0", "w"))
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id", "w", (F.col("pos0") + 1).cast("long").alias("pos")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# RET1 — positional inverted index build.
+# --------------------------------------------------------------------------
+
+# doc/pos packing: positions are bounded by the document's token count
+# (~tens here; a 1e6-token document is the practical ceiling the pack
+# chooses), so posting = doc_id * 1e6 + pos is collision-free and keeps
+# the postings list a flat BIGINT array — sortable, sliceable, exact.
+_POSTING_PACK = 1_000_000
+_INDEX_TOP = 20
+_POSTINGS_HEAD = 5
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS ({SQL_POS_TOKS}),
+    post AS (
+      SELECT w,
+             COUNT(DISTINCT doc_id) AS df,
+             COUNT(*) AS cf,
+             (list_sort(list(doc_id * {_POSTING_PACK} + pos)))[1:{_POSTINGS_HEAD}]
+               AS postings_head
+      FROM toks GROUP BY 1)
+    SELECT w AS term, df, cf, postings_head
+    FROM post
+    ORDER BY cf DESC, term
+    LIMIT {_INDEX_TOP}
+    """,
+    tags=("RET1",),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RET1: positional-postings index build (module docstring) — per term
+    the document frequency, collection frequency, and first
+    {head} packed (doc_id*{pack}+pos) postings; top-{top} terms by
+    collection frequency.
+
+    Scale shape: one map-only posexplode, ONE term-keyed aggregation
+    (map-side partial count/df; collect_list only accumulates the head
+    after sort_array+slice — bounded per term by contract of the slice),
+    TakeOrderedAndProject top-{top}. The term hash partitioning IS the
+    index sharding a 1000-executor build would write."""
+    ensure_session_conf(spark)
+    toks = pos_tokens(spread(table(spark, sf_dir, "documents")))
+    posting = (F.col("doc_id") * _POSTING_PACK + F.col("pos")).alias("p")
+    return (
+        toks.select("w", "doc_id", posting)
+        .groupBy("w")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+            F.slice(
+                F.sort_array(F.collect_list("p")), 1, _POSTINGS_HEAD
+            ).alias("postings_head"),
+        )
+        .select(F.col("w").alias("term"), "df", "cf", "postings_head")
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(_INDEX_TOP)
+    )
+
+
+text_inverted_index.__doc__ = text_inverted_index.__doc__.format(
+    head=_POSTINGS_HEAD, pack=_POSTING_PACK, top=_INDEX_TOP
+)
+
+
+# --------------------------------------------------------------------------
+# RET2 — exact phrase search via positional joins.
+# --------------------------------------------------------------------------
+
+_PHRASE = ("slow", "hash", "batch")
+_PHRASE_TOP = 20
+
+
+@register(
+    "text_phrase_search",
+    oracle=f"""
+    WITH toks AS ({SQL_POS_TOKS}),
+    m AS (
+      SELECT t1.doc_id, t1.pos
+      FROM toks t1
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+      JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+      WHERE t1.w = '{_PHRASE[0]}' AND t2.w = '{_PHRASE[1]}'
+        AND t3.w = '{_PHRASE[2]}')
+    SELECT doc_id,
+           COUNT(*) AS n_occurrences,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM m
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, doc_id
+    LIMIT {_PHRASE_TOP}
+    """,
+    tags=("RET2",),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RET2: exact occurrences of the phrase {phrase!r} — per matching doc
+    the occurrence count and first match position (module docstring).
+
+    Scale shape: each join input is the token stream FILTERED to one
+    phrase word before any exchange (the per-word predicate reaches the
+    scan), so the three-way positional equi-join moves only the matching
+    terms' postings — the positional-index query plan, never a substring
+    scan. Joins key on (doc_id, pos±k): co-partitioned by doc, skew
+    bounded by the hottest single term."""
+    ensure_session_conf(spark)
+    toks = pos_tokens(spread(table(spark, sf_dir, "documents")))
+    t1 = toks.filter(F.col("w") == _PHRASE[0]).select("doc_id", "pos")
+    t2 = toks.filter(F.col("w") == _PHRASE[1]).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    t3 = toks.filter(F.col("w") == _PHRASE[2]).select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("p3")
+    )
+    m = t1.join(
+        t2, (F.col("d2") == F.col("doc_id")) & (F.col("p2") == F.col("pos") + 1)
+    ).join(
+        t3, (F.col("d3") == F.col("doc_id")) & (F.col("p3") == F.col("pos") + 2)
+    )
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(_PHRASE_TOP)
+    )
+
+
+text_phrase_search.__doc__ = text_phrase_search.__doc__.format(phrase=" ".join(_PHRASE))
+
+
+# --------------------------------------------------------------------------
+# RET3 — BM25 top-k (rational-idf variant; module docstring derivation).
+# --------------------------------------------------------------------------
+
+_BM25_QUERY = ("hash", "join", "sort", "spark")
+_BM25_TOP = 10
+
+
+def _sql_bm25_score() -> str:
+    """Per-(doc, term) rational-idf BM25 score — DuckDB side. Mirrors the
+    Spark expression factor-for-factor: two exact-integer ratios divided
+    in DOUBLE, one multiply."""
+    return (
+        "(CAST(2 * N - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"
+        " * (CAST(22 * tf * T AS DOUBLE)"
+        "    / CAST(10 * tf * T + 3 * T + 9 * dl * N AS DOUBLE))"
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS ({SQL_POS_TOKS}),
+    stats AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS N,
+             CAST(COUNT(*) AS BIGINT) AS T
+      FROM toks),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE w IN {_BM25_QUERY!r}
+      GROUP BY 1, 2),
+    dfreq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, {_sql_bm25_score()} AS s
+      FROM tf
+      JOIN dfreq USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+           {sql_dsum("s", scale=18)} AS score
+    FROM scored
+    GROUP BY 1
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOP}
+    """,
+    tags=("RET3",),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RET3: top-{top} documents for the query {q!r} under rational-idf
+    BM25 (module docstring: k1 = 6/5, b = 3/4, idf without the ln —
+    every per-term score an exact integer ratio, bit-identical across
+    engines; the cross-term sum is decimal-routed).
+
+    Scale shape: the token stream reduces to per-(doc, query-term)
+    counts with the IN-filter pushed to the scan — only query-term
+    postings ever shuffle. df and the (N, T) scalars are tiny
+    aggregates broadcast back; scoring is codegen'd column arithmetic;
+    top-{top} is TakeOrderedAndProject. The corpus is touched exactly
+    twice (dl pass + tf pass), both map-side-partial aggregations."""
+    ensure_session_conf(spark)
+    toks = pos_tokens(spread(table(spark, sf_dir, "documents")))
+    stats = toks.agg(
+        F.countDistinct("doc_id").cast("long").alias("N"),
+        F.count(F.lit(1)).cast("long").alias("T"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = (2 * F.col("N") - 2 * F.col("df") + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    tfn = (22 * F.col("tf") * F.col("T")).cast("double") / (
+        10 * F.col("tf") * F.col("T") + 3 * F.col("T") + 9 * F.col("dl") * F.col("N")
+    ).cast("double")
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tfn).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            dsum("s", "score", scale=18),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOP)
+    )
+
+
+text_bm25_topk.__doc__ = text_bm25_topk.__doc__.format(
+    top=_BM25_TOP, q=" ".join(_BM25_QUERY)
+)

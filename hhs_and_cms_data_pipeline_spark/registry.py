@@ -27,6 +27,7 @@ _OPERATOR_MODULES = (
     "hhs_and_cms_data_pipeline_spark.operators.dedup",
     "hhs_and_cms_data_pipeline_spark.operators.similarity",
     "hhs_and_cms_data_pipeline_spark.operators.text",
+    "hhs_and_cms_data_pipeline_spark.operators.retrieval",
     "hhs_and_cms_data_pipeline_spark.operators.multimodal",
     "hhs_and_cms_data_pipeline_spark.operators.streaming_batch",
     "hhs_and_cms_data_pipeline_spark.operators.sources_sinks",

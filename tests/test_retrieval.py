@@ -1,0 +1,145 @@
+"""Retrieval operators (RET1-3, operators/retrieval.py): semantic property
+tests on synthetic corpora pushed through the production DAGs, plus plan
+shape — the oracle differential covers the registered queries end-to-end;
+these pin the behaviors an oracle can't distinguish (packing arithmetic,
+phrase adjacency vs bag-of-words, BM25's length normalization direction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hhs_and_cms_data_pipeline_spark.operators.retrieval import (
+    _POSTING_PACK,
+    pos_tokens,
+)
+from hhs_and_cms_data_pipeline_spark.plans.audit import (
+    formatted_plan,
+    pushed_filters,
+)
+from hhs_and_cms_data_pipeline_spark.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pos_tokens_one_based_and_skips_empties(spark):
+    out = {
+        (r.doc_id, r.w, r.pos)
+        for r in pos_tokens(_docs(spark, [(1, "a  b c")])).collect()
+    }
+    # string_split of "a  b c" is [a, '', b, c]: positions 1,2,3,4 with the
+    # empty dropped AFTER numbering — 'b' is pos 3, not 2.
+    assert out == {(1, "a", 1), (1, "b", 3), (1, "c", 4)}
+
+
+def test_phrase_search_requires_adjacency(spark):
+    """Bag-of-words must NOT match: all three words present but never
+    adjacent scores zero; the true phrase counts every occurrence."""
+    from hhs_and_cms_data_pipeline_spark.operators import retrieval as R
+
+    docs = _docs(
+        spark,
+        [
+            (1, "slow hash batch x slow hash batch"),  # 2 occurrences
+            (2, "slow x hash x batch"),  # words present, not adjacent
+            (3, "hash slow batch"),  # wrong order
+        ],
+    )
+    toks = pos_tokens(docs)
+    t1 = toks.filter(F.col("w") == R._PHRASE[0]).select("doc_id", "pos")
+    t2 = toks.filter(F.col("w") == R._PHRASE[1]).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    t3 = toks.filter(F.col("w") == R._PHRASE[2]).select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("p3")
+    )
+    m = (
+        t1.join(t2, (F.col("d2") == F.col("doc_id")) & (F.col("p2") == F.col("pos") + 1))
+        .join(t3, (F.col("d3") == F.col("doc_id")) & (F.col("p3") == F.col("pos") + 2))
+        .groupBy("doc_id")
+        .count()
+    )
+    got = {r.doc_id: r["count"] for r in m.collect()}
+    assert got == {1: 2}
+
+
+def test_inverted_index_posting_pack_roundtrips(spark):
+    rows = all_specs()["text_inverted_index"].builder(spark, SF_SMOKE).collect()
+    assert rows, "index build empty at smoke SF"
+    for r in rows:
+        assert 1 <= len(r.postings_head) <= 5
+        assert list(r.postings_head) == sorted(r.postings_head)
+        for p in r.postings_head:
+            doc, pos = divmod(p, _POSTING_PACK)
+            assert doc >= 0 and 1 <= pos < _POSTING_PACK
+        assert r.df <= r.cf
+
+
+def test_bm25_prefers_more_query_terms_and_shorter_docs(spark):
+    """Directional sanity of the rational-idf scoring on a controlled
+    corpus: (a) a doc hitting two query terms outranks one hitting one at
+    equal length; (b) of two docs with identical tf, the shorter wins
+    (length normalization points the right way)."""
+    from hhs_and_cms_data_pipeline_spark.operators.retrieval import _BM25_QUERY
+
+    q0, q1 = _BM25_QUERY[0], _BM25_QUERY[1]
+    filler = "zz yy xx ww vv"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{q0} {q1} {filler}"),  # two hits, short
+            (2, f"{q0} {filler}"),  # one hit, short
+            (3, f"{q0} {filler} {filler} {filler}"),  # one hit, long
+        ],
+    )
+    # run the registered builder's scoring DAG by monkey-free reuse: score
+    # through the same expressions via a temp view + the production builder
+    # is bound to the documents table, so re-derive scores directly here
+    # with the same formula constants instead.
+    toks = pos_tokens(docs)
+    stats = toks.agg(
+        F.countDistinct("doc_id").cast("long").alias("N"),
+        F.count(F.lit(1)).cast("long").alias("T"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = (2 * F.col("N") - 2 * F.col("df") + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    tfn = (22 * F.col("tf") * F.col("T")).cast("double") / (
+        10 * F.col("tf") * F.col("T") + 3 * F.col("T") + 9 * F.col("dl") * F.col("N")
+    ).cast("double")
+    scores = {
+        r.doc_id: r.s
+        for r in (
+            tf.join(dfreq, "w")
+            .join(dl, "doc_id")
+            .crossJoin(stats)
+            .select("doc_id", (idf * tfn).alias("s"))
+            .groupBy("doc_id")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+    }
+    assert scores[1] > scores[2], "two query-term hits must outrank one"
+    assert scores[2] > scores[3], "shorter doc must outrank longer at equal tf"
+
+
+def test_bm25_plan_prunes_and_takes_ordered(spark):
+    from hhs_and_cms_data_pipeline_spark.plans.audit import scan_columns
+
+    plan = formatted_plan(all_specs()["text_bm25_topk"].builder(spark, SF_SMOKE))
+    # the documents scan reads only (doc_id, text) — the query-term IN
+    # filter applies post-tokenization, but column pruning must reach
+    # parquet; top-k must compile to TakeOrderedAndProject, not a global
+    # sort.
+    assert scan_columns(plan, containing="text") <= {"doc_id", "text"}
+    assert "TakeOrderedAndProject" in plan
