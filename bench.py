@@ -60,13 +60,15 @@ def main() -> None:
         "sim_ivf_incremental_add",
         "sk_hll_rollup",
         "stream_cms_heavy_hitters",
-        # graph_triangle_counts is intentionally NOT here: ~34s at sf0.1
-        # (honest wedge-join enumeration) would dominate the bench wall
-        # clock; its per-round correctness cost is covered by the sf0.01
-        # gate (~3s). graph_link_prediction is excluded for the same
-        # reason (~49s at sf0.1: exact common-neighbor counting is
-        # Theta(sum deg^2) = ~130M wedge pairs on this dense graph).
+        "graph_triangle_counts",
+        # graph_link_prediction is intentionally NOT here (~30s at sf0.1:
+        # exact common-neighbor counting is Theta(sum deg^2) = ~130M wedge
+        # pairs on this dense graph); its per-round correctness cost is
+        # covered by the sf0.01 gate.
         "curation_dsir_select",
+        "text_bm25_topk",
+        "text_inverted_index",
+        "text_phrase_search",
         "dedup_containment",
         "sk_ams_f2",
         "mm_vad_segments",

@@ -300,3 +300,103 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_bm25_topk.__doc__ = text_bm25_topk.__doc__.format(
     top=_BM25_TOP, q=" ".join(_BM25_QUERY)
 )
+
+
+# --------------------------------------------------------------------------
+# RET4 — incremental index maintenance: merge a postings DELTA into a BASE
+# index without touching base postings for unaffected terms. At 100 TB the
+# inverted index is never rebuilt — the nightly delta (new crawl shard) is
+# aggregated alone and merged term-keyed; terms absent from the delta are
+# untouched (their shards are not even read when the index is stored
+# term-bucketed). The op reports per-term stats for DELTA-AFFECTED terms
+# only, each verified equal to a from-scratch build over base+delta — the
+# merge-correctness contract, stated so the oracle can check it.
+# --------------------------------------------------------------------------
+
+_DELTA_MOD = 10  # doc_id % 10 == 0 -> delta shard; else base corpus
+
+
+@register(
+    "text_index_incremental",
+    oracle=f"""
+    WITH toks AS ({SQL_POS_TOKS}),
+    base AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+      FROM toks WHERE doc_id % {_DELTA_MOD} <> 0 GROUP BY 1),
+    delta AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+      FROM toks WHERE doc_id % {_DELTA_MOD} = 0 GROUP BY 1),
+    merged AS (
+      SELECT d.w,
+             COALESCE(b.df, 0) + d.df AS df,
+             COALESCE(b.cf, 0) + d.cf AS cf
+      FROM delta d LEFT JOIN base b USING (w)),
+    full_idx AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+      FROM toks GROUP BY 1)
+    SELECT m.w AS term,
+           CAST(m.df AS BIGINT) AS df,
+           CAST(m.cf AS BIGINT) AS cf,
+           (m.df = f.df AND m.cf = f.cf) AS merge_consistent
+    FROM merged m JOIN full_idx f USING (w)
+    ORDER BY term
+    """,
+    tags=("RET4",),
+)
+def text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RET4: incremental inverted-index merge (block comment) — the delta
+    shard (doc_id % {mod} == 0) is aggregated alone and merged into the
+    base index term-by-term; every delta-affected term's merged (df, cf)
+    is checked against a from-scratch build of the full corpus and the
+    agreement flag is part of the output (so the differential gate
+    re-proves merge correctness every round, on both engines).
+
+    df merges ADDITIVELY because base and delta partition the documents —
+    a doc_id is in exactly one shard, so no doc is double-counted; that
+    invariant is the split contract, not an approximation.
+
+    Scale shape: the delta aggregation touches only the delta shard; the
+    merge is one term-keyed left join (delta side small); the full
+    rebuild here exists only as the self-check and would be absent in
+    production."""
+    ensure_session_conf(spark)
+    toks = pos_tokens(spread(table(spark, sf_dir, "documents")))
+    is_delta = F.col("doc_id") % _DELTA_MOD == 0
+
+    def idx(rel: DataFrame) -> DataFrame:
+        return rel.groupBy("w").agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+        )
+
+    base = idx(toks.filter(~is_delta)).select(
+        "w", F.col("df").alias("b_df"), F.col("cf").alias("b_cf")
+    )
+    delta = idx(toks.filter(is_delta))
+    merged = (
+        delta.join(base, "w", "left")
+        .select(
+            "w",
+            (F.coalesce(F.col("b_df"), F.lit(0)) + F.col("df")).alias("m_df"),
+            (F.coalesce(F.col("b_cf"), F.lit(0)) + F.col("cf")).alias("m_cf"),
+        )
+    )
+    full_idx = idx(toks).select(
+        "w", F.col("df").alias("f_df"), F.col("cf").alias("f_cf")
+    )
+    return (
+        merged.join(full_idx, "w")
+        .select(
+            F.col("w").alias("term"),
+            F.col("m_df").cast("long").alias("df"),
+            F.col("m_cf").cast("long").alias("cf"),
+            (
+                (F.col("m_df") == F.col("f_df"))
+                & (F.col("m_cf") == F.col("f_cf"))
+            ).alias("merge_consistent"),
+        )
+        .orderBy("term")
+    )
+
+
+text_index_incremental.__doc__ = text_index_incremental.__doc__.format(mod=_DELTA_MOD)
