@@ -564,6 +564,81 @@ def s6_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s12_xml_scan",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys,
+           MIN(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("S12",),
+)
+def s12_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: XML source — Spark 4's built-in XML data source (SPARK-44265;
+    rowTag-delimited records, declared schema so no inference pass) read
+    through the same scan path any feed-style XML drop would use. The
+    layout is staged once per (sf) from nation.parquet — deterministic,
+    self-contained — and the oracle aggregates the ORIGINAL relation, so
+    the check proves XML write→read loses nothing the aggregation can
+    see (keys, counts, string order).
+
+    Scale notes: XML is record-delimited by rowTag, so the reader splits
+    files like any text source — parallelism comes from file count
+    (staged as 4 part files here); schema is DECLARED (an inference pass
+    over 100 TB of XML is a full extra scan)."""
+    ensure_session_conf(spark)
+    import xml.sax.saxutils as sx
+
+    path = _tagged_io_path("s12_nation_xml", sf_dir)
+    rows = (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()  # 25-row dim table: driver-side staging is fine
+    )
+    tmp = f"{path}.staging.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    n_files = 4
+    for i in range(n_files):
+        chunk = [r for j, r in enumerate(rows) if j % n_files == i]
+        body = "".join(
+            f"<nation><n_nationkey>{r.n_nationkey}</n_nationkey>"
+            f"<n_name>{sx.escape(r.n_name)}</n_name>"
+            f"<n_regionkey>{r.n_regionkey}</n_regionkey></nation>"
+            for r in chunk
+        )
+        with open(os.path.join(tmp, f"part-{i}.xml"), "w") as f:
+            f.write(f"<nations>{body}</nations>")
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    xml = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(path)
+    )
+    return (
+        xml.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("sum_keys"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
     "k4_compact_small_files",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey
