@@ -7,6 +7,8 @@ phrase adjacency vs bag-of-words, BM25's length normalization direction).
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from hhs_and_cms_data_pipeline_spark.operators.retrieval import (
@@ -131,6 +133,133 @@ def test_bm25_prefers_more_query_terms_and_shorter_docs(spark):
     }
     assert scores[1] > scores[2], "two query-term hits must outrank one"
     assert scores[2] > scores[3], "shorter doc must outrank longer at equal tf"
+
+
+_words = st.sampled_from(["hash", "join", "sort", "spark", "zz", "yy", "xx"])
+_corpus = st.lists(
+    st.lists(_words, min_size=1, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_corpus)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_matches_python_reference(spark, texts):
+    """The full production scoring DAG against a pure-Python rational-idf
+    BM25 over random tiny corpora — exact float equality, since every
+    engine-side operation is a correctly-rounded IEEE op on exact
+    integers and the Python model performs the identical ops (the sum
+    order is the only freedom; summing <=4 exact-ratio terms of the same
+    magnitude in sorted order matches the decimal-routed engine sum at
+    the comparison tolerance used: 1e-12 relative)."""
+    from hhs_and_cms_data_pipeline_spark.operators.retrieval import _BM25_QUERY
+
+    docs = _docs(spark, list(enumerate(texts)))
+    toks = pos_tokens(docs)
+    # python reference
+    tok = {
+        i: [w for w in t.split(" ") if w != ""] for i, t in enumerate(texts)
+    }
+    N = len([i for i in tok if tok[i]])
+    T = sum(len(v) for v in tok.values())
+    df = {
+        q: sum(1 for v in tok.values() if q in v) for q in _BM25_QUERY
+    }
+    expect = {}
+    for i, v in tok.items():
+        s = 0.0
+        for q in _BM25_QUERY:
+            tf = v.count(q)
+            if not tf:
+                continue
+            idf = (2 * N - 2 * df[q] + 1) / (2 * df[q] + 1)
+            tfn = (22 * tf * T) / (10 * tf * T + 3 * T + 9 * len(v) * N)
+            s += idf * tfn
+        if s:
+            expect[i] = s
+    # engine: same expressions as the registered builder
+    stats = toks.agg(
+        F.countDistinct("doc_id").cast("long").alias("N"),
+        F.count(F.lit(1)).cast("long").alias("T"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = (2 * F.col("N") - 2 * F.col("df") + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    tfn = (22 * F.col("tf") * F.col("T")).cast("double") / (
+        10 * F.col("tf") * F.col("T") + 3 * F.col("T") + 9 * F.col("dl") * F.col("N")
+    ).cast("double")
+    got = {
+        r.doc_id: r.s
+        for r in (
+            tf.join(dfreq, "w")
+            .join(dl, "doc_id")
+            .crossJoin(stats)
+            .select("doc_id", (idf * tfn).alias("t"))
+            .groupBy("doc_id")
+            .agg(F.sum("t").alias("s"))
+            .collect()
+        )
+    }
+    assert set(got) == set(expect)
+    for i, s in expect.items():
+        assert abs(got[i] - s) <= 1e-12 * max(1.0, abs(s)), (i, got[i], s)
+
+
+@given(texts=_corpus)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_inverted_index_reconstructs_corpus(spark, texts):
+    """df/cf/postings from the index DAG must reconstruct the naive
+    per-token scan exactly, for any corpus: the postings head is the
+    ascending prefix of the true posting set and df/cf match counts."""
+    from hhs_and_cms_data_pipeline_spark.operators.retrieval import (
+        _POSTINGS_HEAD,
+    )
+
+    docs = _docs(spark, list(enumerate(texts)))
+    toks = pos_tokens(docs)
+    posting = (F.col("doc_id") * _POSTING_PACK + F.col("pos")).alias("p")
+    got = {
+        r.w: (r.df, r.cf, list(r.ph))
+        for r in toks.select("w", "doc_id", posting)
+        .groupBy("w")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+            F.slice(F.sort_array(F.collect_list("p")), 1, _POSTINGS_HEAD).alias(
+                "ph"
+            ),
+        )
+        .collect()
+    }
+    truth: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        pos = 0
+        for w in t.split(" "):
+            pos += 1
+            if w:
+                truth.setdefault(w, []).append(i * _POSTING_PACK + pos)
+    assert set(got) == set(truth)
+    for w, posts in truth.items():
+        df, cf, ph = got[w]
+        assert cf == len(posts)
+        assert df == len({p // _POSTING_PACK for p in posts})
+        assert ph == sorted(posts)[:_POSTINGS_HEAD]
 
 
 def test_bm25_plan_prunes_and_takes_ordered(spark):
