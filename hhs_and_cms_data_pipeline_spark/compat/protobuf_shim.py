@@ -109,6 +109,13 @@ def install() -> bool:
     sys.modules["cloudsdk.google.protobuf.runtime_version"] = rv
 
     sys.modules["google"] = cloud_google
+    # Surviving real siblings (google.auth, ...) stay importable via their
+    # own sys.modules keys, but `import google.auth` followed by
+    # `google.auth.x` resolves the attribute on the NEW parent module —
+    # re-attach each sibling so attribute-style access keeps working.
+    for k, m in list(sys.modules.items()):
+        if k.startswith("google.") and "." not in k[len("google."):]:
+            setattr(cloud_google, k[len("google."):], m)
     sys.modules["google.protobuf"] = pb
     sys.modules["google.protobuf.runtime_version"] = rv
     for sub in _EAGER:

@@ -335,24 +335,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's relational surface has no analogue for.
 
     Scale posture (100 TB / 1000 executors): this is the Pregel pattern as
-    pure DataFrame ops — each iteration is one join of the rank vector
-    against the out-edge list (AQE broadcasts the rank vector while the
-    vertex set fits, and falls back to a keyed exchange when it doesn't)
-    plus one aggregation keyed on the destination. The UNDIRECTED edge set
-    is materialized ONCE via localCheckpoint before anything fans out:
-    `dir_edges`, `deg`, `src`, and all three iterations reference it, so
-    without the checkpoint the O(n²)-ish co-occurrence self-join + DISTINCT
-    would re-run in every plan branch (measured 6.4s -> 4.2s warm at sf0.1
-    from this alone), and an unbounded iteration count would stack an
-    unbounded DAG (same lineage-truncation discipline as D8's label
-    propagation, dedup.py). The per-edge (u, v, deg) frame is deliberately
-    NOT checkpointed: it is a map-side degree annotation over the
-    checkpointed edges, and re-deriving it per iteration costs less than
-    pinning a second, 2x-larger copy of the edge list in executor memory.
-    The iteration count is fixed, so the physical plan is static and AQE
-    can plan each stage from runtime stats. Integer fixed-point arithmetic
-    (module comment) keeps the result bit-identical to the DuckDB oracle —
-    no float-sum order sensitivity.
+    pure DataFrame ops — each iteration is one shuffled-hash join of the
+    rank vector against the DIRECTED edge artifact plus one aggregation
+    keyed on the destination. The artifact (directed_edges_cached) is
+    hash-partitioned on u and localCheckpointed ONCE per (session, sf):
+    `deg`, `src`, and all three iterations join it on u with its stored
+    partitioning satisfied, so only the O(|V|) rank vector is exchanged
+    per round and the O(n²)-ish co-occurrence self-join + DISTINCT never
+    re-runs (checkpointing alone measured 6.4s -> 4.2s warm at sf0.1; the
+    partitioned artifact took the pair LPA+PR from 3.7+2.4 to ~2.4+1.9).
+    The fixed iteration count keeps the DAG static — the same
+    lineage-truncation discipline as D8's label propagation (dedup.py).
+    The per-edge (u, v, deg) frame is deliberately NOT checkpointed: it is
+    a partitioning-preserving annotation over the artifact, and
+    re-deriving it per iteration costs less than pinning a second,
+    2x-larger copy of the edge list in executor memory. Integer
+    fixed-point arithmetic (module comment) keeps the result bit-identical
+    to the DuckDB oracle — no float-sum order sensitivity.
     """
     ensure_session_conf(spark)
     # hash-partitioned on u + checkpointed: the per-iteration rank join

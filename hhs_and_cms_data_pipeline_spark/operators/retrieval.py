@@ -33,25 +33,19 @@ Three ops:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
-from .text import tokens
+from .text import SQL_TOKS, tokens
 
-# 1-based positional token relation (matches text.py's SQL_TOKS convention;
-# empty tokens excluded AFTER position assignment so positions are stable).
-SQL_POS_TOKS = """
-  SELECT doc_id, w, pos FROM (
-    SELECT doc_id,
-           unnest(string_split(text, ' ')) AS w,
-           generate_subscripts(string_split(text, ' '), 1) AS pos
-    FROM documents)
-  WHERE w <> ''
-"""
+# 1-based positional token relation — COMPOSED from text.py's SQL_TOKS (one
+# copy of the tokenizer convention, same rule as bigram_multiset); empty
+# tokens excluded AFTER position assignment so positions are stable.
+SQL_POS_TOKS = f"SELECT doc_id, w, pos FROM ({SQL_TOKS}) WHERE w <> ''"
 
 
 def pos_tokens(docs: DataFrame) -> DataFrame:
@@ -103,22 +97,30 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     {head} packed (doc_id*{pack}+pos) postings; top-{top} terms by
     collection frequency.
 
-    Scale shape: one map-only posexplode, ONE term-keyed aggregation
-    (map-side partial count/df; collect_list only accumulates the head
-    after sort_array+slice — bounded per term by contract of the slice),
-    TakeOrderedAndProject top-{top}. The term hash partitioning IS the
-    index sharding a 1000-executor build would write."""
+    Scale shape: one map-only posexplode, a per-term rank window that
+    marks the first {head} postings, then ONE term-keyed aggregation —
+    count/df are map-side partial, and collect_list accumulates ONLY
+    rank-<= {head} postings (it skips the NULLs the rank filter leaves),
+    so aggregation state is O({head}) per term even for a stop word with
+    billions of postings. TakeOrderedAndProject top-{top}. The term hash
+    partitioning IS the index sharding a 1000-executor build would
+    write."""
     ensure_session_conf(spark)
     toks = pos_tokens(spread(table(spark, sf_dir, "documents")))
     posting = (F.col("doc_id") * _POSTING_PACK + F.col("pos")).alias("p")
+    w_rank = Window.partitionBy("w").orderBy("p")
+    ranked = toks.select("w", "doc_id", posting).withColumn(
+        "rn", F.row_number().over(w_rank)
+    )
     return (
-        toks.select("w", "doc_id", posting)
-        .groupBy("w")
+        ranked.groupBy("w")
         .agg(
             F.countDistinct("doc_id").alias("df"),
             F.count(F.lit(1)).alias("cf"),
-            F.slice(
-                F.sort_array(F.collect_list("p")), 1, _POSTINGS_HEAD
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= _POSTINGS_HEAD, F.col("p"))
+                )
             ).alias("postings_head"),
         )
         .select(F.col("w").alias("term"), "df", "cf", "postings_head")
@@ -218,6 +220,43 @@ def _sql_bm25_score() -> str:
     )
 
 
+def bm25_term_scores(toks: DataFrame, query: tuple[str, ...]) -> DataFrame:
+    """(doc_id, s) per (doc, query-term) under rational-idf BM25 — THE
+    definition of the scoring DAG, factored so the registered query and
+    the property tests exercise the identical expressions (module
+    docstring for the derivation; every factor an exact BIGINT, the two
+    ratios correctly-rounded IEEE divisions, the product one multiply).
+
+    The (N, T) corpus scalars derive from the dl relation (N = its row
+    count, T = SUM(dl)) so the token stream is scanned once for dl and
+    once for tf — never a third time."""
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        F.sum("dl").cast("long").alias("T"),
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*query))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = (2 * F.col("N") - 2 * F.col("df") + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    tfn = (22 * F.col("tf") * F.col("T")).cast("double") / (
+        10 * F.col("tf") * F.col("T")
+        + 3 * F.col("T")
+        + 9 * F.col("dl") * F.col("N")
+    ).cast("double")
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tfn).alias("s"))
+    )
+
+
 @register(
     "text_bm25_topk",
     oracle=f"""
@@ -258,34 +297,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the token stream reduces to per-(doc, query-term)
     counts with the IN-filter pushed to the scan — only query-term
     postings ever shuffle. df and the (N, T) scalars are tiny
-    aggregates broadcast back; scoring is codegen'd column arithmetic;
-    top-{top} is TakeOrderedAndProject. The corpus is touched exactly
-    twice (dl pass + tf pass), both map-side-partial aggregations."""
+    aggregates broadcast back ((N, T) derive from dl, so the corpus is
+    touched exactly twice: dl pass + tf pass, both map-side-partial);
+    scoring is codegen'd column arithmetic; top-{top} is
+    TakeOrderedAndProject."""
     ensure_session_conf(spark)
     toks = pos_tokens(spread(table(spark, sf_dir, "documents")))
-    stats = toks.agg(
-        F.countDistinct("doc_id").cast("long").alias("N"),
-        F.count(F.lit(1)).cast("long").alias("T"),
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    tf = (
-        toks.filter(F.col("w").isin(*_BM25_QUERY))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    idf = (2 * F.col("N") - 2 * F.col("df") + 1).cast("double") / (
-        2 * F.col("df") + 1
-    ).cast("double")
-    tfn = (22 * F.col("tf") * F.col("T")).cast("double") / (
-        10 * F.col("tf") * F.col("T") + 3 * F.col("T") + 9 * F.col("dl") * F.col("N")
-    ).cast("double")
-    scored = (
-        tf.join(F.broadcast(dfreq), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", (idf * tfn).alias("s"))
-    )
+    scored = bm25_term_scores(toks, _BM25_QUERY)
     return (
         scored.groupBy("doc_id")
         .agg(

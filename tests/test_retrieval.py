@@ -15,10 +15,7 @@ from hhs_and_cms_data_pipeline_spark.operators.retrieval import (
     _POSTING_PACK,
     pos_tokens,
 )
-from hhs_and_cms_data_pipeline_spark.plans.audit import (
-    formatted_plan,
-    pushed_filters,
-)
+from hhs_and_cms_data_pipeline_spark.plans.audit import formatted_plan
 from hhs_and_cms_data_pipeline_spark.registry import all_specs
 from tests.conftest import SF_SMOKE
 
@@ -97,35 +94,14 @@ def test_bm25_prefers_more_query_terms_and_shorter_docs(spark):
             (3, f"{q0} {filler} {filler} {filler}"),  # one hit, long
         ],
     )
-    # run the registered builder's scoring DAG by monkey-free reuse: score
-    # through the same expressions via a temp view + the production builder
-    # is bound to the documents table, so re-derive scores directly here
-    # with the same formula constants instead.
-    toks = pos_tokens(docs)
-    stats = toks.agg(
-        F.countDistinct("doc_id").cast("long").alias("N"),
-        F.count(F.lit(1)).cast("long").alias("T"),
+    from hhs_and_cms_data_pipeline_spark.operators.retrieval import (
+        bm25_term_scores,
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    tf = (
-        toks.filter(F.col("w").isin(*_BM25_QUERY))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    idf = (2 * F.col("N") - 2 * F.col("df") + 1).cast("double") / (
-        2 * F.col("df") + 1
-    ).cast("double")
-    tfn = (22 * F.col("tf") * F.col("T")).cast("double") / (
-        10 * F.col("tf") * F.col("T") + 3 * F.col("T") + 9 * F.col("dl") * F.col("N")
-    ).cast("double")
+
     scores = {
         r.doc_id: r.s
         for r in (
-            tf.join(dfreq, "w")
-            .join(dl, "doc_id")
-            .crossJoin(stats)
-            .select("doc_id", (idf * tfn).alias("s"))
+            bm25_term_scores(pos_tokens(docs), _BM25_QUERY)
             .groupBy("doc_id")
             .agg(F.sum("s").alias("s"))
             .collect()
@@ -182,33 +158,17 @@ def test_bm25_matches_python_reference(spark, texts):
             s += idf * tfn
         if s:
             expect[i] = s
-    # engine: same expressions as the registered builder
-    stats = toks.agg(
-        F.countDistinct("doc_id").cast("long").alias("N"),
-        F.count(F.lit(1)).cast("long").alias("T"),
+    # engine: THE production scoring DAG (shared helper)
+    from hhs_and_cms_data_pipeline_spark.operators.retrieval import (
+        bm25_term_scores,
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    tf = (
-        toks.filter(F.col("w").isin(*_BM25_QUERY))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    idf = (2 * F.col("N") - 2 * F.col("df") + 1).cast("double") / (
-        2 * F.col("df") + 1
-    ).cast("double")
-    tfn = (22 * F.col("tf") * F.col("T")).cast("double") / (
-        10 * F.col("tf") * F.col("T") + 3 * F.col("T") + 9 * F.col("dl") * F.col("N")
-    ).cast("double")
+
     got = {
         r.doc_id: r.s
         for r in (
-            tf.join(dfreq, "w")
-            .join(dl, "doc_id")
-            .crossJoin(stats)
-            .select("doc_id", (idf * tfn).alias("t"))
+            bm25_term_scores(toks, _BM25_QUERY)
             .groupBy("doc_id")
-            .agg(F.sum("t").alias("s"))
+            .agg(F.sum("s").alias("s"))
             .collect()
         )
     }
