@@ -639,6 +639,62 @@ def s12_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k10_manifest_sink_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value")} AS sum_value
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("K10",),
+)
+def k10_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10: write per-type event aggregates through the manifest-committed
+    JSONL sink — a Spark 4 Python Data Source WRITER implementing the
+    two-phase job commit (sources/manifest_sink.py: uuid part files per
+    task, manifest written by commit() via atomic rename, readers see
+    ONLY manifest-listed files) — then read the committed files back with
+    a declared schema. The oracle recomputes the aggregation from the raw
+    table, so the differential check proves the write -> commit ->
+    manifest-scoped read trip is lossless, including the exact-decimal
+    double sums surviving the JSON round trip (shortest-repr write,
+    correctly-rounded parse — both engines' bit pattern)."""
+    ensure_session_conf(spark)
+    from ..functions.exact import dsum
+    from ..sources.manifest_sink import manifest_files, register_manifest_sink
+
+    path = _tagged_io_path("k10_manifest_jsonl", sf_dir)
+    register_manifest_sink(spark)
+    agg = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+    )
+    agg.write.format("manifest_jsonl").option("path", path).mode(
+        "append"
+    ).save()
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .json(manifest_files(path))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "k4_compact_small_files",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey

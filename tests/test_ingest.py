@@ -454,6 +454,61 @@ def test_compaction_reduces_file_count_losslessly(spark):
     assert n_frag >= 10 and n_comp == 1
 
 
+def test_manifest_sink_orphans_invisible_and_commit_atomic(spark, tmp_path):
+    """K10 visibility contract: (a) a stray part file in the directory —
+    the debris a failed/speculative task leaves — is NOT read because the
+    manifest doesn't name it; (b) a re-run rewrites the manifest to list
+    only the new job's parts, so stale parts become invisible too; (c)
+    abort() removes the aborted job's files but leaves the committed
+    manifest intact."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sources.manifest_sink import (
+        MANIFEST_NAME,
+        ManifestJsonlWriter,
+        PartCommit,
+        manifest_files,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    path = str(tmp_path / "sink")
+    df = spark.range(5).select(
+        F.concat(F.lit("t"), F.col("id")).alias("event_type"),
+        F.lit(1).alias("n_events"),
+        F.lit(0.5).alias("sum_value"),
+    )
+    df.write.format("manifest_jsonl").option("path", path).mode("append").save()
+    committed = set(manifest_files(path))
+    # (a) orphan debris is invisible
+    orphan = os.path.join(path, "part-deadbeef.jsonl")
+    with open(orphan, "w") as f:
+        f.write(json.dumps({"event_type": "GHOST", "n_events": 9}) + "\n")
+    assert orphan not in set(manifest_files(path))
+    got = spark.read.json(manifest_files(path))
+    assert got.filter(got.event_type == "GHOST").count() == 0
+    assert got.count() == 5
+    # (b) a re-run supersedes: manifest lists only the new job's parts
+    df.limit(2).write.format("manifest_jsonl").option("path", path).mode(
+        "append"
+    ).save()
+    second = set(manifest_files(path))
+    assert not (second & committed)
+    assert spark.read.json(list(second)).count() == 2
+    # (c) abort removes the aborted job's files, manifest untouched
+    w = ManifestJsonlWriter({"path": path})
+    msg = w.write(iter(df.limit(1).collect()))
+    assert os.path.exists(os.path.join(path, msg.filename))
+    before = open(os.path.join(path, MANIFEST_NAME)).read()
+    w.abort([msg, None])
+    assert not os.path.exists(os.path.join(path, msg.filename))
+    assert open(os.path.join(path, MANIFEST_NAME)).read() == before
+    assert isinstance(msg, PartCommit) and msg.n_rows == 1
+
+
 def test_csv_binds_by_header_name_not_position(spark, tmp_path):
     """Regression: a file with reordered + extra columns must still land
     every value in its declared column (positional schema binding silently
