@@ -2183,3 +2183,94 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_ms")
     )
+
+
+# --------------------------------------------------------------------------
+# ST22 — streaming write through a CUSTOM Python Data Source sink
+# (sources/manifest_sink.py ManifestJsonlStreamWriter): the landing-zone
+# files drain micro-batch-wise into uuid part files, each micro-batch
+# commits one idempotent manifest entry (batch_id-deduplicated — a
+# replayed commit after driver restart is a no-op), and readers see only
+# manifest-listed files. Completes the Python-DS matrix: batch read
+# (S10/S11), stream read (S11), batch write (K10), stream write (here).
+# The check is S11's: every event row must be visible EXACTLY once, so
+# per-type counts + exact value sums over the committed files must equal
+# the same aggregation off the raw table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_manifest_sink",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value")} AS sum_value
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("ST22",),
+)
+def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST22: drain the staged event files through the streaming
+    manifest-committed JSONL sink and aggregate the committed rows per
+    type (block comment above; exactly-once by uuid parts + idempotent
+    per-batch manifest commits)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.manifest_sink import manifest_files, register_manifest_sink
+    from ..streaming.events import events_raw_schema
+    from ..streaming.stateful import stage_chronological_files
+
+    ensure_session_conf(spark)
+    from ..functions.exact import dsum
+
+    register_manifest_sink(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"manifest_stage_{tag}")
+    target = os.path.join(tempfile.gettempdir(), f"manifest_sink_{tag}")
+    shutil.rmtree(target, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="manifest_ckpt_")
+    stage_chronological_files(spark, sf_dir, stage)
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, stage))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+        .filter(F.col("event_type").isNotNull())
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    q = (
+        raw.writeStream.format("manifest_jsonl")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # single-use checkpoint (availableNow drain over a fixed stage)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = spark.read.schema(schema).json(manifest_files(target))
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("event_type")
+    )

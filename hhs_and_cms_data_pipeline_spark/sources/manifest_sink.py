@@ -44,6 +44,7 @@ from decimal import Decimal
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -108,8 +109,56 @@ class ManifestJsonlWriter(DataSourceWriter):
                 pass
 
 
+class ManifestJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: one manifest BATCH ENTRY per micro-batch.
+
+    ``commit(messages, batchId)`` appends {batch_id, parts} to the
+    manifest via read-modify-write + atomic rename, and is IDEMPOTENT on
+    batch_id: after a driver restart Spark may re-commit the last batch,
+    and re-registering its parts would double-count every row — the seen
+    check makes the replayed commit a no-op, which together with
+    uuid-named parts gives exactly-once visibility end to end."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("manifest_jsonl sink requires option 'path'")
+        self._path = path
+        self._inner = ManifestJsonlWriter(options)
+
+    def write(self, iterator: Iterator) -> PartCommit:
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        mpath = os.path.join(self._path, MANIFEST_NAME)
+        manifest = {"format": "jsonl", "batches": []}
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+        batches = manifest.setdefault("batches", [])
+        if any(b["batch_id"] == batchId for b in batches):
+            return  # replayed commit after restart: already visible
+        parts = [
+            {"file": m.filename, "n_rows": m.n_rows, "value_sum": m.value_sum}
+            for m in messages
+            if m is not None
+        ]
+        batches.append(
+            {"batch_id": batchId, "parts": sorted(parts, key=lambda p: p["file"])}
+        )
+        tmp = os.path.join(self._path, f".{MANIFEST_NAME}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        os.rename(tmp, mpath)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._inner.abort(messages)
+
+
 class ManifestJsonlSink(DataSource):
-    """`format("manifest_jsonl")` — writer-only data source (module doc)."""
+    """`format("manifest_jsonl")` — writer-only data source (module doc);
+    serves BOTH batch writes (job-level manifest) and streaming writes
+    (per-micro-batch manifest entries)."""
 
     @classmethod
     def name(cls) -> str:
@@ -118,6 +167,9 @@ class ManifestJsonlSink(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return ManifestJsonlWriter(self.options)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return ManifestJsonlStreamWriter(self.options)
+
 
 def register_manifest_sink(spark) -> None:
     spark.dataSource.register(ManifestJsonlSink)
@@ -125,7 +177,12 @@ def register_manifest_sink(spark) -> None:
 
 def manifest_files(path: str) -> list[str]:
     """Absolute paths of the COMMITTED part files — the only reader-visible
-    view of the directory (module docstring: never list the directory)."""
+    view of the directory (module docstring: never list the directory).
+    Handles both manifest shapes: batch jobs write {"parts": [...]},
+    streaming writes {"batches": [{"batch_id", "parts": [...]}, ...]}."""
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
-    return [os.path.join(path, p["file"]) for p in manifest["parts"]]
+    parts = manifest.get("parts", [])
+    for b in manifest.get("batches", []):
+        parts.extend(b["parts"])
+    return [os.path.join(path, p["file"]) for p in parts]

@@ -509,6 +509,37 @@ def test_manifest_sink_orphans_invisible_and_commit_atomic(spark, tmp_path):
     assert isinstance(msg, PartCommit) and msg.n_rows == 1
 
 
+def test_stream_manifest_commit_idempotent_on_batch_id(tmp_path):
+    """ST22 exactly-once hinge: after a driver restart Spark re-commits
+    the last micro-batch; re-registering its parts would double-count
+    every row. A second commit with the same batchId must be a byte-level
+    no-op on the manifest, and a later batch must still append."""
+    import json
+    import os
+
+    from hhs_and_cms_data_pipeline_spark.sources.manifest_sink import (
+        MANIFEST_NAME,
+        ManifestJsonlStreamWriter,
+        PartCommit,
+        manifest_files,
+    )
+
+    path = str(tmp_path / "sink")
+    os.makedirs(path)
+    w = ManifestJsonlStreamWriter({"path": path})
+    m0 = PartCommit(filename="part-b0.jsonl", n_rows=3, value_sum="1.5")
+    w.commit([m0], batchId=0)
+    before = open(os.path.join(path, MANIFEST_NAME)).read()
+    w.commit([m0], batchId=0)  # replayed after restart
+    assert open(os.path.join(path, MANIFEST_NAME)).read() == before
+    w.commit([PartCommit(filename="part-b1.jsonl", n_rows=2, value_sum="0")],
+             batchId=1)
+    files = [os.path.basename(p) for p in manifest_files(path)]
+    assert files == ["part-b0.jsonl", "part-b1.jsonl"]
+    batches = json.load(open(os.path.join(path, MANIFEST_NAME)))["batches"]
+    assert [b["batch_id"] for b in batches] == [0, 1]
+
+
 def test_csv_binds_by_header_name_not_position(spark, tmp_path):
     """Regression: a file with reordered + extra columns must still land
     every value in its declared column (positional schema binding silently
