@@ -1919,7 +1919,14 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     subset-detection property test can push synthetic corpora through the
     exact production plan."""
     arrays = word_bigram_arrays(docs)
-    big = arrays.select("doc_id", F.explode("bgs").alias("bg"))
+    # six consumers reference the exploded shingle relation (sizes, the df
+    # index, both candidate sides, both verify sides): materialize it once
+    # instead of re-running the corpus scan + explode per plan branch —
+    # this relation IS the operator's working set at any scale, and the
+    # branches are all aggregations/joins over it (2.2s -> ~1.1s at sf0.1)
+    big = arrays.select("doc_id", F.explode("bgs").alias("bg")).localCheckpoint(
+        eager=False
+    )
     sizes = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (
         big.groupBy("bg")
