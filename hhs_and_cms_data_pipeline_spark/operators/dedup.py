@@ -112,7 +112,11 @@ def _jaccard_pairs(docs: DataFrame) -> DataFrame:
     over ALL shared shingles of each candidate pair, so the score is exact.
     """
     arrays = word_bigram_arrays(docs)
-    big = arrays.select("doc_id", F.explode("bgs").alias("bg"))
+    # three consumers (the df index and both candidate sides) — same
+    # scan-once reasoning as containment_pairs below
+    big = arrays.select("doc_id", F.explode("bgs").alias("bg")).localCheckpoint(
+        eager=False
+    )
     rare = (
         big.groupBy("bg")
         .agg(F.count(F.lit(1)).alias("df"))
