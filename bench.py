@@ -69,6 +69,10 @@ def main() -> None:
         "text_bm25_topk",
         "text_inverted_index",
         "text_phrase_search",
+        "text_index_incremental",
+        "s12_xml_scan",
+        "k10_manifest_sink_roundtrip",
+        "stream_manifest_sink",
         "dedup_containment",
         "sk_ams_f2",
         "mm_vad_segments",
