@@ -1550,3 +1550,123 @@ def xa13_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("returning_users"),
         F.sum("new_users").over(wcum).cast("long").alias("users_ever_seen"),
     ).orderBy("d")
+
+
+# --------------------------------------------------------------------------
+# XA14 — ordered funnel conversion (view -> click -> purchase): for each
+# user, the earliest 'view', the earliest 'click' STRICTLY AFTER that
+# view, and the earliest 'purchase' strictly after that click — the
+# sequential-pattern analytics every product team runs, expressed without
+# MATCH_RECOGNIZE (which Spark lacks) as a cascade of conditional MIN
+# aggregations: one corpus aggregation pins step 1 for every user, then
+# each later step re-aggregates the user's events AFTER the prior step's
+# timestamp. Strict event-order semantics: ties at the same timestamp do
+# NOT advance the funnel (same-instant click+view is not view-then-click),
+# stated identically in both engines.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "xa14_funnel_conversion",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IN {_FUNNEL_STEPS!r}),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM ev
+      WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM ev e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+      GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM ev e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+      GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_step1,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_step2,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_step3,
+           CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS conv_1_to_2,
+           CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / NULLIF(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE), 0.0)
+             AS conv_2_to_3
+    """,
+    tags=("XA14",),
+)
+def xa14_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA14: ordered funnel {steps} (block comment above) — per-stage user
+    counts and stage-to-stage conversion ratios (exact-integer division in
+    DOUBLE).
+
+    Scale shape: the fact table is filtered to the three funnel types at
+    the scan, collapses to per-user step-1 times in ONE keyed aggregation,
+    and each later step is one join of the per-user (O(|users|)) frame
+    back to the filtered facts plus a re-aggregation — the standard
+    funnel plan; no window ever sees the raw event stream, and the final
+    scalars are three tiny aggregates."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin(*_FUNNEL_STEPS)
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    return funnel_report(ev)
+
+
+def funnel_steps(ev: DataFrame) -> list[DataFrame]:
+    """Per-user earliest-time frames [(user_id, t_k)] for each funnel
+    stage over a (user_id, event_type, ts) relation — THE definition of
+    the strict-order cascade, factored so the tie/order property tests
+    push synthetic frames through the production DAG."""
+    steps: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, step in enumerate(_FUNNEL_STEPS):
+        cur = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(
+                F.col("ts") > F.col(f"t{i}")
+            )
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias(f"t{i + 1}"))
+        steps.append(cur)
+        prev = cur
+    return steps
+
+
+def funnel_report(ev: DataFrame) -> DataFrame:
+    """Stage counts + conversion ratios from the step frames (XA14)."""
+    s1, s2, s3 = funnel_steps(ev)
+    c1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_step1"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_step2"))
+    c3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_step3"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            (
+                F.col("n_step2").cast("double") / F.col("n_step1").cast("double")
+            ).alias("conv_1_to_2"),
+            (
+                F.col("n_step3").cast("double")
+                / F.nullif(F.col("n_step2").cast("double"), F.lit(0.0))
+            ).alias("conv_2_to_3"),
+        )
+    )
+
+
+xa14_funnel_conversion.__doc__ = xa14_funnel_conversion.__doc__.format(
+    steps=" -> ".join(_FUNNEL_STEPS)
+)

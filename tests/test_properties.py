@@ -1600,3 +1600,33 @@ def test_temperature_mixture_flattens_and_normalizes(spark):
     by_n = [r.lang for r in sorted(rows, key=lambda r: (r.n_docs, r.lang))]
     by_q = [r.lang for r in sorted(rows, key=lambda r: (r.q_temperature, r.lang))]
     assert by_n == by_q
+
+
+def test_funnel_strict_order_and_ties(spark):
+    """XA14 semantics on a controlled frame: ties at the same instant do
+    NOT advance the funnel; out-of-order steps do not count; a clean
+    in-order user converts fully. Pushed through the production cascade
+    (funnel_steps), not a re-derivation."""
+    import datetime as dtm
+
+    from hhs_and_cms_data_pipeline_spark.operators.relational_ext import (
+        funnel_report,
+    )
+
+    t = lambda s: dtm.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: view -> click -> purchase, strictly increasing: full funnel
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2: click at the SAME instant as view: tie must not advance
+        (2, "view", t(1)), (2, "click", t(1)),
+        # user 3: click BEFORE view: never reaches step 2
+        (3, "click", t(1)), (3, "view", t(2)),
+        # user 4: view then click, purchase BEFORE click: stops at step 2
+        (4, "purchase", t(1)), (4, "view", t(2)), (4, "click", t(3)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    r = funnel_report(ev).collect()[0]
+    assert (r.n_step1, r.n_step2, r.n_step3) == (4, 2, 1)
+    assert r.conv_1_to_2 == 0.5 and r.conv_2_to_3 == 0.5
