@@ -1593,7 +1593,8 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
            CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_step2,
            CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_step3,
            CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
-             / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS conv_1_to_2,
+             / NULLIF(CAST((SELECT COUNT(*) FROM s1) AS DOUBLE), 0.0)
+             AS conv_1_to_2,
            CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
              / NULLIF(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE), 0.0)
              AS conv_2_to_3
@@ -1656,8 +1657,12 @@ def funnel_report(ev: DataFrame) -> DataFrame:
             "n_step1",
             "n_step2",
             "n_step3",
+            # NULLIF guards on BOTH ratios: ANSI mode (Spark 4 default,
+            # never disabled by _SESSION_CONF) throws on /0, and an empty
+            # funnel must report NULL ratios, not crash
             (
-                F.col("n_step2").cast("double") / F.col("n_step1").cast("double")
+                F.col("n_step2").cast("double")
+                / F.nullif(F.col("n_step1").cast("double"), F.lit(0.0))
             ).alias("conv_1_to_2"),
             (
                 F.col("n_step3").cast("double")

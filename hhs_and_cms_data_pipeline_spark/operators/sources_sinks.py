@@ -667,6 +667,9 @@ def k10_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.manifest_sink import manifest_files, register_manifest_sink
 
     path = _tagged_io_path("k10_manifest_jsonl", sf_dir)
+    # superseded uuid parts from earlier runs are invisible (manifest
+    # rewrite) but would accumulate on disk forever without this
+    shutil.rmtree(path, ignore_errors=True)
     register_manifest_sink(spark)
     agg = (
         table(spark, sf_dir, "events")
@@ -677,9 +680,9 @@ def k10_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "sum_value"),
         )
     )
-    agg.write.format("manifest_jsonl").option("path", path).mode(
-        "append"
-    ).save()
+    agg.write.format("manifest_jsonl").option("path", path).option(
+        "audit_column", "sum_value"
+    ).mode("append").save()
     schema = T.StructType(
         [
             T.StructField("event_type", T.StringType()),

@@ -2249,6 +2249,7 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         raw.writeStream.format("manifest_jsonl")
         .option("path", target)
+        .option("audit_column", "value")
         .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(availableNow=True)

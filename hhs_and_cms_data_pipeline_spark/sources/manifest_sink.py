@@ -66,6 +66,9 @@ class ManifestJsonlWriter(DataSourceWriter):
         if not path:
             raise ValueError("manifest_jsonl sink requires option 'path'")
         self._path = path
+        # which numeric column (if any) the per-part audit total sums —
+        # a sink OPTION, not a hardcoded query-specific name
+        self._audit_col = options.get("audit_column")
 
     def write(self, iterator: Iterator) -> PartCommit:
         os.makedirs(self._path, exist_ok=True)
@@ -79,11 +82,14 @@ class ManifestJsonlWriter(DataSourceWriter):
                 d = row.asDict()
                 f.write(json.dumps(d, sort_keys=True) + "\n")
                 n += 1
-                if d.get("sum_value") is not None:
-                    vsum += Decimal(str(d["sum_value"]))
+                if self._audit_col and d.get(self._audit_col) is not None:
+                    vsum += Decimal(str(d[self._audit_col]))
         return PartCommit(filename=name, n_rows=n, value_sum=str(vsum))
 
     def commit(self, messages) -> None:
+        # a zero-partition job commits without any write() having run —
+        # the directory must still exist for the (empty) manifest
+        os.makedirs(self._path, exist_ok=True)
         parts = [
             {"file": m.filename, "n_rows": m.n_rows, "value_sum": m.value_sum}
             for m in messages
@@ -130,6 +136,7 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
         return self._inner.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self._path, exist_ok=True)  # empty micro-batch: no write() ran
         mpath = os.path.join(self._path, MANIFEST_NAME)
         manifest = {"format": "jsonl", "batches": []}
         if os.path.exists(mpath):

@@ -1630,3 +1630,12 @@ def test_funnel_strict_order_and_ties(spark):
     r = funnel_report(ev).collect()[0]
     assert (r.n_step1, r.n_step2, r.n_step3) == (4, 2, 1)
     assert r.conv_1_to_2 == 0.5 and r.conv_2_to_3 == 0.5
+    # empty funnel: zero step-1 users must yield NULL ratios, not a
+    # DIVIDE_BY_ZERO crash (ANSI mode is on in Spark 4)
+    empty = spark.createDataFrame(
+        [(9, "click", t(1)), (9, "purchase", t(2))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    r0 = funnel_report(empty).collect()[0]
+    assert (r0.n_step1, r0.n_step2, r0.n_step3) == (0, 0, 0)
+    assert r0.conv_1_to_2 is None and r0.conv_2_to_3 is None
