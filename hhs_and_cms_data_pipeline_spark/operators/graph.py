@@ -628,3 +628,102 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cn"), F.asc("u"), F.asc("v"))
         .limit(_LP_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# GRAPH7 — bounded k-core peeling (Seidman 1983 degeneracy cores; the
+# distributed formulation is Montresor et al., "Distributed k-Core
+# Decomposition", PODC'11): repeatedly delete nodes of degree < k in the
+# SURVIVING subgraph. Exact k-core iterates to a fixpoint; this operator
+# unrolls a FIXED number of peel rounds (the lineage-truncation
+# discipline of GRAPH3/4 — a production run loops the same round with a
+# localCheckpoint per iteration and an emptiness check), and the oracle
+# states the identical unrolled rounds, so results are equal by
+# construction. Each round is one degree aggregation + two semi-joins of
+# the edge relation against the O(|V|) survivor set — the Pregel peel.
+# --------------------------------------------------------------------------
+
+_KCORE_K = 96
+_KCORE_ROUNDS = 3
+_KCORE_TOP = 20
+
+
+def _sql_kcore_round(r: int) -> str:
+    # MATERIALIZED: each e{r} is referenced 3x by round r+1 (twice by the
+    # degree union, once by the join) — DuckDB's default CTE inlining
+    # would re-expand the whole peel cascade per reference, exponential
+    # in the round count (measured: minutes at sf0.1 vs seconds
+    # materialized). Spark's twin localCheckpoints per round for the
+    # same reason.
+    return f"""
+    d{r} AS (SELECT n, COUNT(*) AS c FROM (
+        SELECT u AS n FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1})
+      GROUP BY 1),
+    s{r} AS MATERIALIZED (SELECT n, c FROM d{r} WHERE c >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{r - 1} e
+      JOIN s{r} a ON e.u = a.n JOIN s{r} b ON e.v = b.n)"""
+
+
+@register(
+    "graph_kcore_members",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    e0 AS MATERIALIZED (SELECT u, v FROM edges),
+    {",".join(_sql_kcore_round(r) for r in range(1, _KCORE_ROUNDS + 1))},
+    core AS (
+      SELECT n, COUNT(*) AS core_deg FROM (
+        SELECT u AS n FROM e{_KCORE_ROUNDS}
+        UNION ALL SELECT v FROM e{_KCORE_ROUNDS})
+      GROUP BY 1),
+    sz AS (SELECT COUNT(*) AS n_core FROM core)
+    SELECT c.n AS part, CAST(c.core_deg AS BIGINT) AS core_deg,
+           CAST(sz.n_core AS BIGINT) AS n_core
+    FROM core c CROSS JOIN sz
+    ORDER BY core_deg DESC, part
+    LIMIT {_KCORE_TOP}
+    """,
+    tags=("GRAPH7",),
+)
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH7: top-{top} members of the {k}-core after {rounds} peel
+    rounds (block comment above) — each row carries the node's degree
+    INSIDE the surviving core and the core's total size.
+
+    Scale shape: per round, ONE degree aggregation over the surviving
+    edge relation plus two semi-joins against the O(|V|) survivor set;
+    the surviving edges are localCheckpointed per round so the next
+    round's degree count does not recompute the whole cascade (the same
+    per-iteration materialization as D8's star contraction). Peeling
+    only ever SHRINKS the edge relation, so every round is cheaper than
+    the last — the opposite of a blowup risk."""
+    ensure_session_conf(spark)
+    edges = directed_edges_cached(spark, sf_dir)  # both directions, on u
+    cur = edges
+    for _ in range(_KCORE_ROUNDS):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+        surv = deg.filter(F.col("c") >= _KCORE_K).select("u")
+        cur = (
+            cur.join(surv, "u", "semi")
+            .join(
+                surv.select(F.col("u").alias("v")), "v", "semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    core = cur.groupBy("u").agg(F.count(F.lit(1)).alias("core_deg"))
+    sz = core.agg(F.count(F.lit(1)).cast("long").alias("n_core"))
+    return (
+        core.crossJoin(F.broadcast(sz))
+        .select(
+            F.col("u").alias("part"),
+            F.col("core_deg").cast("long").alias("core_deg"),
+            "n_core",
+        )
+        .orderBy(F.desc("core_deg"), F.asc("part"))
+        .limit(_KCORE_TOP)
+    )
+
+
+graph_kcore_members.__doc__ = graph_kcore_members.__doc__.format(
+    top=_KCORE_TOP, k=_KCORE_K, rounds=_KCORE_ROUNDS
+)
