@@ -1381,7 +1381,7 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
     return score.select("doc_id", "n_tokens", "llr")
 
 
-curation_dsir_select.__doc__ = curation_dsir_select.__doc__.format(
+curation_dsir_select.__doc__ = (curation_dsir_select.__doc__ or "").format(
     k=_DSIR_K, target=_DSIR_TARGET_LANG
 )
 

@@ -702,7 +702,14 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = edges
     for _ in range(_KCORE_ROUNDS):
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
-        surv = deg.filter(F.col("c") >= _KCORE_K).select("u")
+        # surv feeds BOTH semi-joins: checkpoint the O(|V|) survivor set
+        # so the degree aggregation plans once per round, not once per
+        # branch — the Spark twin of the oracle's MATERIALIZED s{r}
+        surv = (
+            deg.filter(F.col("c") >= _KCORE_K)
+            .select("u")
+            .localCheckpoint(eager=False)
+        )
         cur = (
             cur.join(surv, "u", "semi")
             .join(
@@ -724,6 +731,6 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-graph_kcore_members.__doc__ = graph_kcore_members.__doc__.format(
+graph_kcore_members.__doc__ = (graph_kcore_members.__doc__ or "").format(
     top=_KCORE_TOP, k=_KCORE_K, rounds=_KCORE_ROUNDS
 )

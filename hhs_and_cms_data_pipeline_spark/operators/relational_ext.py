@@ -1672,6 +1672,6 @@ def funnel_report(ev: DataFrame) -> DataFrame:
     )
 
 
-xa14_funnel_conversion.__doc__ = xa14_funnel_conversion.__doc__.format(
+xa14_funnel_conversion.__doc__ = (xa14_funnel_conversion.__doc__ or "").format(
     steps=" -> ".join(_FUNNEL_STEPS)
 )

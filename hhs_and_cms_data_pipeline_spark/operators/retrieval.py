@@ -129,7 +129,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-text_inverted_index.__doc__ = text_inverted_index.__doc__.format(
+text_inverted_index.__doc__ = (text_inverted_index.__doc__ or "").format(
     head=_POSTINGS_HEAD, pack=_POSTING_PACK, top=_INDEX_TOP
 )
 
@@ -198,7 +198,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-text_phrase_search.__doc__ = text_phrase_search.__doc__.format(phrase=" ".join(_PHRASE))
+text_phrase_search.__doc__ = (text_phrase_search.__doc__ or "").format(phrase=" ".join(_PHRASE))
 
 
 # --------------------------------------------------------------------------
@@ -315,7 +315,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-text_bm25_topk.__doc__ = text_bm25_topk.__doc__.format(
+text_bm25_topk.__doc__ = (text_bm25_topk.__doc__ or "").format(
     top=_BM25_TOP, q=" ".join(_BM25_QUERY)
 )
 
@@ -417,4 +417,4 @@ def text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-text_index_incremental.__doc__ = text_index_incremental.__doc__.format(mod=_DELTA_MOD)
+text_index_incremental.__doc__ = (text_index_incremental.__doc__ or "").format(mod=_DELTA_MOD)

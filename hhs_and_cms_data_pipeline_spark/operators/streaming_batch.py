@@ -2027,7 +2027,7 @@ def stream_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-stream_recent_events.__doc__ = stream_recent_events.__doc__.format(n=_RECENT_N)
+stream_recent_events.__doc__ = (stream_recent_events.__doc__ or "").format(n=_RECENT_N)
 
 
 # --------------------------------------------------------------------------
