@@ -123,11 +123,19 @@ def _jaccard_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") <= _STOP_SHINGLE_DF)
         .select("bg")
     )
-    a, b = big.alias("a"), big.alias("b")
+    # BOTH candidate sides are rare-filtered. The join key is already
+    # restricted through `a` (a.bg in rare), so filtering `b` too changes
+    # no output row — but without it the exchange hashes every hot-shingle
+    # posting list on the build side, and each Zipf-head shingle lands on a
+    # single reducer to match nothing. Filtering both sides keeps the hot
+    # postings out of the shuffle entirely.
+    rare_big = big.join(rare, "bg", "semi")
     cand = (
-        a.join(rare, "bg", "semi")
-        .alias("a")
-        .join(b, (F.col("a.bg") == F.col("b.bg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        rare_big.alias("a")
+        .join(
+            rare_big.alias("b"),
+            (F.col("a.bg") == F.col("b.bg")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -1547,12 +1555,17 @@ def dedup_token_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _STOP_SHINGLE_DF)
         .select("bg")
     )
+    # Rare-filter BOTH candidate sides (same reasoning as _jaccard_pairs:
+    # a.bg in rare already restricts the key, so the extra semi on `b` is
+    # output-neutral but keeps Zipf-head postings out of the build-side
+    # exchange). The dots join below deliberately uses the UNFILTERED tf —
+    # the dot product of a surviving pair must count all shared shingles.
+    rare_tf = tf.join(rare, "bg", "semi")
     a, b = tf.alias("a"), tf.alias("b")
     cand = (
-        a.join(rare, "bg", "semi")
-        .alias("a")
+        rare_tf.alias("a")
         .join(
-            b,
+            rare_tf.alias("b"),
             (F.col("a.bg") == F.col("b.bg"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -1938,12 +1951,15 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") <= _STOP_SHINGLE_DF)
         .select("bg")
     )
-    a, b = big.alias("a"), big.alias("b")
+    # Rare-filter BOTH candidate sides (see _jaccard_pairs: output-neutral
+    # because the key is already restricted through `a`, but it keeps the
+    # hot-shingle postings off the build-side exchange). Verification below
+    # still joins the UNFILTERED relation — n_shared counts all shingles.
+    rare_big = big.join(rare, "bg", "semi")
     cand = (
-        a.join(rare, "bg", "semi")
-        .alias("a")
+        rare_big.alias("a")
         .join(
-            b,
+            rare_big.alias("b"),
             (F.col("a.bg") == F.col("b.bg"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

@@ -815,11 +815,17 @@ def test_link_prediction_wedge_join_never_broadcasts_adjacency(spark, specs):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_containment_candidates_are_rare_filtered(spark, specs):
-    plan = formatted_plan(specs["dedup_containment"].builder(spark, SF_SMOKE))
-    # the inverted-index side must pass through the df-cap semi join before
-    # the candidate self-join (the D2 skew valve, shared by contract)
-    assert "LeftSemi" in plan
+@pytest.mark.parametrize(
+    "name", ["dedup_containment", "dedup_ngram_jaccard", "dedup_token_cosine"]
+)
+def test_shingle_candidates_rare_filtered_on_both_sides(spark, specs, name):
+    plan = formatted_plan(specs[name].builder(spark, SF_SMOKE))
+    # BOTH children of the candidate self-join must pass through the df-cap
+    # semi join (the D2 skew valve): with only the probe side filtered the
+    # output is identical, but the exchange hashes every Zipf-head posting
+    # list on the build side onto a single reducer for zero matches — the
+    # one would-hurt-at-100TB pattern this plan test pins down.
+    assert plan.count("LeftSemi") >= 2
 
 
 def test_link_prediction_hub_cap_not_binding_at_test_sf(spark):
