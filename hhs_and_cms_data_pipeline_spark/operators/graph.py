@@ -95,22 +95,40 @@ def directed_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     und = cooccurrence_edges_cached(spark, sf_dir)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    both = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # AQE rewrites the repartition into an AQE shuffle whose final
     # partitioning the checkpointed LogicalRDD reports as Unknown —
     # consumers would then re-exchange the edges every round, defeating
     # the artifact. Build it with AQE off (measured: consumers with AQE
     # back on plan NO exchange over the checkpoint); runtime re-planning
-    # is worthless for this one deterministic exchange anyway.
-    aqe_key = "spark.sql.adaptive.enabled"
-    prior = spark.conf.get(aqe_key, "true")
-    spark.conf.set(aqe_key, "false")
-    try:
-        dir_edges = both.repartition(n_part, "u").localCheckpoint(eager=True)
-    finally:
-        spark.conf.set(aqe_key, prior)
+    # is worthless for this one deterministic exchange anyway. The
+    # AQE-off window lives on a CLONED session (own SQLConf, shared
+    # SparkContext), so planning happening concurrently on the caller's
+    # session — a parallel test runner, a shared notebook — never
+    # observes the override; the checkpointed plan is session-independent
+    # (a LogicalRDD) and is re-bound to the caller's session afterwards.
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    clone.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    und_c = _rebind(und, clone)
+    both = und_c.unionAll(
+        und_c.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    dir_edges = _rebind(
+        both.repartition(n_part, "u").localCheckpoint(eager=True), spark
+    )
     _EDGE_CACHE[key] = dir_edges
     return dir_edges
+
+
+def _rebind(df: DataFrame, session: SparkSession) -> DataFrame:
+    """Re-bind a DataFrame's logical plan to another SparkSession sharing
+    the same SparkContext. Used only around checkpointed artifacts, whose
+    LogicalRDD plan carries no session state — just the RDD, schema, and
+    the physical partitioning the consumers rely on."""
+    jdf = session._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        session._jsparkSession, df._jdf.logicalPlan()
+    )
+    return DataFrame(jdf, session)
 
 
 def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,6 +73,28 @@ _INDEX_TOP = 20
 _POSTINGS_HEAD = 5
 
 
+def packed_posting():
+    """``doc_id * PACK + pos`` — GUARDED. A position at/over the pack base
+    would spill into the doc_id field and silently alias another
+    document's posting; and because the DuckDB oracle computes the
+    identical packed value, the differential gate can never catch that
+    class of corruption. So overflow fails loudly at execution time
+    instead of aliasing: any document of >= 1e6 tokens aborts the index
+    build with an explicit message."""
+    return F.when(
+        F.col("pos") < _POSTING_PACK,
+        F.col("doc_id") * _POSTING_PACK + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "posting position %s exceeds the 1e6 pack base "
+                "(document too long for doc/pos packing)",
+                F.col("pos"),
+            )
+        )
+    )
+
+
 @register(
     "text_inverted_index",
     oracle=f"""
@@ -107,7 +129,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     write."""
     ensure_session_conf(spark)
     toks = pos_tokens(spread(table(spark, sf_dir, "documents")))
-    posting = (F.col("doc_id") * _POSTING_PACK + F.col("pos")).alias("p")
+    posting = packed_posting().alias("p")
     w_rank = Window.partitionBy("w").orderBy("p")
     ranked = toks.select("w", "doc_id", posting).withColumn(
         "rn", F.row_number().over(w_rank)

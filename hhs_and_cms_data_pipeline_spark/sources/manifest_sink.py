@@ -53,6 +53,49 @@ from pyspark.sql.types import StructType
 MANIFEST_NAME = "MANIFEST.json"
 
 
+def _load_manifest(path: str) -> dict | None:
+    mpath = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        return json.load(f)
+
+
+def _all_part_files(manifest: dict) -> list[str]:
+    names = [p["file"] for p in manifest.get("parts", [])]
+    for b in manifest.get("batches", []):
+        names.extend(p["file"] for p in b["parts"])
+    return names
+
+
+def _atomic_write_manifest(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, f".{MANIFEST_NAME}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.rename(tmp, os.path.join(path, MANIFEST_NAME))
+
+
+def _checkpoint_query_id(options: dict) -> str | None:
+    """Stable identity of the STREAMING QUERY behind a checkpoint: Spark
+    writes ``<checkpoint>/metadata`` ({"id": uuid}) when a query first
+    starts, and the id survives restarts of the same checkpoint but is
+    fresh for a new one — exactly the key that distinguishes "replayed
+    batch 0 of MY run" (skip: already committed) from "batch 0 of a NEW
+    query reusing the target directory" (commit: different data)."""
+    cp = options.get("checkpointlocation") or options.get("checkpointLocation")
+    if not cp:
+        return None
+    for prefix in ("file://", "file:"):
+        if cp.startswith(prefix):
+            cp = cp[len(prefix):]
+            break
+    try:
+        with open(os.path.join(cp, "metadata")) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
+
+
 @dataclass
 class PartCommit(WriterCommitMessage):
     filename: str
@@ -61,7 +104,7 @@ class PartCommit(WriterCommitMessage):
 
 
 class ManifestJsonlWriter(DataSourceWriter):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool = False) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("manifest_jsonl sink requires option 'path'")
@@ -69,6 +112,11 @@ class ManifestJsonlWriter(DataSourceWriter):
         # which numeric column (if any) the per-part audit total sums —
         # a sink OPTION, not a hardcoded query-specific name
         self._audit_col = options.get("audit_column")
+        # SaveMode, as Spark hands it to DataSource.writer(): True for
+        # .mode("overwrite"), False for append. Append MERGES the prior
+        # manifest's parts (they stay visible); overwrite replaces the
+        # manifest and deletes the superseded part files.
+        self._overwrite = overwrite
 
     def write(self, iterator: Iterator) -> PartCommit:
         os.makedirs(self._path, exist_ok=True)
@@ -90,20 +138,37 @@ class ManifestJsonlWriter(DataSourceWriter):
         # a zero-partition job commits without any write() having run —
         # the directory must still exist for the (empty) manifest
         os.makedirs(self._path, exist_ok=True)
-        parts = [
+        prior = _load_manifest(self._path)
+        new_parts = [
             {"file": m.filename, "n_rows": m.n_rows, "value_sum": m.value_sum}
             for m in messages
             if m is not None
         ]
-        manifest = {
-            "format": "jsonl",
-            "parts": sorted(parts, key=lambda p: p["file"]),
-            "n_rows": sum(p["n_rows"] for p in parts),
-        }
-        tmp = os.path.join(self._path, f".{MANIFEST_NAME}.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, sort_keys=True)
-        os.rename(tmp, os.path.join(self._path, MANIFEST_NAME))
+        if self._overwrite:
+            # everything the prior manifest named (batch parts AND any
+            # streaming batches) is superseded — delete after the atomic
+            # rename below so readers never observe a manifest naming a
+            # missing file
+            superseded = _all_part_files(prior) if prior else []
+            parts = new_parts
+        else:
+            # append: prior committed parts stay visible alongside this
+            # job's (streaming `batches` entries, if any, are preserved
+            # verbatim — manifest_files() reads both shapes)
+            superseded = []
+            parts = (prior.get("parts", []) if prior else []) + new_parts
+        manifest = dict(prior or {})
+        manifest["format"] = "jsonl"
+        manifest["parts"] = sorted(parts, key=lambda p: p["file"])
+        manifest["n_rows"] = sum(p["n_rows"] for p in parts)
+        if self._overwrite:
+            manifest.pop("batches", None)
+        _atomic_write_manifest(self._path, manifest)
+        for name in superseded:
+            try:
+                os.remove(os.path.join(self._path, name))
+            except FileNotFoundError:
+                pass
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -120,16 +185,21 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
 
     ``commit(messages, batchId)`` appends {batch_id, parts} to the
     manifest via read-modify-write + atomic rename, and is IDEMPOTENT on
-    batch_id: after a driver restart Spark may re-commit the last batch,
-    and re-registering its parts would double-count every row — the seen
-    check makes the replayed commit a no-op, which together with
-    uuid-named parts gives exactly-once visibility end to end."""
+    (query identity, batch_id): after a driver restart Spark may
+    re-commit the last batch, and re-registering its parts would
+    double-count every row — the seen check makes the replayed commit a
+    no-op, which together with uuid-named parts gives exactly-once
+    visibility end to end. The query identity (the checkpoint's stable
+    query id) is stored in the manifest so a FRESH checkpoint writing to
+    an existing target does not alias the stale manifest's batch ids:
+    its batches reset instead of its batch 0 being silently dropped."""
 
     def __init__(self, options: dict) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("manifest_jsonl sink requires option 'path'")
         self._path = path
+        self._options = dict(options)
         self._inner = ManifestJsonlWriter(options)
 
     def write(self, iterator: Iterator) -> PartCommit:
@@ -137,11 +207,20 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         os.makedirs(self._path, exist_ok=True)  # empty micro-batch: no write() ran
-        mpath = os.path.join(self._path, MANIFEST_NAME)
-        manifest = {"format": "jsonl", "batches": []}
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                manifest = json.load(f)
+        manifest = _load_manifest(self._path) or {"format": "jsonl", "batches": []}
+        # resolved at commit time, not __init__: <checkpoint>/metadata is
+        # guaranteed to exist once batches are committing
+        qid = _checkpoint_query_id(self._options)
+        if qid is not None and manifest.get("query_id") not in (None, qid):
+            # a different query (fresh checkpoint) owns this target now:
+            # its batch ids restart at 0, so the stale batches must not
+            # alias them — supersede the old query's output entirely
+            superseded = _all_part_files(manifest)
+            manifest = {"format": "jsonl", "batches": []}
+        else:
+            superseded = []
+        if qid is not None:
+            manifest["query_id"] = qid
         batches = manifest.setdefault("batches", [])
         if any(b["batch_id"] == batchId for b in batches):
             return  # replayed commit after restart: already visible
@@ -153,10 +232,12 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
         batches.append(
             {"batch_id": batchId, "parts": sorted(parts, key=lambda p: p["file"])}
         )
-        tmp = os.path.join(self._path, f".{MANIFEST_NAME}.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, sort_keys=True)
-        os.rename(tmp, mpath)
+        _atomic_write_manifest(self._path, manifest)
+        for name in superseded:
+            try:
+                os.remove(os.path.join(self._path, name))
+            except FileNotFoundError:
+                pass
 
     def abort(self, messages, batchId: int) -> None:
         self._inner.abort(messages)
@@ -172,7 +253,7 @@ class ManifestJsonlSink(DataSource):
         return "manifest_jsonl"
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
-        return ManifestJsonlWriter(self.options)
+        return ManifestJsonlWriter(self.options, overwrite=overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         return ManifestJsonlStreamWriter(self.options)

@@ -457,10 +457,11 @@ def test_compaction_reduces_file_count_losslessly(spark):
 def test_manifest_sink_orphans_invisible_and_commit_atomic(spark, tmp_path):
     """K10 visibility contract: (a) a stray part file in the directory —
     the debris a failed/speculative task leaves — is NOT read because the
-    manifest doesn't name it; (b) a re-run rewrites the manifest to list
-    only the new job's parts, so stale parts become invisible too; (c)
-    abort() removes the aborted job's files but leaves the committed
-    manifest intact."""
+    manifest doesn't name it; (b) .mode("append") MERGES — the prior
+    job's committed parts stay visible next to the new job's; (b2)
+    .mode("overwrite") replaces the manifest AND deletes the superseded
+    part files (no invisible debris left on disk); (c) abort() removes
+    the aborted job's files but leaves the committed manifest intact."""
     import json
     import os
 
@@ -491,13 +492,23 @@ def test_manifest_sink_orphans_invisible_and_commit_atomic(spark, tmp_path):
     got = spark.read.json(manifest_files(path))
     assert got.filter(got.event_type == "GHOST").count() == 0
     assert got.count() == 5
-    # (b) a re-run supersedes: manifest lists only the new job's parts
+    # (b) append merges: the first job's parts stay visible
     df.limit(2).write.format("manifest_jsonl").option("path", path).mode(
         "append"
     ).save()
     second = set(manifest_files(path))
-    assert not (second & committed)
-    assert spark.read.json(list(second)).count() == 2
+    assert committed < second
+    assert spark.read.json(list(second)).count() == 7
+    # (b2) overwrite replaces the manifest and deletes superseded parts
+    df.limit(3).write.format("manifest_jsonl").option("path", path).mode(
+        "overwrite"
+    ).save()
+    third = set(manifest_files(path))
+    assert not (third & second)
+    assert spark.read.json(list(third)).count() == 3
+    for stale in second:
+        assert not os.path.exists(stale)
+    assert os.path.exists(orphan)  # unmanifested debris is not ours to delete
     # (c) abort removes the aborted job's files, manifest untouched
     w = ManifestJsonlWriter({"path": path})
     msg = w.write(iter(df.limit(1).collect()))
@@ -538,6 +549,59 @@ def test_stream_manifest_commit_idempotent_on_batch_id(tmp_path):
     assert files == ["part-b0.jsonl", "part-b1.jsonl"]
     batches = json.load(open(os.path.join(path, MANIFEST_NAME)))["batches"]
     assert [b["batch_id"] for b in batches] == [0, 1]
+
+
+def test_stream_manifest_fresh_checkpoint_resets_stale_batches(tmp_path):
+    """A RESTARTED query with a FRESH checkpoint writing to an existing
+    target restarts its batch ids at 0; keyed on batchId alone its new
+    batch 0 would collide with the stale manifest's batch 0 and be
+    silently dropped (data loss). Keyed on the checkpoint's stable query
+    id, the same-checkpoint replay still dedups while a new checkpoint
+    supersedes the stale manifest entirely (old parts deleted)."""
+    import json
+    import os
+
+    from hhs_and_cms_data_pipeline_spark.sources.manifest_sink import (
+        MANIFEST_NAME,
+        ManifestJsonlStreamWriter,
+        PartCommit,
+        manifest_files,
+    )
+
+    path = str(tmp_path / "sink")
+    os.makedirs(path)
+
+    def checkpoint(name, qid):
+        cp = str(tmp_path / name)
+        os.makedirs(cp)
+        with open(os.path.join(cp, "metadata"), "w") as f:
+            json.dump({"id": qid}, f)
+        return cp
+
+    cp1 = checkpoint("cp1", "query-aaa")
+    w1 = ManifestJsonlStreamWriter({"path": path, "checkpointlocation": cp1})
+    old_part = os.path.join(path, "part-old0.jsonl")
+    open(old_part, "w").write('{"x": 1}\n')
+    w1.commit([PartCommit(filename="part-old0.jsonl", n_rows=1, value_sum="0")],
+              batchId=0)
+    # same checkpoint, replayed batch 0: still a no-op
+    before = open(os.path.join(path, MANIFEST_NAME)).read()
+    w1.commit([PartCommit(filename="part-old0.jsonl", n_rows=1, value_sum="0")],
+              batchId=0)
+    assert open(os.path.join(path, MANIFEST_NAME)).read() == before
+    # FRESH checkpoint (new query id), batch 0 again: must COMMIT, not drop
+    cp2 = checkpoint("cp2", "query-bbb")
+    w2 = ManifestJsonlStreamWriter({"path": path, "checkpointlocation": cp2})
+    new_part = os.path.join(path, "part-new0.jsonl")
+    open(new_part, "w").write('{"x": 2}\n')
+    w2.commit([PartCommit(filename="part-new0.jsonl", n_rows=1, value_sum="0")],
+              batchId=0)
+    files = [os.path.basename(p) for p in manifest_files(path)]
+    assert files == ["part-new0.jsonl"]
+    manifest = json.load(open(os.path.join(path, MANIFEST_NAME)))
+    assert manifest["query_id"] == "query-bbb"
+    assert [b["batch_id"] for b in manifest["batches"]] == [0]
+    assert not os.path.exists(old_part)  # superseded part deleted
 
 
 def test_csv_binds_by_header_name_not_position(spark, tmp_path):

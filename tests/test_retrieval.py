@@ -232,3 +232,27 @@ def test_bm25_plan_prunes_and_takes_ordered(spark):
     # sort.
     assert scan_columns(plan, containing="text") <= {"doc_id", "text"}
     assert "TakeOrderedAndProject" in plan
+
+
+def test_posting_pack_overflow_fails_loudly(spark):
+    """ADVICE r7: a position at/over the 1e6 pack base would spill into
+    the doc_id field — and since the oracle packs identically, the
+    differential gate can never see it. The guard must abort execution
+    instead of silently aliasing; an in-range position still packs."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from hhs_and_cms_data_pipeline_spark.operators.retrieval import (
+        _POSTING_PACK,
+        packed_posting,
+    )
+
+    ok = spark.createDataFrame(
+        [(7, _POSTING_PACK - 1)], "doc_id long, pos long"
+    ).select(packed_posting().alias("p"))
+    assert ok.collect()[0].p == 7 * _POSTING_PACK + _POSTING_PACK - 1
+    bad = spark.createDataFrame(
+        [(7, _POSTING_PACK)], "doc_id long, pos long"
+    ).select(packed_posting().alias("p"))
+    with pytest.raises(SparkRuntimeException, match="pack base"):
+        bad.collect()
