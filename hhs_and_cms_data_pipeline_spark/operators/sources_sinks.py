@@ -1221,8 +1221,9 @@ def s9_text_lines_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # S11 — the landing-zone LEDGER as a Python Data Source
 # (sources/ledger_stream.py): batch half registered here; the streaming
-# half (SimpleDataSourceStreamReader with {"idx": N} offsets, one ledger
-# file per micro-batch, replayable readBetweenOffsets) is e2e-tested in
+# half (partitioned DataSourceStreamReader with {"idx": N} offsets, one
+# executor-side input partition per ledger file, replayable by
+# re-planning any committed range) is e2e-tested in
 # tests/test_streaming.py against this same batch surface. The oracle is
 # the strongest row-level check an external source can get: every ledger
 # row must be served EXACTLY once, so per-type counts and decimal-exact

@@ -4,25 +4,21 @@ Spark's built-in file source tracks "which files are new" by directory
 listing + modification time. Real landing zones usually publish a LEDGER
 instead: an append-only sequence of data files where position in the
 sequence IS the offset — replayable, exactly-once by construction, no
-mtime races. This module states that contract as a
-`SimpleDataSourceStreamReader` ("event_ledger"): the offset is
-`{"idx": N}` (files [0, N) consumed), `read` serves exactly one ledger
-file per micro-batch, and `readBetweenOffsets` re-serves any committed
-range bit-identically for recovery — the replay path the e2e test
-exercises explicitly.
+mtime races. This module states that contract as a partition-planning
+`DataSourceStreamReader` ("event_ledger"): the offset is `{"idx": N}`
+(files [0, N) consumed), each micro-batch covers every file appended
+since the last trigger, and `partitions(start, end)` plans ONE INPUT
+PARTITION PER LEDGER FILE whose `read` runs on EXECUTORS — the same
+per-file parallelism as the batch half, so a large feed never funnels
+through the driver. Recovery replays any committed `[start, end)` range
+bit-identically by re-planning the same file partitions — the replay
+path the e2e test exercises explicitly.
 
 Batch mode (`DataSource.reader`) reads the WHOLE ledger with one input
 partition per file — so the same registered query surface can audit a
 ledger at rest. Rows are (file_seq, event_id, user_id, event_type,
 value): the raw columns plus the provenance position every ingestion
 pipeline wants to carry.
-
-Scale notes: one ledger file per micro-batch is the test-friendly
-setting; a deployment batches `idx` ranges. The simple-reader protocol
-runs `read` on the DRIVER and ships rows to executors via an internal
-exchange — right for control-plane-sized feeds (the reference's weekly
-drops); petabyte feeds use the partition-planning `streamReader` with
-executor-side reads, which this source's batch half already demonstrates.
 """
 
 from __future__ import annotations
@@ -33,8 +29,8 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 EVENT_LEDGER_DDL = (
@@ -85,8 +81,13 @@ class EventLedgerBatchReader(DataSourceReader):
         return _read_ledger_file(partition.path, partition.name, partition.seq)
 
 
-class EventLedgerStreamReader(SimpleDataSourceStreamReader):
-    """Streaming half: offset = number of ledger files consumed."""
+class EventLedgerStreamReader(DataSourceStreamReader):
+    """Streaming half: offset = number of ledger files consumed; each
+    micro-batch's ``[start, end)`` file range is planned as one input
+    partition per ledger file and read executor-side (module docstring).
+    The reader keeps NO mutable state — offsets are pure functions of the
+    ledger directory — so a restarted query replans any committed range
+    identically from the checkpoint alone."""
 
     def __init__(self, path: str):
         self._path = path
@@ -94,25 +95,18 @@ class EventLedgerStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"idx": 0}
 
-    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        files = _ledger_files(self._path)
-        idx = int(start["idx"])
-        if idx >= len(files):
-            # exhausted: MUST be an iterator (the prefetch wrapper probes
-            # it with next() to verify emptiness when offsets don't move)
-            return iter(()), {"idx": idx}
-        # one ledger file per micro-batch (module docstring); a LIST, not
-        # a generator — the simple-reader prefetcher copies the cached
-        # batch for replay, and generators don't copy (driver-sized
-        # batches are this protocol's contract anyway, see scale notes)
-        return list(_read_ledger_file(self._path, files[idx], idx)), {"idx": idx + 1}
+    def latestOffset(self) -> dict:
+        return {"idx": len(_ledger_files(self._path))}
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         files = _ledger_files(self._path)
-        out = []
-        for i in range(int(start["idx"]), int(end["idx"])):
-            out.extend(_read_ledger_file(self._path, files[i], i))
-        return out
+        return [
+            _FilePartition(self._path, files[i], i)
+            for i in range(int(start["idx"]), int(end["idx"]))
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        return _read_ledger_file(partition.path, partition.name, partition.seq)
 
     def commit(self, end: dict) -> None:
         pass  # ledger files are immutable; nothing to clean
@@ -129,7 +123,7 @@ class EventLedgerDataSource(DataSource):
     def reader(self, schema) -> EventLedgerBatchReader:
         return EventLedgerBatchReader(self.options["path"])
 
-    def simpleStreamReader(self, schema) -> EventLedgerStreamReader:
+    def streamReader(self, schema) -> EventLedgerStreamReader:
         return EventLedgerStreamReader(self.options["path"])
 
 

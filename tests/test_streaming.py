@@ -1010,12 +1010,12 @@ def test_statestore_reader_exposes_tws_state(spark, tmp_path):
 
 
 def test_event_ledger_stream_source_matches_batch(spark, tmp_path):
-    """S11 streaming half: the custom SimpleDataSourceStreamReader serves
-    one ledger file per micro-batch with {"idx": N} offsets; an
-    availableNow drain must deliver every ledger row exactly once (equal
-    to the batch reader over the same ledger), and readBetweenOffsets
-    must re-serve any committed range bit-identically (the recovery
-    path)."""
+    """S11 streaming half: the partitioned DataSourceStreamReader plans
+    one EXECUTOR-SIDE input partition per ledger file with {"idx": N}
+    offsets; a drain must deliver every ledger row exactly once (equal
+    to the batch reader over the same ledger), and re-planning a
+    committed [start, end) range must re-serve it bit-identically (the
+    checkpoint recovery path)."""
     from pyspark.sql import functions as F
 
     from hhs_and_cms_data_pipeline_spark.sources.ledger_stream import (
@@ -1040,9 +1040,6 @@ def test_event_ledger_stream_source_matches_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    # simple stream readers prefetch ONE batch ahead, so an availableNow
-    # trigger would stop after the first ledger file; drain with
-    # processAllAvailable instead (the semantics a 24/7 run has anyway)
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
@@ -1051,10 +1048,19 @@ def test_event_ledger_stream_source_matches_batch(spark, tmp_path):
     canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     got, want = canon(streamed), canon(batch)
     assert len(want) > 0 and got == want
-    # multiple micro-batches really happened: all three file_seq values
+    # every ledger file was served: all three file_seq values present
     assert {r["file_seq"] for r in streamed.select("file_seq").distinct().collect()} == {0, 1, 2}
-    # recovery path: re-serving a committed range is bit-identical
+    # the micro-batch is PARTITIONED (one input partition per file, read
+    # executor-side) — the multi-file ledger must not collapse onto the
+    # driver as a single partition
     rdr = EventLedgerStreamReader(ledger)
-    replay = sorted(rdr.readBetweenOffsets({"idx": 0}, {"idx": 2}))
+    assert rdr.latestOffset() == {"idx": 3}
+    parts = rdr.partitions({"idx": 0}, {"idx": 3})
+    assert len(parts) == 3
+    # recovery path: re-planning a committed range re-serves it
+    # bit-identically, executor-side read included
+    replay = sorted(
+        row for p in rdr.partitions({"idx": 0}, {"idx": 2}) for row in rdr.read(p)
+    )
     direct = sorted(t for t in want if t[0] in (0, 1))
     assert replay == direct
