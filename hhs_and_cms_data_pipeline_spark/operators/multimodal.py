@@ -187,14 +187,18 @@ def _parse_png(data: bytes) -> dict:
     # wrapping uint8 add against the reconstructed previous row. Average
     # and Paeth carry a sequential dependence on the reconstructed LEFT
     # neighbor (the floor-average / predictor choice has no prefix-scan
-    # form), so those rows fall back to a per-byte loop over Python ints —
-    # in a real deployment an encoder-side filter policy or a codec lib
-    # removes even that; the common None/Sub/Up rows are loop-free.
+    # form), so maximal RUNS of consecutive Average/Paeth rows go through
+    # the anti-diagonal wavefront below — O(h + w) vectorized steps, no
+    # per-byte Python anywhere.
     raw_a = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filt_col = raw_a[:, 0]
+    if filt_col.max(initial=0) > 4:
+        raise ValueError("bad PNG filter byte")
     px = np.empty((h, stride), dtype=np.uint8)
     zero_row = np.zeros(stride, dtype=np.uint8)
-    for r in range(h):
-        f = int(raw_a[r, 0])
+    r = 0
+    while r < h:
+        f = int(filt_col[r])
         row = raw_a[r, 1:]
         up = px[r - 1] if r else zero_row
         if f == 0:  # None
@@ -207,27 +211,53 @@ def _parse_png(data: bytes) -> dict:
             )
         elif f == 2:  # Up
             px[r] = row + up  # uint8 wraps mod 256
-        elif f in (3, 4):  # Average / Paeth: sequential left dependency
-            cur = bytearray(row.tobytes())
-            upb = up.tobytes()
-            if f == 3:
-                for i in range(stride):
-                    a = cur[i - 3] if i >= 3 else 0
-                    cur[i] = (cur[i] + ((a + upb[i]) >> 1)) & 0xFF
-            else:
-                for i in range(stride):
-                    a = cur[i - 3] if i >= 3 else 0
-                    b = upb[i]
-                    c = upb[i - 3] if i >= 3 else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    cur[i] = (
-                        cur[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
-                    ) & 0xFF
-            px[r] = np.frombuffer(bytes(cur), dtype=np.uint8)
-        else:
-            raise ValueError("bad PNG filter byte")
+        else:  # Average / Paeth: wavefront over the maximal run
+            r1 = r
+            while r1 + 1 < h and filt_col[r1 + 1] >= 3:
+                r1 += 1
+            _unfilter_avg_paeth_run(raw_a, px, r, r1, up)
+            r = r1 + 1
+            continue
+        r += 1
     return {"width": w, "height": h, "mode": "RGB", "pixels": px.tobytes()}
+
+
+def _unfilter_avg_paeth_run(raw_a, px, r0: int, r1: int, up_row) -> None:
+    """Reconstruct rows [r0, r1] — all Average/Paeth filtered — in one
+    anti-diagonal WAVEFRONT. Cell (row j, pixel i) depends on (j, i-1)
+    [left], (j-1, i) [up], and (j-1, i-1) [upleft], so every cell on the
+    diagonal d = i + j depends only on diagonals d-1 / d-2 and the whole
+    diagonal evaluates elementwise: O(rows + width) vectorized steps
+    instead of O(rows * width) sequential Python ones, the classic
+    systolic scheduling of a 2-D recurrence. int16 holds every
+    intermediate exactly (avg sum <= 510, Paeth's p in [-255, 510]), so
+    the result is byte-identical to the spec's sequential arithmetic;
+    the Average-vs-Paeth choice is a per-row elementwise select, letting
+    mixed runs share one wavefront."""
+    import numpy as np
+
+    k = r1 - r0 + 1
+    n = px.shape[1] // 3
+    raw_px = raw_a[r0 : r1 + 1, 1:].reshape(k, n, 3).astype(np.int16)
+    # padded state: cell (j, i) lives at X[j+1, i+1]; X[0, 1:] is the
+    # reconstructed row above the run (zeros at the image top, per spec),
+    # X[:, 0] is the spec's zero left/upleft border
+    X = np.empty((k + 1, n + 1, 3), dtype=np.int16)
+    X[0, 1:] = up_row.reshape(n, 3).astype(np.int16)
+    X[:, 0] = 0
+    is_avg = raw_a[r0 : r1 + 1, 0] == 3
+    for d in range(k + n - 1):
+        js = np.arange(max(0, d - n + 1), min(k - 1, d) + 1)
+        iis = d - js
+        a = X[js + 1, iis]  # left
+        b = X[js, iis + 1]  # up
+        c = X[js, iis]  # upleft
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        paeth = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        pred = np.where(is_avg[js][:, None], (a + b) >> 1, paeth)
+        X[js + 1, iis + 1] = (raw_px[js, iis] + pred) & 0xFF
+    px[r0 : r1 + 1] = X[1:, 1:].astype(np.uint8).reshape(k, n * 3)
 
 
 def decode_image(payload: bytes) -> dict:
