@@ -263,20 +263,59 @@ def _unfilter_avg_paeth_run(raw_a, px, r0: int, r1: int, up_row) -> None:
 def decode_image(payload: bytes) -> dict:
     """Real image decode. BMP (24-bit uncompressed) and PNG (8-bit RGB,
     non-interlaced) decode natively — pure-Python parsers over struct/zlib,
-    no codec library needed. Remaining formats (JPEG and exotic PNG
-    variants) require a codec absent from this container; the plumbing
-    around this function (schema, batching, partitioning) is
-    format-agnostic, so swapping in PIL.Image.open widens coverage without
-    touching it."""
-    if payload[:2] == b"BM":
-        return _parse_bmp(payload)
-    if payload.startswith(_PNG_SIG):
-        return _parse_png(payload)
-    raise NotImplementedError(
-        "only BMP and non-interlaced 8-bit RGB PNG decode without a codec "
-        "library in this environment; install PIL/ffmpeg and extend "
-        "decode_image for other formats"
-    )
+    no codec library needed. Anything else (JPEG, exotic PNG variants)
+    routes through the OPTIONAL Pillow hook below when that library is
+    importable (it is absent from this container but common on real
+    clusters); with no codec library the documented
+    NotImplementedError -> fake_decode fallback applies unchanged. The
+    plumbing around this function (schema, batching, partitioning) is
+    format-agnostic either way."""
+    err: Exception
+    try:
+        if payload[:2] == b"BM":
+            return _parse_bmp(payload)
+        if payload.startswith(_PNG_SIG):
+            return _parse_png(payload)
+        err = NotImplementedError(
+            "only BMP and non-interlaced 8-bit RGB PNG decode without a "
+            "codec library in this environment; install Pillow to widen "
+            "coverage (decode_image picks it up automatically)"
+        )
+    except ValueError as native_err:
+        # native parser rejected the payload (corrupt, or a variant it
+        # doesn't speak, e.g. interlaced PNG) — a codec library may still
+        # decode it
+        err = native_err
+    pil = _pil_decode(payload)
+    if pil is not None:
+        return pil
+    raise err
+
+
+def _pil_decode(payload: bytes) -> dict | None:
+    """Optional codec-library hook: decode via Pillow when it is
+    importable, returning the same contract dict as the native parsers
+    (RGB pixel bytes, top-down). Returns None when Pillow is unavailable
+    OR cannot decode the payload, so the caller's native error — and with
+    it the logged fake_decode fallback semantics — is preserved exactly
+    on containers without the library."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            rgb = im.convert("RGB")
+            return {
+                "width": rgb.width,
+                "height": rgb.height,
+                "mode": "RGB",
+                "pixels": rgb.tobytes(),
+            }
+    except Exception:
+        return None
 
 
 def fake_decode(payload: bytes) -> dict:

@@ -401,3 +401,57 @@ def test_keyframe_worker_matches_model():
     assert 2 not in got
     assert got == want
     assert got[3][2] == [0, 1], "the 0x00->0xff frame jump must be a keyframe"
+
+
+def test_pil_hook_widens_decode_when_library_present(monkeypatch):
+    """The optional Pillow hook: with the library importable, a payload no
+    native parser speaks (e.g. JPEG) decodes through it into the same
+    contract dict; with the library absent (this container's reality) the
+    documented NotImplementedError -> fake fallback is untouched. A fake
+    PIL module stands in for the real one, so both arms run here."""
+    import sys
+    import types
+
+    import pytest
+
+    from hhs_and_cms_data_pipeline_spark.operators import multimodal as mm
+
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"x" * 32
+
+    # absent (the container's reality): NotImplementedError as before
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(jpeg_magic)
+    assert mm._decode_or_fake(jpeg_magic)["decoded"] is False
+
+    class _FakeImg:
+        width, height = 4, 2
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def tobytes(self):
+            return bytes(range(4 * 2 * 3))
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: _FakeImg()
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    out = mm.decode_image(jpeg_magic)
+    assert (out["width"], out["height"], out["mode"]) == (4, 2, "RGB")
+    assert out["pixels"] == bytes(range(24))
+    assert mm._decode_or_fake(jpeg_magic)["decoded"] is True
+
+    # a payload the codec ALSO rejects still raises the native error
+    fake_image_mod.open = lambda fp: (_ for _ in ()).throw(OSError("bad"))
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(jpeg_magic)

@@ -1639,3 +1639,50 @@ def test_funnel_strict_order_and_ties(spark):
     r0 = funnel_report(empty).collect()[0]
     assert (r0.n_step1, r0.n_step2, r0.n_step3) == (0, 0, 0)
     assert r0.conv_1_to_2 is None and r0.conv_2_to_3 is None
+
+
+def test_lsh_degenerate_identical_corpus_bounded(spark):
+    """VERDICT r7 stretch: an all-identical corpus is LSH's worst case —
+    every document of a duplicate group lands in the SAME band bucket in
+    all 4 bands, so the bucket self-join degenerates to all-pairs within
+    the group (which is also the correct answer: every pair IS a true
+    duplicate). Pins that (a) candidate generation emits exactly C(n,2)
+    pairs per group — the 4 identical band buckets collapse, no
+    cross-band multiplication survives; (b) every pair verifies at
+    jaccard 1.0; (c) components give one cluster per group and groups
+    never merge — i.e. the blowup is bounded by duplicate-GROUP size,
+    never by corpus size."""
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_verified_pairs,
+        min_label_components,
+    )
+    from hhs_and_cms_data_pipeline_spark.operators.text import (
+        word_bigram_arrays,
+    )
+
+    n_a, n_b = 40, 10
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(n_a)]
+    rows += [
+        (100 + i, "pack my box with five dozen liquor jugs today")
+        for i in range(n_b)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cand = minhash_candidates(word_bigram_arrays(docs))
+    want_pairs = n_a * (n_a - 1) // 2 + n_b * (n_b - 1) // 2
+    assert cand.count() == want_pairs
+
+    verified = minhash_verified_pairs(docs).collect()
+    assert len(verified) == want_pairs
+    assert all(r["jaccard"] == 1.0 for r in verified)
+
+    comp = min_label_components(docs).collect()
+    labels = {}
+    for r in comp:
+        labels.setdefault(r[1], set()).add(r[0])
+    groups = sorted(map(frozenset, labels.values()), key=len)
+    assert groups == [
+        frozenset(range(100, 100 + n_b)),
+        frozenset(range(n_a)),
+    ]
