@@ -1455,3 +1455,114 @@ def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# C19 — hashed-feature linear quality model (fasttext-style inference).
+#
+# The production shape of learned quality filtering (CCNet/fasttext, DCLM):
+# a trained LINEAR model over hashed bag-of-ngram features, applied to every
+# document. Inference at 100 TB is exactly this plan: the model is a
+# dim-sized weight table BROADCAST to executors; feature extraction is
+# map-only per-row hashing (no vocabulary lookup, no shuffle); the only
+# exchange is the per-document score aggregation. Weights here are derived
+# deterministically from md5 so Spark and DuckDB materialize the identical
+# model (a real pipeline loads them from a training artifact instead — the
+# plan is unchanged); they are integer MILLI-weights so the per-document
+# sum is exact integer arithmetic (order-independent under any partitioning)
+# and the one terminal division is the only float op, bit-identical on both
+# engines.
+# --------------------------------------------------------------------------
+
+_LQ_BUCKETS = 256
+_LQ_W_RANGE = 2001  # w_milli in [-1000, 1000]
+
+
+def _lq_bucket(col: F.Column) -> F.Column:
+    """Feature -> weight-bucket id: first 8 md5 hex chars mod n_buckets
+    (the repo's cross-engine hex-to-int convention, see sketch.py)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % _LQ_BUCKETS
+
+
+def lq_weight_table(spark: SparkSession) -> DataFrame:
+    """The 'trained model': one milli-weight per hash bucket, derived from
+    md5 of the bucket id so both engines materialize the identical table.
+    Dim-sized (256 rows) — always broadcast by the consumer."""
+    seed = F.concat(F.lit("w:"), F.col("id").cast("string"))
+    return spark.range(_LQ_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("long")
+            % _LQ_W_RANGE
+            - 1000
+        ).alias("w_milli"),
+    )
+
+
+@register(
+    "curation_hashed_linear_score",
+    oracle=f"""
+    WITH uni AS (
+      SELECT DISTINCT doc_id, w AS feat FROM ({SQL_TOKS}) WHERE w <> ''),
+    big AS (SELECT doc_id, bg AS feat FROM ({SQL_BIGRAMS})),
+    feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+    wt AS (
+      SELECT bucket,
+             CAST(CAST('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)),
+                                      1, 8) AS UBIGINT) AS BIGINT)
+               % {_LQ_W_RANGE} - 1000 AS w_milli
+      FROM (SELECT unnest(range(0, {_LQ_BUCKETS})) AS bucket)),
+    fb AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(feat), 1, 8) AS UBIGINT) AS BIGINT)
+               % {_LQ_BUCKETS} AS bucket
+      FROM feats),
+    sc AS (
+      SELECT f.doc_id, COUNT(*) AS n_feats,
+             CAST(SUM(w.w_milli) AS BIGINT) AS s_milli
+      FROM fb f JOIN wt w USING (bucket) GROUP BY 1)
+    SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+           CAST(s_milli AS DOUBLE) / (1000.0 * n_feats) AS score,
+           CASE WHEN s_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM sc ORDER BY doc_id
+    """,
+    tags=("C19",),
+)
+def curation_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19: per-document score under a hashed-bag-of-ngrams linear model
+    (block comment above) — features are the distinct unigrams plus the
+    distinct word bigrams, each hashed to one of 256 weight buckets; the
+    document's score is the mean bucket weight and the keep/drop label is
+    its sign. Plan: map-only feature hashing, a BROADCAST join against the
+    dim-sized weight table, one doc-keyed aggregation — the exact
+    inference DAG a learned fasttext-style filter runs at corpus scale.
+    """
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    uni = (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens())).alias("feat"))
+        .filter(F.col("feat") != "")
+    )
+    big = word_bigrams(docs).select("doc_id", F.col("bg").alias("feat"))
+    # unigrams never contain a space, bigrams always do: the two feature
+    # sets are disjoint by construction, so unionAll introduces no dups
+    fb = uni.unionAll(big).select("doc_id", _lq_bucket(F.col("feat")).alias("bucket"))
+    scored = (
+        fb.join(F.broadcast(lq_weight_table(spark)), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w_milli").alias("s_milli"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        (
+            F.col("s_milli").cast("double")
+            / (F.lit(1000.0) * F.col("n_feats").cast("double"))
+        ).alias("score"),
+        F.when(F.col("s_milli") >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    ).orderBy("doc_id")
