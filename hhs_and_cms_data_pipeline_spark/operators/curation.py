@@ -29,7 +29,7 @@ from ..functions.exact import davg, sql_davg
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
-from .dedup import _SQL_CLUSTERS_CTES, min_label_components
+from .dedup import _SQL_CLUSTERS_CTES, emb_dot, min_label_components, sql_emb_dot
 from .text import (
     SQL_BIGRAMS,
     SQL_QC_RAW,
@@ -1566,3 +1566,97 @@ def curation_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("label"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# C20 — benchmark decontamination by EMBEDDING similarity.
+#
+# C8 (decontaminate_ngram_overlap) catches verbatim/near-verbatim test-set
+# leakage; paraphrased leakage needs the semantic twin: every corpus vector
+# scored against the full benchmark set by exact cosine, flagged when any
+# benchmark item is too close. The benchmark split here is deterministic
+# (vec_id % 23 == 0 plays the held-out set, ~4% of vectors) so both engines
+# derive it identically; a real pipeline substitutes the actual benchmark
+# embeddings — the plan is unchanged and is exactly the 100 TB shape:
+# benchmark sets are dim-sized, so the bench side BROADCASTS (with norms
+# precomputed), the corpus never shuffles for the scoring (the cross join
+# is map-side), and the only exchange is the per-vector max/count
+# aggregation, which AQE map-side-combines. Cosines use the repo's
+# sequential-fold dot (emb_dot / sql_emb_dot) and the same
+# dot/(sqrt*sqrt) dag as D5, so every score is bit-identical across
+# engines; MAX and the >= tau comparisons are exact selections over those
+# deterministic doubles.
+# --------------------------------------------------------------------------
+
+_DECON_MOD = 23
+_DECON_COS_TAU = 0.45  # same non-trivial threshold family as D5 on this data
+
+
+@register(
+    "curation_semantic_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+      SELECT vec_id AS bench_id, embedding,
+             {sql_emb_dot("embedding", "embedding")} AS n2
+      FROM embeddings WHERE vec_id % {_DECON_MOD} = 0),
+    corpus AS (
+      SELECT vec_id, embedding,
+             {sql_emb_dot("embedding", "embedding")} AS n2
+      FROM embeddings WHERE vec_id % {_DECON_MOD} <> 0),
+    scored AS (
+      SELECT c.vec_id,
+             {sql_emb_dot("c.embedding", "b.embedding")}
+               / (sqrt(c.n2) * sqrt(b.n2)) AS cosine
+      FROM corpus c CROSS JOIN bench b),
+    agg AS (
+      SELECT vec_id, MAX(cosine) AS max_cosine,
+             CAST(SUM(CASE WHEN cosine >= {_DECON_COS_TAU} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bench_hits
+      FROM scored GROUP BY 1)
+    SELECT vec_id, n_bench_hits, max_cosine,
+           CASE WHEN max_cosine >= {_DECON_COS_TAU}
+                THEN 'contaminated' ELSE 'clean' END AS status
+    FROM agg ORDER BY vec_id
+    """,
+    tags=("C20",),
+)
+def curation_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20: per-corpus-vector max cosine against the benchmark set, hit
+    count at tau = 0.45, and the contaminated/clean flag (block comment
+    above). Broadcast bench side with precomputed norms; map-side cross
+    scoring; one keyed aggregation."""
+    ensure_session_conf(spark)
+    from .dedup import emb_norm2
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with_n2 = emb.withColumn("n2", emb_norm2(F.col("embedding")))
+    bench = with_n2.filter(F.col("vec_id") % _DECON_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("be"),
+        F.col("n2").alias("bn2"),
+    )
+    corpus = with_n2.filter(F.col("vec_id") % _DECON_MOD != 0)
+    cosine = emb_dot(F.col("embedding"), F.col("be")) / (
+        F.sqrt("n2") * F.sqrt("bn2")
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id", cosine.alias("cosine")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max("cosine").alias("max_cosine"),
+            F.sum(
+                F.when(F.col("cosine") >= _DECON_COS_TAU, 1).otherwise(0)
+            ).cast("long").alias("n_bench_hits"),
+        )
+        .select(
+            "vec_id",
+            "n_bench_hits",
+            "max_cosine",
+            F.when(F.col("max_cosine") >= _DECON_COS_TAU, F.lit("contaminated"))
+            .otherwise(F.lit("clean"))
+            .alias("status"),
+        )
+        .orderBy("vec_id")
+    )
