@@ -440,3 +440,64 @@ def text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_index_incremental.__doc__ = (text_index_incremental.__doc__ or "").format(mod=_DELTA_MOD)
+
+
+# --------------------------------------------------------------------------
+# RET5 — proximity (slop) search: two terms within a position window.
+#
+# The relaxation between exact phrase match (RET2: consecutive positions)
+# and bag-of-words retrieval (RET3: positions ignored): a match is any
+# co-occurrence of the two query terms within `_PROX_SLOP` token positions,
+# in either order — Lucene's `"a b"~k` slop query. Same positional-index
+# plan shape as RET2: each join input is the token stream FILTERED to one
+# query term before any exchange (predicate reaches the scan), the join
+# keys on doc_id with the band predicate on positions, and per-doc
+# aggregation ranks by closest pair. Everything is exact integer
+# arithmetic — bit-deterministic on both engines.
+# --------------------------------------------------------------------------
+
+_PROX_TERMS = ("slow", "batch")
+_PROX_SLOP = 5
+_PROX_TOP = 20
+
+
+@register(
+    "text_proximity_search",
+    oracle=f"""
+    WITH toks AS ({SQL_POS_TOKS}),
+    a AS (SELECT doc_id, pos FROM toks WHERE w = '{_PROX_TERMS[0]}'),
+    b AS (SELECT doc_id, pos FROM toks WHERE w = '{_PROX_TERMS[1]}'),
+    m AS (
+      SELECT a.doc_id, ABS(b.pos - a.pos) AS gap
+      FROM a JOIN b ON b.doc_id = a.doc_id
+                   AND ABS(b.pos - a.pos) <= {_PROX_SLOP})
+    SELECT doc_id, COUNT(*) AS n_pairs, CAST(MIN(gap) AS BIGINT) AS min_gap
+    FROM m GROUP BY 1
+    ORDER BY min_gap, doc_id
+    LIMIT {_PROX_TOP}
+    """,
+    tags=("RET5",),
+)
+def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RET5: docs where the two query terms co-occur within 5 positions
+    (block comment above) — per doc the count of qualifying term pairs
+    and the tightest gap, closest-first."""
+    ensure_session_conf(spark)
+    toks = pos_tokens(spread(table(spark, sf_dir, "documents")))
+    a = toks.filter(F.col("w") == _PROX_TERMS[0]).select("doc_id", "pos")
+    b = toks.filter(F.col("w") == _PROX_TERMS[1]).select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb")
+    )
+    gap = F.abs(F.col("pb") - F.col("pos"))
+    m = a.join(
+        b, (F.col("db") == F.col("doc_id")) & (gap <= _PROX_SLOP)
+    ).select("doc_id", gap.alias("gap"))
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("gap").cast("long").alias("min_gap"),
+        )
+        .orderBy(F.asc("min_gap"), F.asc("doc_id"))
+        .limit(_PROX_TOP)
+    )
