@@ -1675,3 +1675,65 @@ def funnel_report(ev: DataFrame) -> DataFrame:
 xa14_funnel_conversion.__doc__ = (xa14_funnel_conversion.__doc__ or "").format(
     steps=" -> ".join(_FUNNEL_STEPS)
 )
+
+
+# --------------------------------------------------------------------------
+# XA15 — multi-granularity ROLLUP: (event_type, day) -> per-type subtotals
+# -> grand total in ONE pass, the OLAP cube slice every reporting layer
+# asks for. Spark plans rollup() as a single Expand + hash aggregation —
+# each input row is replicated once per grouping set BEFORE the exchange,
+# so map-side partials still apply and the shuffle carries pre-aggregated
+# (type, day / type, NULL / NULL, NULL) keys, not 3x the fact table.
+# Rolled-up positions are COALESCEd to explicit sentinels ('(all)' /
+# DATE 9999-12-31) so the output order is deterministic and the engines'
+# different NULL-ordering defaults can never skew the comparison; the
+# value sum routes through the exact-decimal path like every double
+# aggregate in the repo.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa15_rollup_totals",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, value
+      FROM events WHERE ts IS NOT NULL),
+    r AS (
+      SELECT event_type, d,
+             COUNT(*) AS n_events,
+             {sql_dsum("value")} AS sum_value
+      FROM ev
+      GROUP BY ROLLUP (event_type, d))
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(d, DATE '9999-12-31') AS d,
+           CAST(n_events AS BIGINT) AS n_events,
+           sum_value
+    FROM r
+    ORDER BY event_type, d
+    """,
+    tags=("XA15",),
+)
+def xa15_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA15: event counts and exact value sums at (type, day), per-type,
+    and grand-total granularity via one ROLLUP pass (block comment
+    above)."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", F.col("ts").cast("date").alias("d"), "value")
+    )
+    return (
+        ev.rollup("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("d"), F.lit("9999-12-31").cast("date")).alias("d"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value",
+        )
+        .orderBy("event_type", "d")
+    )
