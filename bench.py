@@ -78,6 +78,11 @@ def main() -> None:
         "mm_vad_segments",
         "stream_timer_sessions",
         "xt3_gapfill_interpolate",
+        # round-8 additions
+        "curation_hashed_linear_score",
+        "curation_semantic_decontaminate",
+        "text_proximity_search",
+        "xa15_rollup_totals",
     ]
     missing = [n for n in extended_names if n not in all_]
     if missing:

@@ -846,3 +846,38 @@ def test_link_prediction_hub_cap_not_binding_at_test_sf(spark):
         .collect()[0][0]
     )
     assert max_deg * 4 < _LP_HUB_CAP
+
+
+def test_hashed_linear_score_broadcasts_model(spark, specs):
+    plan = formatted_plan(specs["curation_hashed_linear_score"].builder(spark, SF_SMOKE))
+    # the weight table is the model: dim-sized, must broadcast — the
+    # corpus side must never shuffle for the lookup
+    assert count_broadcast_joins(plan) >= 1
+    # feature extraction reads only (doc_id, text)
+    assert scan_columns(plan, containing="text") <= {"doc_id", "text"}
+
+
+def test_semantic_decontaminate_broadcasts_bench(spark, specs):
+    plan = formatted_plan(specs["curation_semantic_decontaminate"].builder(spark, SF_SMOKE))
+    # benchmark embeddings broadcast; corpus scored map-side
+    assert "BroadcastNestedLoopJoin" in plan or count_broadcast_joins(plan) >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_proximity_search_filters_reach_scan(spark, specs):
+    plan = formatted_plan(specs["text_proximity_search"].builder(spark, SF_SMOKE))
+    # per-term predicates must apply before the positional join: the join
+    # moves only the two terms' postings, never the full token stream
+    assert plan.count("Filter") >= 2
+    assert scan_columns(plan, containing="text") <= {"doc_id", "text"}
+
+
+def test_rollup_totals_single_expand_agg(spark, specs):
+    plan = formatted_plan(specs["xa15_rollup_totals"].builder(spark, SF_SMOKE))
+    # one Expand operator feeding one hash aggregation — NOT three scans
+    # unioned (formatted explain prints each node twice, tree + detail,
+    # so count the "(n) <Node>" detail headers)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
