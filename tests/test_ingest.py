@@ -793,3 +793,60 @@ def test_time_travel_rejects_negative_steps(spark, tmp_path):
     write_parquet_atomic(spark.range(3), path)
     with pytest.raises(ValueError, match="steps_back"):
         read_published_version(spark, path, steps_back=-1)
+
+
+def test_stream_manifest_e2e_fresh_checkpoint_supersedes(spark, tmp_path):
+    """ADVICE r7 e2e: run a real writeStream through the manifest sink,
+    then run a SECOND query (fresh checkpoint) into the SAME target
+    without clearing it. Before the (queryId, batchId) keying, the second
+    run's batch 0 collided with the stale manifest's batch 0 and its data
+    silently vanished; now the new query supersedes the stale manifest
+    and readers see exactly the second run's rows."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sources.manifest_sink import (
+        MANIFEST_NAME,
+        manifest_files,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    target = str(tmp_path / "sink")
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    spark.range(5).select(F.col("id").alias("v")).write.parquet(src1)
+    spark.range(100, 103).select(F.col("id").alias("v")).write.parquet(src2)
+
+    def drain(src: str, ckpt: str) -> None:
+        q = (
+            spark.readStream.schema("v long")
+            .format("parquet")
+            .load(src)
+            .writeStream.format("manifest_jsonl")
+            .option("path", target)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(src1, "ckpt1")
+    first_parts = [os.path.basename(p) for p in manifest_files(target)]
+    got1 = sorted(
+        r.v for r in spark.read.schema("v long").json(manifest_files(target)).collect()
+    )
+    assert got1 == [0, 1, 2, 3, 4]
+    # second query, FRESH checkpoint, same (uncleared) target
+    drain(src2, "ckpt2")
+    got2 = sorted(
+        r.v for r in spark.read.schema("v long").json(manifest_files(target)).collect()
+    )
+    assert got2 == [100, 101, 102]  # not dropped, not mixed with run 1
+    manifest = json.load(open(os.path.join(target, MANIFEST_NAME)))
+    assert manifest.get("query_id")  # identity recorded
+    for stale in first_parts:
+        assert not os.path.exists(os.path.join(target, stale))
