@@ -1686,3 +1686,84 @@ def test_lsh_degenerate_identical_corpus_bounded(spark):
         frozenset(range(100, 100 + n_b)),
         frozenset(range(n_a)),
     ]
+
+
+def test_semantic_decontaminate_flags_planted_duplicate(spark, tmp_path):
+    """C20 semantic pin: plant a corpus vector IDENTICAL to a benchmark
+    vector (vec_id % 23 == 0 plays the benchmark) — it must flag
+    contaminated at max_cosine exactly 1.0 against that bench item, while
+    an orthogonal vector stays clean. Runs the production builder against
+    a synthetic embeddings table, so the whole plan (broadcast bench,
+    map-side scoring, keyed agg) is what's being pinned."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    dim = 8
+    bench_vec = [1.0] + [0.0] * (dim - 1)
+    dup_vec = list(bench_vec)
+    ortho_vec = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [
+        (23, bench_vec, 0),   # benchmark member (23 % 23 == 0)
+        (1, dup_vec, 0),      # planted duplicate -> contaminated at 1.0
+        (2, ortho_vec, 0),    # orthogonal -> clean, max_cosine 0.0
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(sf_dir + "/embeddings.parquet")
+    out = {
+        r["vec_id"]: r
+        for r in all_specs()["curation_semantic_decontaminate"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert set(out) == {1, 2}  # bench member itself is not scored
+    assert out[1]["status"] == "contaminated" and out[1]["max_cosine"] == 1.0
+    assert out[2]["status"] == "clean" and out[2]["max_cosine"] == 0.0
+
+
+def test_hashed_linear_score_semantics(spark, tmp_path):
+    """C19 semantic pin: identical documents score identically; a
+    document's score is the mean milli-weight of its hashed features /
+    1000 (so |score| <= 1); and the keep/drop label is exactly the score
+    sign. Derives the expected score from the weight-table DataFrame
+    itself, so the test breaks if feature extraction and model
+    application ever drift apart."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.operators.curation import (
+        _LQ_BUCKETS,
+        lq_weight_table,
+    )
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),  # identical twin
+        (3, "delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in all_specs()["curation_hashed_linear_score"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert set(out) == {1, 2, 3}
+    r1, r2, r3 = out[1], out[2], out[3]
+    assert (r1["n_feats"], r1["score"], r1["label"]) == (
+        r2["n_feats"], r2["score"], r2["label"],
+    )
+    # doc 1: features = 3 unigrams + 2 bigrams = 5
+    assert r1["n_feats"] == 5 and r3["n_feats"] == 3
+    for r in (r1, r3):
+        assert -1.0 <= r["score"] <= 1.0
+        assert r["label"] == ("keep" if r["score"] >= 0 else "drop")
+    # weight table is the model: 256 rows, milli-weights in [-1000, 1000]
+    wt = lq_weight_table(spark).collect()
+    assert len(wt) == _LQ_BUCKETS
+    assert all(-1000 <= w["w_milli"] <= 1000 for w in wt)
