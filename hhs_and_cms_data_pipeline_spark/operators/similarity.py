@@ -114,6 +114,39 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_query_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The _NPROBE cells nearest the standing query by L2 over the
+    per-label centroids — THE Spark twin of _SQL_IVF_CELL_CTES, shared by
+    SIM2's top-k, SIM18's radius search, and (through them) the recall
+    reports, so cell-selection semantics cannot drift between the ops."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("i0", "v")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        # DOUBLE first: davg's direct decimal cast of a raw FLOAT quantizes
+        # the double-extension digits while the oracle's VARCHAR hop parses
+        # the shortest FLOAT string — centroids then differ ~1e-7 relative
+        # (masked only while cell-ranking gaps are large). Double-widening
+        # is exact, and both engines then agree bitwise (see
+        # _SQL_IVF_CELL_CTES).
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = ex.groupBy("label", "i").agg(davg("v", "c", scale=18))
+    q = ex.filter(F.col("vec_id") == _QUERY_VEC_ID).select("i", F.col("v").alias("qv"))
+    diff = F.col("c") - F.col("qv").cast("double")
+    return (
+        cent.join(F.broadcast(q), "i")
+        .groupBy("label")
+        .agg(dsum(diff * diff, "d2", scale=24))
+        .orderBy("d2", "label")
+        .limit(_NPROBE)
+        .select("label")
+    )
+
+
 @register(
     "sim_ivf_topk",
     oracle=f"""
@@ -147,31 +180,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    ex = emb.select(
-        "vec_id", "label", F.posexplode(F.col("embedding")).alias("i0", "v")
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("i0") + 1).alias("i"),
-        # DOUBLE first: davg's direct decimal cast of a raw FLOAT quantizes
-        # the double-extension digits while the oracle's VARCHAR hop parses
-        # the shortest FLOAT string — centroids then differ ~1e-7 relative
-        # (masked only while cell-ranking gaps are large). Double-widening
-        # is exact, and both engines then agree bitwise (see
-        # _SQL_IVF_CELL_CTES).
-        F.col("v").cast("double").alias("v"),
-    )
-    cent = ex.groupBy("label", "i").agg(davg("v", "c", scale=18))
-    q = ex.filter(F.col("vec_id") == _QUERY_VEC_ID).select("i", F.col("v").alias("qv"))
-    diff = F.col("c") - F.col("qv").cast("double")
-    cell = (
-        cent.join(F.broadcast(q), "i")
-        .groupBy("label")
-        .agg(dsum(diff * diff, "d2", scale=24))
-        .orderBy("d2", "label")
-        .limit(_NPROBE)
-        .select("label")
-    )
+    cell = _ivf_query_cells(spark, sf_dir)
     q_full = (
         emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select(
@@ -2047,4 +2056,159 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("new_size"),
         )
         .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------------
+# SIM18/SIM19 — cosine RADIUS (range) search: all neighbors of the standing
+# query with cosine >= R, via the same nprobe=2 IVF cell restriction as
+# SIM2 — the "find everything similar enough" retrieval mode (dedup
+# candidate pull, near-duplicate audits) where top-k is the wrong contract
+# because the answer SIZE is data-dependent. Plan shape is identical to
+# SIM2 (cells broadcast, one filtered pass, no shuffle beyond the terminal
+# sort); the radius threshold compares the bit-deterministic cosine, so
+# the gate stays exact. SIM19 is the recall audit against the exact
+# radius set — same contract as SIM11: an approximate path without a
+# registered accuracy metric is the round-1-3 D6 failure mode.
+# --------------------------------------------------------------------------
+
+_RADIUS = 0.25  # non-trivial on the synthetic corpus: 12/14/43 exact
+# neighbors at sf0.001/0.01/0.1
+
+
+@register(
+    "sim_radius_search",
+    oracle=f"""
+    WITH {_SQL_IVF_CELL_CTES},
+    q AS ({_SQL_Q}),
+    norms AS ({SQL_EMB_NORMS}),
+    dots AS (
+      SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+      FROM embeddings e
+      JOIN cell ON e.label = cell.label
+      CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID})
+    SELECT d.vec_id,
+           d.dot / (sqrt(n.n2) * sqrt(qn.n2)) AS cosine
+    FROM dots d
+    JOIN norms n ON d.vec_id = n.vec_id
+    CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
+    WHERE d.dot / (sqrt(n.n2) * sqrt(qn.n2)) >= {_RADIUS}
+    ORDER BY cosine DESC, d.vec_id
+    """,
+    tags=("SIM18",),
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM18: every vector within cosine radius 0.25 of the query, probed
+    through the nprobe=2 IVF cells (block comment above)."""
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cells = _ivf_query_cells(spark, sf_dir)
+    q = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            emb_norm2(F.col("embedding")).alias("q_n2"),
+        )
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(cells), "label", "semi")
+        .crossJoin(F.broadcast(q))
+    )
+    cosine = emb_dot(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(emb_norm2(F.col("embedding"))) * F.sqrt(F.col("q_n2"))
+    )
+    return (
+        cand.select("vec_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _RADIUS)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+@register(
+    "sim_radius_recall_report",
+    oracle=f"""
+    WITH q AS ({_SQL_Q}),
+    norms AS ({SQL_EMB_NORMS}),
+    exact_dots AS (
+      SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}),
+    exact_set AS (
+      SELECT d.vec_id
+      FROM exact_dots d
+      JOIN norms n ON d.vec_id = n.vec_id
+      CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
+      WHERE d.dot / (sqrt(n.n2) * sqrt(qn.n2)) >= {_RADIUS}),
+    {_SQL_IVF_CELL_CTES},
+    ivf_dots AS (
+      SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+      FROM embeddings e
+      JOIN cell ON e.label = cell.label
+      CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}),
+    ivf_set AS (
+      SELECT d.vec_id
+      FROM ivf_dots d
+      JOIN norms n ON d.vec_id = n.vec_id
+      CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
+      WHERE d.dot / (sqrt(n.n2) * sqrt(qn.n2)) >= {_RADIUS})
+    SELECT (SELECT COUNT(*) FROM exact_set) AS n_exact,
+           (SELECT COUNT(*) FROM ivf_set) AS n_ivf,
+           (SELECT COUNT(*) FROM exact_set e
+             JOIN ivf_set i ON e.vec_id = i.vec_id) AS n_overlap,
+           CASE WHEN (SELECT COUNT(*) FROM exact_set) = 0 THEN 1.0
+                ELSE CAST((SELECT COUNT(*) FROM exact_set e
+                            JOIN ivf_set i ON e.vec_id = i.vec_id) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM exact_set) END AS radius_recall
+    """,
+    tags=("SIM19",),
+)
+def sim_radius_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM19: one-row radius-recall report — |probed radius set ∩ exact
+    radius set| / |exact| for the standing query and R = 0.25. The probed
+    set can only MISS (it is a subset of the exact set restricted to the
+    probed cells, never a superset with false positives — the cosine is
+    exact on every scored candidate), so recall is the single number that
+    decides whether nprobe/cell sizing is adequate for range queries."""
+    ensure_session_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            emb_norm2(F.col("embedding")).alias("q_n2"),
+        )
+    )
+    cosine = emb_dot(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(emb_norm2(F.col("embedding"))) * F.sqrt(F.col("q_n2"))
+    )
+    exact_ids = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _RADIUS)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    ivf_ids = (
+        sim_radius_search(spark, sf_dir)
+        .select(F.col("vec_id").alias("v2"))
+        .localCheckpoint(eager=False)
+    )
+    overlap = exact_ids.join(ivf_ids, exact_ids.vec_id == F.col("v2"))
+    n_exact = F.col("n_exact")
+    return (
+        exact_ids.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(ivf_ids.agg(F.count(F.lit(1)).alias("n_ivf")))
+        .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_overlap",
+            F.when(n_exact == 0, F.lit(1.0))
+            .otherwise(F.col("n_overlap").cast("double") / n_exact.cast("double"))
+            .alias("radius_recall"),
+        )
     )
