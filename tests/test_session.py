@@ -205,3 +205,60 @@ def test_partition_count_invariant_registry_wide(name, spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", good)
     assert skewed == baseline and len(baseline) > 0
+
+
+def test_concurrent_planning_sees_consistent_confs(spark):
+    """ADVICE r7: directed_edges_cached used to flip session-global AQE
+    around its artifact build, so anything planned concurrently was
+    planned with AQE off. Now the override lives on a cloned session.
+    This drives the graph artifact build CONCURRENTLY with other queries
+    on the same SparkSession from worker threads and asserts (a) every
+    query returns exactly its sequential-run result, and (b) the parent
+    session's AQE conf reads 'true' throughout — including while the
+    build is in flight."""
+    import threading
+
+    from hhs_and_cms_data_pipeline_spark.operators import graph
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    specs = all_specs()
+    names = [
+        "graph_pagerank",          # builds/uses the checkpointed artifact
+        "tpch_q1_pricing_summary",
+        "dedup_exact",
+        "r1_weekly_count_trend",
+        "sim_topk_bruteforce",
+        "xa15_rollup_totals",
+    ]
+    # force a rebuild so the AQE-off window actually opens during the test
+    graph._EDGE_CACHE.clear()
+    sequential = {
+        n: [tuple(r) for r in specs[n].builder(spark, SF_SMOKE).collect()]
+        for n in names
+    }
+    graph._EDGE_CACHE.clear()
+
+    results: dict[str, list] = {}
+    aqe_reads: list[str] = []
+    errors: list[BaseException] = []
+
+    def run(name: str) -> None:
+        try:
+            results[name] = [
+                tuple(r) for r in specs[name].builder(spark, SF_SMOKE).collect()
+            ]
+            aqe_reads.append(spark.conf.get("spark.sql.adaptive.enabled", "true"))
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(n,)) for n in names]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert set(results) == set(names)
+    for n in names:
+        assert results[n] == sequential[n], f"{n} diverged under concurrency"
+    assert all(v == "true" for v in aqe_reads), aqe_reads
