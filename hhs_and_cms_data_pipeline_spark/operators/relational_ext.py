@@ -1737,3 +1737,65 @@ def xa15_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# U4 — DEBOUNCE dedup: drop an event when it follows the previous event of
+# the same (user, event_type) by less than 10 minutes — the ingestion
+# throttle every clickstream pipeline runs against double-fires and retry
+# storms (distinct from ST6, which dedups exact redeliveries by key). The
+# rule is relative to the immediately PRECEDING event (pure LAG, one
+# window pass over the key-partitioned stream), so it is a single
+# exchange on the session key; ties within a timestamp are totally
+# ordered by event_id so both engines keep identical rows. Timestamps
+# compare as unix microseconds (exact integers) end to end.
+# --------------------------------------------------------------------------
+
+_DEBOUNCE_US = 600_000_000  # 10 minutes
+
+
+@register(
+    "u4_debounce_dedup",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL),
+    gapped AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             ts_us - LAG(ts_us) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts_us, event_id) AS gap_us
+      FROM ev)
+    SELECT event_id, user_id, event_type, ts_us, gap_us
+    FROM gapped
+    WHERE gap_us IS NULL OR gap_us >= {_DEBOUNCE_US}
+    ORDER BY event_id
+    """,
+    tags=("U4",),
+)
+def u4_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: events surviving the 10-minute per-(user, type) debounce
+    (block comment above) — kept rows with the gap to their predecessor
+    (NULL for each key's first event)."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    gapped = ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+    return (
+        gapped.filter(
+            F.col("gap_us").isNull() | (F.col("gap_us") >= _DEBOUNCE_US)
+        )
+        .select("event_id", "user_id", "event_type", "ts_us", "gap_us")
+        .orderBy("event_id")
+    )
