@@ -148,7 +148,13 @@ class ManifestJsonlWriter(DataSourceWriter):
             # everything the prior manifest named (batch parts AND any
             # streaming batches) is superseded — delete after the atomic
             # rename below so readers never observe a manifest naming a
-            # missing file
+            # missing file. Residual race, stated plainly: a reader that
+            # loaded the OLD manifest before the rename and opens its
+            # files after the delete hits FileNotFound — the standard
+            # snapshot-GC race every table format has; production formats
+            # solve it with retention grace (cf. sinks.py
+            # write_parquet_atomic's gc_grace_seconds), which this demo
+            # sink trades for immediate space reclamation.
             superseded = _all_part_files(prior) if prior else []
             parts = new_parts
         else:
