@@ -83,6 +83,8 @@ def main() -> None:
         "curation_semantic_decontaminate",
         "text_proximity_search",
         "xa15_rollup_totals",
+        "sim_radius_search",
+        "u4_debounce_dedup",
     ]
     missing = [n for n in extended_names if n not in all_]
     if missing:
