@@ -1697,7 +1697,7 @@ xa14_funnel_conversion.__doc__ = (xa14_funnel_conversion.__doc__ or "").format(
     oracle=f"""
     WITH ev AS (
       SELECT event_type, CAST(ts AS DATE) AS d, value
-      FROM events WHERE ts IS NOT NULL),
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
     r AS (
       SELECT event_type, d,
              COUNT(*) AS n_events,
@@ -1718,9 +1718,13 @@ def xa15_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     and grand-total granularity via one ROLLUP pass (block comment
     above)."""
     ensure_session_conf(spark)
+    # event_type NOT NULL is load-bearing for the sentinel scheme: a
+    # natural NULL group would COALESCE to the same '(all)' marker as the
+    # rollup subtotal rows and alias them (no NULLs exist in the testdata;
+    # the filter pins the semantics for data where they do)
     ev = (
         table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
         .select("event_type", F.col("ts").cast("date").alias("d"), "value")
     )
     return (
