@@ -73,8 +73,17 @@ class GeoJsonFeaturesReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         return [_UrlPartition(u) for u in self._urls]
 
-    def read(self, partition: _UrlPartition) -> Iterator[tuple]:
+    def read(self, partition: _UrlPartition) -> Iterator:
+        """Yield ONE `pyarrow.RecordBatch` per document (Spark 4's Python
+        Data Source `read()` accepts Arrow batches): the parsed features
+        are assembled into columnar arrays once and cross the
+        Python->JVM boundary Arrow-batched instead of per-feature tuples.
+        A FeatureCollection is one JSON document (module docstring), so
+        document == batch is the natural granularity."""
+        import pyarrow as pa
+
         doc = _fetch_json(partition.url)
+        ids, names, types, coords_col = [], [], [], []
         for feat in doc.get("features", []):
             geom = feat.get("geometry") or {}
             coords = geom.get("coordinates")
@@ -87,13 +96,25 @@ class GeoJsonFeaturesReader(DataSourceReader):
                     "a Polygon — extend the source before widening the schema"
                 )
             props = feat.get("properties") or {}
-            yield (
-                feat.get("id"),
-                props.get("name"),
-                geom.get("type"),
-                coords,
-                partition.url,
-            )
+            # GeoJSON ids may be numeric; the declared schema says string
+            fid, fname = feat.get("id"), props.get("name")
+            ids.append(None if fid is None else str(fid))
+            names.append(None if fname is None else str(fname))
+            types.append(geom.get("type"))
+            coords_col.append(coords)
+        n = len(ids)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.string()),
+                pa.array(names, pa.string()),
+                pa.array(types, pa.string()),
+                # explicit type: GeoJSON vertices may mix ints and floats;
+                # the declared schema says array<array<array<double>>>
+                pa.array(coords_col, pa.list_(pa.list_(pa.list_(pa.float64())))),
+                pa.repeat(pa.scalar(partition.url, pa.string()), n),
+            ],
+            names=["state_id", "state_name", "geom_type", "coordinates", "source_url"],
+        )
 
 
 class GeoJsonFeaturesDataSource(DataSource):

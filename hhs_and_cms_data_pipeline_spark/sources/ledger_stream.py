@@ -48,16 +48,31 @@ def _ledger_files(path: str) -> list[str]:
     )
 
 
-def _read_ledger_file(path: str, name: str, seq: int) -> Iterator[tuple]:
+def _read_ledger_file(path: str, name: str, seq: int) -> Iterator:
+    """Yield `pyarrow.RecordBatch`es (Spark 4's Python Data Source `read()`
+    accepts Arrow batches directly) — the whole parquet -> Arrow -> Spark
+    trip stays columnar; no per-row Python tuples are ever materialized.
+    Batches stream one row group at a time (`iter_batches`), so a large
+    ledger file never sits fully materialized in the task's memory."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(
-        os.path.join(path, name),
-        columns=["event_id", "user_id", "event_type", "value"],
-    )
-    for eid, uid, et, val in zip(*(tbl.column(c).to_pylist() for c in
-                                   ("event_id", "user_id", "event_type", "value"))):
-        yield (seq, eid, uid, et, val)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    pf = pq.ParquetFile(os.path.join(path, name))
+    for batch in pf.iter_batches(columns=cols):
+        # prepend the provenance position; cast defensively so the batch
+        # schema always equals EVENT_LEDGER_DDL no matter how the staging
+        # writer typed the columns (Spark rejects mismatched Arrow schemas)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.repeat(pa.scalar(seq, pa.int32()), batch.num_rows),
+                batch.column("event_id").cast(pa.int64()),
+                batch.column("user_id").cast(pa.int64()),
+                batch.column("event_type").cast(pa.string()),
+                batch.column("value").cast(pa.float64()),
+            ],
+            names=["file_seq", *cols],
+        )
 
 
 class _FilePartition(InputPartition):
@@ -77,7 +92,7 @@ class EventLedgerBatchReader(DataSourceReader):
             for i, n in enumerate(_ledger_files(self._path))
         ]
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition) -> Iterator:
         return _read_ledger_file(partition.path, partition.name, partition.seq)
 
 
@@ -105,7 +120,7 @@ class EventLedgerStreamReader(DataSourceStreamReader):
             for i in range(int(start["idx"]), int(end["idx"]))
         ]
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition) -> Iterator:
         return _read_ledger_file(partition.path, partition.name, partition.seq)
 
     def commit(self, end: dict) -> None:

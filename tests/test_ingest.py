@@ -383,6 +383,21 @@ def test_geojson_datasource_fanout_and_loud_failures(spark, tmp_path):
     assert by_url["S00"].endswith("a.geojson")
     assert by_url["S04"].endswith("b.geojson")
 
+    # the read path is ARROW-BATCHED (r8 VERDICT ask): read() yields one
+    # pyarrow.RecordBatch per document, never per-feature Python tuples
+    import pyarrow as pa
+
+    from hhs_and_cms_data_pipeline_spark.sources.geojson_datasource import (
+        GeoJsonFeaturesReader,
+        _UrlPartition,
+    )
+
+    batches = list(
+        GeoJsonFeaturesReader([f"file://{a}"]).read(_UrlPartition(f"file://{a}"))
+    )
+    assert batches and all(isinstance(x, pa.RecordBatch) for x in batches)
+    assert sum(x.num_rows for x in batches) == 3
+
     bad_json = tmp_path / "error_page.html"
     bad_json.write_text("<html>503 Service Unavailable</html>")
     with pytest.raises((PythonException, Py4JJavaError), match="non-JSON"):
