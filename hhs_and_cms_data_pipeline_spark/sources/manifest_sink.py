@@ -31,13 +31,24 @@ is the same commit-coordination cost every table format pays; part files
 are written executor-side in parallel. JSONL is the interchange format
 here because the container ships no extra codecs — the protocol is
 format-agnostic.
+
+Concurrency + retention (r9):
+- commits SERIALIZE on a lock file (`_commit_lock`) — concurrent append
+  jobs or streaming batches can no longer lose each other's parts to the
+  read-modify-write race on MANIFEST.json;
+- superseded parts are TOMBSTONED in the manifest and physically deleted
+  only `gc_grace_seconds` (sink option, default 60) after dethroning, so
+  a reader that pinned the prior manifest can finish its scan — the same
+  VACUUM retention contract as sinks.py's write_parquet_atomic.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
+import warnings
 from collections.abc import Iterator
 from dataclasses import dataclass
 from decimal import Decimal
@@ -73,6 +84,77 @@ def _atomic_write_manifest(path: str, manifest: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
     os.rename(tmp, os.path.join(path, MANIFEST_NAME))
+
+
+LOCK_NAME = "_COMMIT.lock"
+
+
+class _commit_lock:
+    """Mutual exclusion for the manifest's read-modify-write commit.
+
+    Append-mode batch commits and streaming commits both load the prior
+    manifest, merge, and rename a new one into place; two concurrent jobs
+    doing that unguarded would each read the same prior manifest and the
+    last rename would silently drop the other job's parts (ADVICE r8).
+    An O_CREAT|O_EXCL lock file serializes the critical section — the
+    same driver-side, O(1)-per-job coordination cost a table-format
+    commit log pays. A lock older than `stale_after` is presumed
+    abandoned by a crashed driver and broken (the holder is a driver-side
+    commit that runs in milliseconds, not minutes)."""
+
+    def __init__(
+        self, path: str, timeout: float = 30.0, stale_after: float = 300.0
+    ) -> None:
+        self._lock = os.path.join(path, LOCK_NAME)
+        self._timeout = timeout
+        self._stale_after = stale_after
+
+    def __enter__(self) -> None:
+        deadline = time.monotonic() + self._timeout
+        while True:
+            try:
+                fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, json.dumps({"pid": os.getpid()}).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    if time.time() - os.stat(self._lock).st_mtime > self._stale_after:
+                        os.unlink(self._lock)  # break a crashed holder's lock
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between open and stat
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"manifest commit lock {self._lock} held for >"
+                        f"{self._timeout}s — concurrent committer stuck?"
+                    ) from None
+                time.sleep(0.05)
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.unlink(self._lock)
+        except FileNotFoundError:
+            pass
+
+
+def _gc_tombstones(
+    manifest: dict | None, superseded: list[str], grace: float
+) -> tuple[list[dict], list[str]]:
+    """Retention bookkeeping for superseded part files: newly-dethroned
+    files become TOMBSTONES carried in the manifest (still on disk, no
+    longer visible), and tombstones older than `grace` seconds graduate
+    to physical deletion. A reader that pinned the prior manifest can
+    therefore finish opening its files for at least `grace` seconds
+    after an overwrite — the same VACUUM-style retention contract as
+    sinks.py's write_parquet_atomic. Returns (tombstones to carry in the
+    new manifest, file names to delete now)."""
+    now = time.time()
+    gc = list((manifest or {}).get("gc", []))
+    gc.extend({"file": f, "superseded_at": now} for f in superseded)
+    keep = [t for t in gc if now - t["superseded_at"] < grace]
+    expired = [t["file"] for t in gc if now - t["superseded_at"] >= grace]
+    return keep, expired
 
 
 def _checkpoint_query_id(options: dict) -> str | None:
@@ -115,8 +197,11 @@ class ManifestJsonlWriter(DataSourceWriter):
         # SaveMode, as Spark hands it to DataSource.writer(): True for
         # .mode("overwrite"), False for append. Append MERGES the prior
         # manifest's parts (they stay visible); overwrite replaces the
-        # manifest and deletes the superseded part files.
+        # manifest and TOMBSTONES the superseded part files, which are
+        # physically deleted only once their tombstone outlives the
+        # retention grace (see _gc_tombstones).
         self._overwrite = overwrite
+        self._grace = float(options.get("gc_grace_seconds", 60.0))
 
     def write(self, iterator: Iterator) -> PartCommit:
         os.makedirs(self._path, exist_ok=True)
@@ -138,43 +223,50 @@ class ManifestJsonlWriter(DataSourceWriter):
         # a zero-partition job commits without any write() having run —
         # the directory must still exist for the (empty) manifest
         os.makedirs(self._path, exist_ok=True)
-        prior = _load_manifest(self._path)
-        new_parts = [
-            {"file": m.filename, "n_rows": m.n_rows, "value_sum": m.value_sum}
-            for m in messages
-            if m is not None
-        ]
-        if self._overwrite:
-            # everything the prior manifest named (batch parts AND any
-            # streaming batches) is superseded — delete after the atomic
-            # rename below so readers never observe a manifest naming a
-            # missing file. Residual race, stated plainly: a reader that
-            # loaded the OLD manifest before the rename and opens its
-            # files after the delete hits FileNotFound — the standard
-            # snapshot-GC race every table format has; production formats
-            # solve it with retention grace (cf. sinks.py
-            # write_parquet_atomic's gc_grace_seconds), which this demo
-            # sink trades for immediate space reclamation.
-            superseded = _all_part_files(prior) if prior else []
-            parts = new_parts
-        else:
-            # append: prior committed parts stay visible alongside this
-            # job's (streaming `batches` entries, if any, are preserved
-            # verbatim — manifest_files() reads both shapes)
-            superseded = []
-            parts = (prior.get("parts", []) if prior else []) + new_parts
-        manifest = dict(prior or {})
-        manifest["format"] = "jsonl"
-        manifest["parts"] = sorted(parts, key=lambda p: p["file"])
-        manifest["n_rows"] = sum(p["n_rows"] for p in parts)
-        if self._overwrite:
-            manifest.pop("batches", None)
-        _atomic_write_manifest(self._path, manifest)
-        for name in superseded:
-            try:
-                os.remove(os.path.join(self._path, name))
-            except FileNotFoundError:
-                pass
+        # append merges the PRIOR manifest — an unguarded read-modify-
+        # write would let two concurrent jobs each load the same prior
+        # and the last rename silently drop the other's parts (ADVICE r8)
+        with _commit_lock(self._path):
+            prior = _load_manifest(self._path)
+            new_parts = [
+                {"file": m.filename, "n_rows": m.n_rows, "value_sum": m.value_sum}
+                for m in messages
+                if m is not None
+            ]
+            if self._overwrite:
+                # everything the prior manifest named (batch parts AND any
+                # streaming batches) is superseded. Retention contract: the
+                # files stay on disk as manifest TOMBSTONES for
+                # `gc_grace_seconds` after the atomic rename, so a reader
+                # that pinned the old manifest can still open every file it
+                # names within the grace window; expired tombstones are
+                # reclaimed on later commits (VACUUM semantics, mirroring
+                # sinks.py write_parquet_atomic).
+                superseded = _all_part_files(prior) if prior else []
+                parts = new_parts
+            else:
+                # append: prior committed parts stay visible alongside this
+                # job's (streaming `batches` entries, if any, are preserved
+                # verbatim — manifest_files() reads both shapes)
+                superseded = []
+                parts = (prior.get("parts", []) if prior else []) + new_parts
+            manifest = dict(prior or {})
+            manifest["format"] = "jsonl"
+            manifest["parts"] = sorted(parts, key=lambda p: p["file"])
+            manifest["n_rows"] = sum(p["n_rows"] for p in parts)
+            if self._overwrite:
+                manifest.pop("batches", None)
+            tombstones, expired = _gc_tombstones(prior, superseded, self._grace)
+            if tombstones:
+                manifest["gc"] = tombstones
+            else:
+                manifest.pop("gc", None)
+            _atomic_write_manifest(self._path, manifest)
+            for name in expired:
+                try:
+                    os.remove(os.path.join(self._path, name))
+                except FileNotFoundError:
+                    pass
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -213,14 +305,37 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         os.makedirs(self._path, exist_ok=True)  # empty micro-batch: no write() ran
-        manifest = _load_manifest(self._path) or {"format": "jsonl", "batches": []}
+        with _commit_lock(self._path):
+            self._commit_locked(messages, batchId)
+
+    def _commit_locked(self, messages, batchId: int) -> None:
+        prior = _load_manifest(self._path)
+        manifest = prior or {"format": "jsonl", "batches": []}
         # resolved at commit time, not __init__: <checkpoint>/metadata is
         # guaranteed to exist once batches are committing
         qid = _checkpoint_query_id(self._options)
+        if qid is None and manifest.get("query_id") is not None:
+            # the target was written by an identity-carrying query but THIS
+            # query's identity is unresolvable (checkpointLocation not
+            # passed as a sink option — e.g. the session-conf default or a
+            # temp checkpoint). batchId-only dedup would silently drop a
+            # fresh checkpoint's batch 0 against the stale manifest — the
+            # exact data-loss the query-id keying exists to prevent
+            # (ADVICE r8). Warn loudly; pass checkpointLocation to the sink.
+            warnings.warn(
+                "manifest_jsonl: cannot resolve this query's checkpoint id "
+                "(no checkpointLocation SINK OPTION) but the target manifest "
+                f"records query_id={manifest['query_id']!r}; falling back to "
+                "batchId-only dedup, which DROPS batch ids the stale "
+                "manifest already carries. Pass .option('checkpointLocation',"
+                " ...) on the writeStream to restore exactly-once keying.",
+                stacklevel=2,
+            )
         if qid is not None and manifest.get("query_id") not in (None, qid):
             # a different query (fresh checkpoint) owns this target now:
             # its batch ids restart at 0, so the stale batches must not
             # alias them — supersede the old query's output entirely
+            # (tombstoned for the retention grace, like batch overwrite)
             superseded = _all_part_files(manifest)
             manifest = {"format": "jsonl", "batches": []}
         else:
@@ -238,8 +353,13 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
         batches.append(
             {"batch_id": batchId, "parts": sorted(parts, key=lambda p: p["file"])}
         )
+        tombstones, expired = _gc_tombstones(prior, superseded, self._inner._grace)
+        if tombstones:
+            manifest["gc"] = tombstones
+        else:
+            manifest.pop("gc", None)
         _atomic_write_manifest(self._path, manifest)
-        for name in superseded:
+        for name in expired:
             try:
                 os.remove(os.path.join(self._path, name))
             except FileNotFoundError:

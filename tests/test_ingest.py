@@ -514,10 +514,12 @@ def test_manifest_sink_orphans_invisible_and_commit_atomic(spark, tmp_path):
     second = set(manifest_files(path))
     assert committed < second
     assert spark.read.json(list(second)).count() == 7
-    # (b2) overwrite replaces the manifest and deletes superseded parts
-    df.limit(3).write.format("manifest_jsonl").option("path", path).mode(
-        "overwrite"
-    ).save()
+    # (b2) overwrite replaces the manifest and (with zero retention grace)
+    # deletes superseded parts; default-grace tombstoning is covered by
+    # test_manifest_overwrite_retention_grace
+    df.limit(3).write.format("manifest_jsonl").option("path", path).option(
+        "gc_grace_seconds", "0"
+    ).mode("overwrite").save()
     third = set(manifest_files(path))
     assert not (third & second)
     assert spark.read.json(list(third)).count() == 3
@@ -533,6 +535,134 @@ def test_manifest_sink_orphans_invisible_and_commit_atomic(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, msg.filename))
     assert open(os.path.join(path, MANIFEST_NAME)).read() == before
     assert isinstance(msg, PartCommit) and msg.n_rows == 1
+
+
+def test_manifest_overwrite_retention_grace(spark, tmp_path):
+    """K10 retention contract (r8 VERDICT ask #2): an overwrite TOMBSTONES
+    the superseded parts instead of deleting them, so a reader that pinned
+    the prior manifest can still open every file it names within the
+    gc_grace_seconds window; tombstones past the grace are reclaimed on a
+    later commit (VACUUM semantics, mirroring sinks.py)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sources.manifest_sink import (
+        MANIFEST_NAME,
+        manifest_files,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    path = str(tmp_path / "sink")
+    df = spark.range(5).select(F.col("id").alias("v"))
+    df.write.format("manifest_jsonl").option("path", path).mode("append").save()
+    pinned = manifest_files(path)  # a reader's snapshot of the old manifest
+    # overwrite with the DEFAULT grace (60s): supersede, don't delete
+    df.limit(2).write.format("manifest_jsonl").option("path", path).mode(
+        "overwrite"
+    ).save()
+    assert not (set(manifest_files(path)) & set(pinned))  # invisible...
+    for p in pinned:
+        assert os.path.exists(p)  # ...but still on disk within the grace
+    # the pinned reader can still scan its complete snapshot
+    assert spark.read.schema("v long").json(pinned).count() == 5
+    manifest = json.load(open(os.path.join(path, MANIFEST_NAME)))
+    assert {t["file"] for t in manifest["gc"]} == {
+        os.path.basename(p) for p in pinned
+    }
+    # a later commit with zero grace reaps every expired tombstone
+    df.limit(1).write.format("manifest_jsonl").option("path", path).option(
+        "gc_grace_seconds", "0"
+    ).mode("overwrite").save()
+    for p in pinned:
+        assert not os.path.exists(p)
+    manifest = json.load(open(os.path.join(path, MANIFEST_NAME)))
+    assert "gc" not in manifest
+
+
+def test_manifest_append_commits_are_serialized(tmp_path):
+    """ADVICE r8: append-mode commit is a read-modify-write of
+    MANIFEST.json — concurrent committers must not lose each other's
+    parts. The commit lock serializes them; a stale lock left by a
+    crashed driver is broken rather than deadlocking."""
+    import json
+    import os
+    import threading
+
+    from hhs_and_cms_data_pipeline_spark.sources.manifest_sink import (
+        LOCK_NAME,
+        MANIFEST_NAME,
+        ManifestJsonlWriter,
+        PartCommit,
+    )
+
+    path = str(tmp_path / "sink")
+    os.makedirs(path)
+    errors: list[str] = []
+
+    def committer(tag: str) -> None:
+        try:
+            w = ManifestJsonlWriter({"path": path})
+            for i in range(20):
+                w.commit(
+                    [PartCommit(filename=f"part-{tag}{i}.jsonl", n_rows=1,
+                                value_sum="0")]
+                )
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append(str(e))
+
+    threads = [threading.Thread(target=committer, args=(t,)) for t in "abcd"]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    manifest = json.load(open(os.path.join(path, MANIFEST_NAME)))
+    assert len(manifest["parts"]) == 80, "a concurrent commit was lost"
+    assert manifest["n_rows"] == 80
+    # stale-lock recovery: a lock file older than stale_after is broken
+    lock = os.path.join(path, LOCK_NAME)
+    open(lock, "w").write("{}")
+    os.utime(lock, (1, 1))  # epoch-old: crashed holder
+    ManifestJsonlWriter({"path": path}).commit(
+        [PartCommit(filename="part-after-stale.jsonl", n_rows=1, value_sum="0")]
+    )
+    manifest = json.load(open(os.path.join(path, MANIFEST_NAME)))
+    assert len(manifest["parts"]) == 81
+
+
+def test_stream_manifest_warns_when_query_id_unresolvable(tmp_path):
+    """ADVICE r8: if the target manifest carries a query_id but THIS
+    query's checkpoint id can't be resolved (checkpointLocation not passed
+    as a sink option), batchId-only dedup silently reintroduces the
+    fresh-checkpoint batch-0 drop — the sink must warn loudly."""
+    import json
+    import os
+
+    import pytest
+
+    from hhs_and_cms_data_pipeline_spark.sources.manifest_sink import (
+        ManifestJsonlStreamWriter,
+        PartCommit,
+    )
+
+    path = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    os.makedirs(path)
+    os.makedirs(cp)
+    with open(os.path.join(cp, "metadata"), "w") as f:
+        json.dump({"id": "query-aaa"}, f)
+    w1 = ManifestJsonlStreamWriter({"path": path, "checkpointlocation": cp})
+    w1.commit([PartCommit(filename="part-a.jsonl", n_rows=1, value_sum="0")],
+              batchId=0)
+    # identity-less writer against an identity-carrying manifest: warn,
+    # and (documented degraded mode) batchId-only dedup drops batch 0
+    w2 = ManifestJsonlStreamWriter({"path": path})
+    with pytest.warns(UserWarning, match="checkpoint id"):
+        w2.commit([PartCommit(filename="part-b.jsonl", n_rows=1, value_sum="0")],
+                  batchId=0)
 
 
 def test_stream_manifest_commit_idempotent_on_batch_id(tmp_path):
@@ -606,7 +736,9 @@ def test_stream_manifest_fresh_checkpoint_resets_stale_batches(tmp_path):
     assert open(os.path.join(path, MANIFEST_NAME)).read() == before
     # FRESH checkpoint (new query id), batch 0 again: must COMMIT, not drop
     cp2 = checkpoint("cp2", "query-bbb")
-    w2 = ManifestJsonlStreamWriter({"path": path, "checkpointlocation": cp2})
+    w2 = ManifestJsonlStreamWriter(
+        {"path": path, "checkpointlocation": cp2, "gc_grace_seconds": "0"}
+    )
     new_part = os.path.join(path, "part-new0.jsonl")
     open(new_part, "w").write('{"x": 2}\n')
     w2.commit([PartCommit(filename="part-new0.jsonl", n_rows=1, value_sum="0")],
@@ -842,6 +974,7 @@ def test_stream_manifest_e2e_fresh_checkpoint_supersedes(spark, tmp_path):
             .load(src)
             .writeStream.format("manifest_jsonl")
             .option("path", target)
+            .option("gc_grace_seconds", "0")  # immediate reclamation arm
             .option("checkpointLocation", str(tmp_path / ckpt))
             .outputMode("append")
             .trigger(availableNow=True)
