@@ -10,13 +10,11 @@ its DuckDB oracle at sf0.01 and compares bit-exactly — the same contract
 as tests/test_oracle_diff.py, packaged for quick ad-hoc checks of freshly
 touched queries without a pytest session.
 
-Comparison notes learned the hard way (mirrors tests/oracle_utils.py):
-- floats compare EXACTLY (check_exact) — the engine routes double
-  aggregates through decimal precisely so this holds;
-- date columns normalize to ISO strings first (Spark hands back
-  datetime.date objects, DuckDB datetime64 — same values, different
-  dtypes);
-- columns sort by name before compare, like the driver.
+Comparison is DELEGATED to tests/oracle_utils.compare_spark_duckdb — the
+same order-insensitive, bit-exact canonicalization the pytest gate uses —
+so the repo has exactly ONE comparison implementation (r8 VERDICT ask #3:
+the previous in-order pandas compare could false-fail, or luck-pass, a
+query whose two engines return rows in different orders).
 """
 
 from __future__ import annotations
@@ -37,18 +35,12 @@ DEFAULT_SAMPLE = [
     "u4_debounce_dedup",
 ]
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
 
 def main() -> int:
-    import duckdb
-    import pandas as pd
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
+    from tests.oracle_utils import compare_spark_duckdb, duckdb_connection
 
     sf_dir = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
     names = sys.argv[1:] or DEFAULT_SAMPLE
@@ -63,11 +55,7 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     print(f"{len(qs)} queries, {len(oracles)} oracles")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con = duckdb_connection(sf_dir)
 
     failed = []
     for name in names:
@@ -75,24 +63,13 @@ def main() -> int:
             print(f"{name}: NOT REGISTERED")
             failed.append(name)
             continue
-        sdf = qs[name](spark, sf_dir).toPandas()
-        odf = con.execute(oracles[name]).df()
-        cols = sorted(sdf.columns)
+        df = qs[name](spark, sf_dir)
         try:
-            assert sorted(odf.columns) == cols, (
-                list(sdf.columns), list(odf.columns))
-            a = sdf[cols].reset_index(drop=True)
-            b = odf[cols].reset_index(drop=True)
-            for c in cols:  # date/datetime dtype mismatch is cosmetic
-                if "date" in str(a[c].dtype) or "date" in str(b[c].dtype) or (
-                    len(a) and type(a[c].iloc[0]).__name__ == "date"
-                ):
-                    a[c] = a[c].astype(str).str[:10]
-                    b[c] = b[c].astype(str).str[:10]
-            pd.testing.assert_frame_equal(
-                a, b, check_dtype=False, check_exact=True
-            )
-            print(f"{name}: OK ({len(a)} rows)")
+            if name in oracles:
+                compare_spark_duckdb(df, con, oracles[name])
+                print(f"{name}: OK ({df.count()} rows)")
+            else:  # rows-only check, like the driver's weaker gate
+                print(f"{name}: OK rows-only ({df.count()} rows, no oracle)")
         except AssertionError as e:
             print(f"{name}: MISMATCH — {str(e)[:200]}")
             failed.append(name)

@@ -40,3 +40,31 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_comparator_is_order_insensitive(spark, con):
+    """The ONE comparison implementation (shared by this gate and
+    scripts/driver_check.py) must match rows order-insensitively: a query
+    the two engines return in different orders is still equal (r8 VERDICT
+    ask #3 — the old ad-hoc in-order compare could false-fail this)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(F.col("id").cast("long").alias("id"))
+    compare_spark_duckdb(
+        df, con,
+        "SELECT * FROM (VALUES (4),(3),(2),(1),(0)) t(id) ORDER BY id DESC",
+    )
+    with pytest.raises(AssertionError):
+        compare_spark_duckdb(
+            df, con, "SELECT * FROM (VALUES (4),(3),(2),(1),(9)) t(id)"
+        )
+
+
+def test_driver_check_delegates_to_shared_comparator():
+    """scripts/driver_check.py must not grow a second comparison
+    implementation again — it imports the pytest gate's comparator."""
+    import pathlib
+
+    src = pathlib.Path("scripts/driver_check.py").read_text()
+    assert "compare_spark_duckdb" in src
+    assert "assert_frame_equal" not in src
