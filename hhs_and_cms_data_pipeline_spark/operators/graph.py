@@ -124,8 +124,23 @@ def _rebind(df: DataFrame, session: SparkSession) -> DataFrame:
     """Re-bind a DataFrame's logical plan to another SparkSession sharing
     the same SparkContext. Used only around checkpointed artifacts, whose
     LogicalRDD plan carries no session state — just the RDD, schema, and
-    the physical partitioning the consumers rely on."""
-    jdf = session._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+    the physical partitioning the consumers rely on.
+
+    CLASSIC-ONLY (ADVICE r8): this reaches the JVM Dataset.ofRows through
+    py4j, which exists on PySpark 4.1 classic but not under Spark Connect
+    (no _jvm) and is private-API surface that can churn across upgrades —
+    hence the explicit capability check with a clear remediation instead
+    of an AttributeError from deep inside py4j."""
+    jvm = getattr(session, "_jvm", None)
+    if jvm is None or getattr(df, "_jdf", None) is None:
+        raise RuntimeError(
+            "graph edge-artifact session rebinding requires classic PySpark "
+            "(py4j JVM access); under Spark Connect build the artifact "
+            "without the cloned-session AQE-off window by setting "
+            "spark.sql.adaptive.enabled=false on the main session around "
+            "directed_edges_artifact()"
+        )
+    jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
         session._jsparkSession, df._jdf.logicalPlan()
     )
     return DataFrame(jdf, session)

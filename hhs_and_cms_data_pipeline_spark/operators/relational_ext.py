@@ -1727,8 +1727,43 @@ def xa15_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
         .select("event_type", F.col("ts").cast("date").alias("d"), "value")
     )
+    return _xa15_rollup(ev)
+
+
+def _xa15_rollup(ev: DataFrame) -> DataFrame:
+    """ROLLUP core over (event_type, d, value). The sentinel scheme is
+    guarded on BOTH flanks: natural NULLs are excluded by the caller's
+    filter, and a row whose natural value EQUALS a sentinel ('(all)' /
+    DATE 9999-12-31) fails the query loudly (ADVICE r8) — such a row
+    would alias subtotal/grand-total rows undetectably, and the DuckDB
+    oracle would compute the same aliasing, so the differential gate
+    could never catch it. The guard is a per-row branch inside
+    whole-stage codegen — no extra pass, no shuffle."""
+    guarded = ev.select(
+        F.when(
+            F.col("event_type") == F.lit("(all)"),
+            F.raise_error(
+                "XA15 sentinel collision: natural event_type '(all)' would "
+                "alias rollup subtotal rows — change the sentinel or "
+                "pre-escape the column"
+            ),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(
+            F.col("d") == F.lit("9999-12-31").cast("date"),
+            F.raise_error(
+                "XA15 sentinel collision: natural date 9999-12-31 would "
+                "alias rollup grand-total rows — change the sentinel or "
+                "pre-filter the column"
+            ).cast("date"),
+        )
+        .otherwise(F.col("d"))
+        .alias("d"),
+        "value",
+    )
     return (
-        ev.rollup("event_type", "d")
+        guarded.rollup("event_type", "d")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum("value", "sum_value"),

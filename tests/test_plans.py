@@ -881,3 +881,41 @@ def test_rollup_totals_single_expand_agg(spark, specs):
 
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_rollup_sentinel_collision_fails_loudly(spark, specs):
+    """ADVICE r8: a natural event_type '(all)' (or date 9999-12-31) would
+    alias the rollup's subtotal sentinels undetectably — BOTH engines
+    compute the same aliasing, so only a loud runtime guard can catch it."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import SparkRuntimeException
+
+    from hhs_and_cms_data_pipeline_spark.operators.relational_ext import (
+        _xa15_rollup,
+    )
+
+    ok = spark.range(3).select(
+        F.lit("click").alias("event_type"),
+        F.lit("2024-01-01").cast("date").alias("d"),
+        F.lit(1.0).alias("value"),
+    )
+    assert _xa15_rollup(ok).count() == 3  # (type,d) + subtotal + grand
+    bad_type = ok.union(
+        spark.range(1).select(
+            F.lit("(all)").alias("event_type"),
+            F.lit("2024-01-01").cast("date").alias("d"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    with pytest.raises(SparkRuntimeException, match="sentinel collision"):
+        _xa15_rollup(bad_type).count()
+    bad_date = ok.union(
+        spark.range(1).select(
+            F.lit("click").alias("event_type"),
+            F.lit("9999-12-31").cast("date").alias("d"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    with pytest.raises(SparkRuntimeException, match="sentinel collision"):
+        _xa15_rollup(bad_date).count()
