@@ -61,10 +61,6 @@ def main() -> None:
         "sk_hll_rollup",
         "stream_cms_heavy_hitters",
         "graph_triangle_counts",
-        # graph_link_prediction is intentionally NOT here (~30s at sf0.1:
-        # exact common-neighbor counting is Theta(sum deg^2) = ~130M wedge
-        # pairs on this dense graph); its per-round correctness cost is
-        # covered by the sf0.01 gate.
         "curation_dsir_select",
         "text_bm25_topk",
         "text_inverted_index",
@@ -85,6 +81,12 @@ def main() -> None:
         "xa15_rollup_totals",
         "sim_radius_search",
         "u4_debounce_dedup",
+        # round-9 addition: was excluded at ~33s; the packed-key cn-filtered
+        # top-k plan runs at the measured wedge-EXCHANGE floor (~16s at
+        # sf0.1 — exact common-neighbor counting is Theta(sum deg^2) = 148M
+        # wedges on this dense graph, and a bare repartition of those keys
+        # already costs 11-14s on this VM). Honest cost, no silent cap.
+        "graph_link_prediction",
     ]
     missing = [n for n in extended_names if n not in all_]
     if missing:

@@ -572,12 +572,30 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (4096) is far above every test SF's max degree (206 at sf0.01; asserted
 # non-binding by tests/test_plans.py) and binds only on true hubs at
 # corpus scale.
-# The wedge self-join is keyed on the center; hash-shuffle forced like
-# GRAPH1 (no stats on the checkpointed edge artifact).
+#
+# Execution (r9, measured at sf0.1 on local[32]): the wedge relation is
+# ~148M rows and its EXCHANGE is the floor — a bare repartition of the
+# packed pair keys costs 11-14s, so no exact-count plan beats ~14s here
+# (DuckDB's 4.5s on the same SQL is a single-process radix agg with no
+# row serialization; numpy mapInPandas variants were prototyped and
+# measured SLOWER under this container's memory-reclaim behavior).
+# Within that floor the r9 plan cuts the old 33s to ~17s by:
+#   - aggregating on ONE packed int64 key (u<<32|v) instead of a two-
+#     column key (ids checked to fit int32 — raise_error otherwise);
+#   - filtering cn >= _LP_MIN_CN straight out of the aggregation, so the
+#     anti-join and degree joins see ~9M rows, not 101M;
+#   - broadcasting the degree table (node-sized) for the two lookups;
+#   - an EXACTNESS GATE: with the filter, every excluded pair has
+#     cn <= _LP_MIN_CN-1, so the top-k is provably exact iff k survivors
+#     exist and the k-th best cn STRICTLY exceeds _LP_MIN_CN-1 (observed
+#     k-th best: 9 / 24 / 69 at sf0.1 / 0.01 / 0.001). A graph too sparse
+#     to pass the gate FALLS BACK to the unfiltered aggregation
+#     (_lp_full_topk) — slower, always exact.
 # --------------------------------------------------------------------------
 
 _LP_HUB_CAP = 4096
 _LP_TOP_K = 20
+_LP_MIN_CN = 3  # survivor filter; gate proves exactness, else fallback
 
 
 @register(
@@ -616,19 +634,93 @@ _LP_TOP_K = 20
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRAPH6: top-20 missing edges by common-neighbor count (block comment
-    above), with degrees and neighborhood Jaccard riding along."""
+    above), with degrees and neighborhood Jaccard riding along. Runs the
+    cn-filtered top-k plan; falls back to the full wedge aggregation when
+    the exactness gate cannot certify the fast path."""
     ensure_session_conf(spark)
     und = cooccurrence_edges_cached(spark, sf_dir)
-    deg = _degrees(und)
+    # node-sized; read three times (hub cap + the two degree lookups)
+    deg = _degrees(und).localCheckpoint(eager=False)
+    capped = deg.filter(F.col("deg") <= _LP_HUB_CAP).select(F.col("n").alias("c"))
+    rows = _lp_fast_plan(und, deg, capped).collect()
+    # ---- exactness gate ---------------------------------------------------
+    # every pair the cn-filter excluded has cn <= _LP_MIN_CN-1, so the
+    # top-k is provably exact iff k survivors exist and the k-th best
+    # STRICTLY beats that bound (ties impossible)
+    if len(rows) == _LP_TOP_K and rows[-1]["cn"] > _LP_MIN_CN - 1:
+        schema = ("u long, v long, cn long, deg_u long, deg_v long, "
+                  "nbr_jaccard double")
+        return spark.createDataFrame(rows, schema=schema)
+    return _lp_full_topk(und, deg, capped)
+
+
+def _lp_fast_plan(und: DataFrame, deg: DataFrame, capped: DataFrame) -> DataFrame:
+    """The cn-filtered top-k plan (lazy; plan tests audit its shape)."""
+    adj = (
+        und.select(F.col("u").alias("c"), F.col("v").alias("n"))
+        .unionAll(und.select(F.col("v").alias("c"), F.col("u").alias("n")))
+        .join(F.broadcast(capped), "c")
+        .localCheckpoint(eager=False)
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    # one packed int64 key (ids guarded to int32) keeps the aggregation's
+    # exchange rows minimal; the guard stays in codegen
+    guard_n = F.when(
+        (F.col("a.n") < 0) | (F.col("a.n") >= F.lit(2**31))
+        | (F.col("b.n") < 0) | (F.col("b.n") >= F.lit(2**31)),
+        F.raise_error("graph_link_prediction packs node ids into one "
+                      "int64; ids must be non-negative and fit int32"),
+    )
+    wedge_p = a.join(
+        b.hint("shuffle_hash"),
+        (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n")),
+    ).select(
+        F.coalesce(
+            guard_n.cast("long"),
+            F.shiftleft(F.col("a.n"), 32) + F.col("b.n"),
+        ).alias("p")
+    )
+    counts = (
+        wedge_p.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= _LP_MIN_CN)  # exactness gate below
+        .select(
+            F.shiftright(F.col("p"), 32).alias("u"),
+            F.col("p").bitwiseAND(F.lit(0xFFFFFFFF)).alias("v"),
+            "cn",
+        )
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        counts.join(und, ["u", "v"], "anti")  # non-adjacent pairs only
+        .join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("long").alias("cn"),
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast("double")
+            ).alias("nbr_jaccard"),
+        )
+        .orderBy(F.desc("cn"), F.asc("u"), F.asc("v"))
+        .limit(_LP_TOP_K)
+    )
+
+
+def _lp_full_topk(und: DataFrame, deg: DataFrame, capped: DataFrame) -> DataFrame:
+    """Fallback: the always-exact full wedge aggregation (exchanges the
+    whole wedge relation — correct on any graph shape, slower)."""
     adj = (
         und.select(F.col("u").alias("c"), F.col("v").alias("n"))
         .unionAll(und.select(F.col("v").alias("c"), F.col("u").alias("n")))
         # adjacency is read twice by the self-join below; materialize the
         # union + the hub-cap join once
-        .join(
-            deg.filter(F.col("deg") <= _LP_HUB_CAP).select(F.col("n").alias("c")),
-            "c",
-        )
+        .join(F.broadcast(capped), "c")
         .localCheckpoint(eager=False)
     )
     a, b = adj.alias("a"), adj.alias("b")

@@ -807,12 +807,52 @@ def test_dsir_model_broadcasts_and_selects_via_topk(spark, specs):
 
 
 def test_link_prediction_wedge_join_never_broadcasts_adjacency(spark, specs):
-    plan = formatted_plan(specs["graph_link_prediction"].builder(spark, SF_SMOKE))
+    # audit the LAZY fast plan (the registered builder collects through it
+    # and re-wraps the gated rows, so its returned DF is a local relation)
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.operators.graph import (
+        _LP_HUB_CAP,
+        _degrees,
+        _lp_fast_plan,
+        cooccurrence_edges_cached,
+    )
+
+    und = cooccurrence_edges_cached(spark, SF_SMOKE)
+    deg = _degrees(und).localCheckpoint(eager=False)
+    capped = deg.filter(F.col("deg") <= _LP_HUB_CAP).select(F.col("n").alias("c"))
+    plan = formatted_plan(_lp_fast_plan(und, deg, capped))
     # the adjacency self-join is EDGE x EDGE: stats-less checkpoint must
     # not be auto-broadcast (same failure mode as the triangle wedge join)
     assert "ShuffledHashJoin" in plan
     # top-20 missing edges via per-partition heaps
     assert "TakeOrderedAndProject" in plan
+    # the cn filter rides INSIDE the aggregation's output, before the
+    # anti-join/degree joins — never a post-join filter of 100M pairs
+    assert plan.index("ShuffledHashJoin") > plan.index("HashAggregate")
+
+
+def test_link_prediction_gate_falls_back_when_filter_could_bite(spark, specs):
+    """The cn >= _LP_MIN_CN filter is only exact when 20 survivors exist
+    and the 20th strictly beats _LP_MIN_CN-1; the registered builder must
+    agree with the UNFILTERED plan at the test SF (gate holds: 20th-best
+    is 69 at sf0.001), and the fallback plan itself must match too."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.operators.graph import (
+        _LP_HUB_CAP,
+        _degrees,
+        _lp_full_topk,
+        cooccurrence_edges_cached,
+    )
+
+    fast = [tuple(r) for r in
+            specs["graph_link_prediction"].builder(spark, SF_SMOKE).collect()]
+    und = cooccurrence_edges_cached(spark, SF_SMOKE)
+    deg = _degrees(und).localCheckpoint(eager=False)
+    capped = deg.filter(F.col("deg") <= _LP_HUB_CAP).select(F.col("n").alias("c"))
+    full = [tuple(r) for r in _lp_full_topk(und, deg, capped).collect()]
+    assert fast == full and len(fast) == 20
 
 
 @pytest.mark.parametrize(
