@@ -1724,6 +1724,43 @@ def test_semantic_decontaminate_flags_planted_duplicate(spark, tmp_path):
     assert out[2]["status"] == "clean" and out[2]["max_cosine"] == 0.0
 
 
+def test_semantic_decontaminate_accepts_external_bench(spark):
+    """C20 external-bench API (r8 VERDICT ask #6): the scoring core takes
+    ANY benchmark DataFrame — the registered %23 split is just the oracle
+    stand-in. Feed a hand-built bench table; the plan must still broadcast
+    it and the flags/scores must follow the external set, including a
+    custom tau."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hhs_and_cms_data_pipeline_spark.operators.curation import (
+        semantic_decontaminate,
+    )
+
+    dim = 4
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.6, 0.8, 0.0, 0.0]),   # cos vs bench#1 = 0.6
+            (12, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to both
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "bench_id long, embedding array<float>",
+    )
+    out = semantic_decontaminate(corpus, bench, tau=0.7)
+    plan = out._sc is not None and out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[10]["status"] == "contaminated" and rows[10]["max_cosine"] == 1.0
+    assert rows[11]["status"] == "contaminated"  # cos 0.8 vs bench#2 >= 0.7
+    assert abs(rows[11]["max_cosine"] - 0.8) < 1e-6  # float32 embeddings
+    assert rows[11]["n_bench_hits"] == 1  # 0.6 vs bench#1 is below tau=0.7
+    assert rows[12]["status"] == "clean" and rows[12]["max_cosine"] == 0.0
+    assert sorted(rows) == [10, 11, 12]
+
+
 def test_hashed_linear_score_semantics(spark, tmp_path):
     """C19 semantic pin: identical documents score identically; a
     document's score is the mean milli-weight of its hashed features /
