@@ -859,3 +859,103 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_kcore_members.__doc__ = (graph_kcore_members.__doc__ or "").format(
     top=_KCORE_TOP, k=_KCORE_K, rounds=_KCORE_ROUNDS
 )
+
+
+# --------------------------------------------------------------------------
+# GRAPH8 — RESOURCE-ALLOCATION link prediction (Zhou, Lü & Zhang, "Predicting
+# missing links via local information", Eur. Phys. J. B 2009): score a
+# non-adjacent pair by sum over shared neighbors c of 1/deg(c) — common
+# neighbors weighted so that promiscuous centers certify less. GRAPH6's
+# cn-filter shortcut is NOT sound here (a low-cn pair with two degree-2
+# centers outranks a high-cn pair with hub centers), so this runs the FULL
+# wedge aggregation — the honest Theta(sum deg^2) cost, hub-capped like
+# GRAPH6 and deliberately excluded from the bench (same wedge-exchange
+# floor; correctness is gated at sf0.01). Determinism: 1/deg is
+# FIXED-POINT floor(1e12/deg) BIGINT, so the per-pair sum is exact integer
+# arithmetic — no order-dependent double accumulation; the double `ra` is
+# derived by ONE division at the end.
+# --------------------------------------------------------------------------
+
+_RA_SCALE = 10**12
+
+
+@register(
+    "graph_ra_link_prediction",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    degs AS (
+      SELECT n, COUNT(*) AS deg FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY 1),
+    wadj AS (
+      SELECT a.c, a.n,
+             CAST(FLOOR({_RA_SCALE}.0 / d.deg) AS BIGINT) AS w
+      FROM (SELECT u AS c, v AS n FROM edges
+            UNION ALL SELECT v, u FROM edges) a
+      JOIN degs d ON a.c = d.n AND d.deg <= {_LP_HUB_CAP}),
+    wedge AS (
+      SELECT a.n AS u, b.n AS v,
+             CAST(SUM(a.w) AS BIGINT) AS ra_scaled,
+             CAST(COUNT(*) AS BIGINT) AS cn
+      FROM wadj a JOIN wadj b ON a.c = b.c AND a.n < b.n
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.* FROM wedge w
+      ANTI JOIN edges e ON w.u = e.u AND w.v = e.v)
+    SELECT u, v, cn, ra_scaled,
+           CAST(ra_scaled AS DOUBLE) / {_RA_SCALE}.0 AS ra
+    FROM cand
+    ORDER BY ra_scaled DESC, u, v
+    LIMIT {_LP_TOP_K}
+    """,
+    tags=("GRAPH8",),
+)
+def graph_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH8: top-20 missing edges by the resource-allocation index
+    (block comment above) — exact fixed-point center weights, full wedge
+    aggregation, hub-capped."""
+    ensure_session_conf(spark)
+    und = cooccurrence_edges_cached(spark, sf_dir)
+    deg = _degrees(und)
+    wdeg = deg.filter(F.col("deg") <= _LP_HUB_CAP).select(
+        F.col("n").alias("c"),
+        F.floor(F.lit(float(_RA_SCALE)) / F.col("deg")).alias("w"),
+    )
+    adj = (
+        und.select(F.col("u").alias("c"), F.col("v").alias("n"))
+        .unionAll(und.select(F.col("v").alias("c"), F.col("u").alias("n")))
+        .join(F.broadcast(wdeg), "c")
+        .localCheckpoint(eager=False)
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    wedge = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n")),
+        )
+        .select(
+            (F.shiftleft(F.col("a.n"), 32) + F.col("b.n")).alias("p"),
+            F.col("a.w").alias("w"),
+        )
+        .groupBy("p")
+        .agg(
+            F.sum("w").cast("long").alias("ra_scaled"),
+            F.count(F.lit(1)).cast("long").alias("cn"),
+        )
+        .select(
+            F.shiftright(F.col("p"), 32).alias("u"),
+            F.col("p").bitwiseAND(F.lit(0xFFFFFFFF)).alias("v"),
+            "cn",
+            "ra_scaled",
+        )
+    )
+    return (
+        wedge.join(und, ["u", "v"], "anti")
+        .select(
+            "u", "v", "cn", "ra_scaled",
+            (F.col("ra_scaled").cast("double") / F.lit(float(_RA_SCALE)))
+            .alias("ra"),
+        )
+        .orderBy(F.desc("ra_scaled"), F.asc("u"), F.asc("v"))
+        .limit(_LP_TOP_K)
+    )

@@ -1838,3 +1838,270 @@ def u4_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "ts_us", "gap_us")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# XA16 — first-order MARKOV TRANSITION MATRIX over per-user event sequences:
+# P(next_type | prev_type) with exact counts — the user-behavior model every
+# clickstream pipeline fits (and the generator for behavioral synthetic
+# data). One LAG window keyed on the session key (single exchange on
+# user_id), one hash aggregation on the (prev, next) pair, and the
+# row-probabilities as ONE exact-integer IEEE division (deterministic across
+# engines, like XA15's ratios). The per-prev totals join is dim-sized
+# (|event_type|^2 pairs) and broadcast.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa16_markov_transitions",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_id IS NOT NULL AND event_type IS NOT NULL),
+    seq AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type,
+             event_type AS next_type
+      FROM ev),
+    c AS (
+      SELECT prev_type, next_type, COUNT(*) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    t AS (
+      SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from_prev
+      FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, CAST(c.n_trans AS BIGINT) AS n_trans,
+           t.n_from_prev,
+           CAST(c.n_trans AS DOUBLE) / CAST(t.n_from_prev AS DOUBLE) AS p_next
+    FROM c JOIN t USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+    tags=("XA16",),
+)
+def xa16_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA16: (prev_type -> next_type) transition counts and conditional
+    probabilities over per-user event sequences ordered by (ts, event_id)
+    — block comment above."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"),
+                "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = (
+        seq.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+        # |event_type|^2-sized; without this the totals branch re-plans
+        # the whole scan+window+agg a second time
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n_trans").cast("long").alias("n_from_prev")
+    )
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n_trans").cast("long").alias("n_trans"),
+            "n_from_prev",
+            (
+                F.col("n_trans").cast("double")
+                / F.col("n_from_prev").cast("double")
+            ).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# XA17 — RFM SEGMENTATION (recency / frequency / monetary quartiles), the
+# canonical customer-value analysis. Scale-honest quartiles: NTILE over a
+# global ORDER BY would funnel every customer through ONE window task, so
+# the quartile BOUNDARIES are computed instead as three exact interpolated
+# percentiles per metric (an ungrouped aggregate — partial-aggregated,
+# one scalar row) and broadcast back; bucketing is then a map-side
+# comparison. Monetary sums route through the exact-decimal path, so the
+# percentile inputs (and hence the boundaries) are bit-identical across
+# engines; recency/frequency are integers. Customers are derived from
+# orders (a customer with no orders has no RFM row, stated semantics).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa17_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {sql_dsum("o_totalprice")} AS monetary
+      FROM orders GROUP BY 1),
+    q AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r1,
+             quantile_cont(recency_days, 0.50) AS r2,
+             quantile_cont(recency_days, 0.75) AS r3,
+             quantile_cont(frequency, 0.25) AS f1,
+             quantile_cont(frequency, 0.50) AS f2,
+             quantile_cont(frequency, 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1,
+             quantile_cont(monetary, 0.50) AS m2,
+             quantile_cont(monetary, 0.75) AS m3
+      FROM rfm)
+    SELECT custkey, recency_days, frequency, monetary,
+           1 + CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+             + CAST(recency_days > r3 AS INT) AS r_q,
+           1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+             + CAST(frequency > f3 AS INT) AS f_q,
+           1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+             + CAST(monetary > m3 AS INT) AS m_q
+    FROM rfm CROSS JOIN q
+    ORDER BY custkey
+    """,
+    tags=("XA17",),
+)
+def xa17_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA17: per-customer recency (days before the newest order date in the
+    table), order frequency, exact monetary total, and the 1-4 quartile
+    bucket of each metric (block comment above)."""
+    ensure_session_conf(spark)
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        "o_totalprice",
+    )
+    rfm = orders.groupBy("custkey").agg(
+        F.max("od").alias("last_od"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    anchor = orders.agg(F.max("od").alias("max_od"))
+    rfm = (
+        rfm.crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff("max_od", "last_od").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        # customer-level; read twice (threshold scan + bucketing) — without
+        # this both branches re-plan the orders aggregation
+        .localCheckpoint(eager=False)
+    )
+    q = rfm.agg(
+        *[
+            F.percentile(F.col(c), F.lit(p)).alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def bucket(col: str, pfx: str) -> F.Column:
+        v = F.col(col)
+        return (
+            F.lit(1)
+            + (v > F.col(f"{pfx}1")).cast("int")
+            + (v > F.col(f"{pfx}2")).cast("int")
+            + (v > F.col(f"{pfx}3")).cast("int")
+        )
+
+    return (
+        rfm.crossJoin(F.broadcast(q))
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            bucket("recency_days", "r").alias("r_q"),
+            bucket("frequency", "f").alias("f_q"),
+            bucket("monetary", "m").alias("m_q"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# XT5 — OHLC DOWNSAMPLING: per (event_type, day) open/high/low/close of the
+# value series plus count and exact sum — the canonical time-series
+# compaction (financial bars, metric rollups). ONE hash aggregation: open
+# and close ride as min/max over a (ts_us, event_id, value) struct whose
+# lexicographic order is decided by the unique integer prefix (value never
+# breaks a tie), so no window pass and no second exchange; high/low/count/
+# sum are plain aggregates in the same pass.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xt5_ohlc_daily",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, epoch_us(ts) AS ts_us,
+             event_id, value
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND event_id IS NOT NULL AND value IS NOT NULL),
+    o AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                ORDER BY ts_us, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM ev)
+    SELECT event_type, d,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum("value")} AS sum_value
+    FROM o GROUP BY 1, 2
+    ORDER BY event_type, d
+    """,
+    tags=("XT5",),
+)
+def xt5_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XT5: daily OHLC bars per event type (block comment above)."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
+        )
+    )
+    pos = F.struct("ts_us", "event_id", "value")
+    return (
+        ev.groupBy("event_type", "d")
+        .agg(
+            F.min(pos).getField("value").alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max(pos).getField("value").alias("close_value"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("event_type", "d")
+    )

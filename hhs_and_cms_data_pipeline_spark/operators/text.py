@@ -1343,3 +1343,101 @@ def zipf_slope_table(docs: DataFrame) -> DataFrame:
         )
         .orderBy("rank_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# TX16 — PMI COLLOCATIONS: the corpus's strongest two-word collocations by
+# pointwise mutual information (Church & Hanks 1990), the standard
+# phrase-mining primitive for tokenizer vocab construction and quality
+# analysis. PMI ranks by p(w1,w2) / (p(w1) p(w2)); since log is monotone,
+# ordering by the LIFT ratio itself avoids the transcendental entirely
+# (cross-engine log bit-divergence is why TX12/TX15 use floor-log2 — here
+# we don't need logs at all). The lift is computed as
+#   (cab / Nb) * (Nu / ca) * (Nu / cb)
+# — three exact-integer IEEE divisions and two multiplications in the SAME
+# association order in both engines, so every score is bit-identical.
+# Scale: two hash aggregations (unigrams, bigrams); the support filter
+# (cab >= 5) shrinks candidates BEFORE the two unigram-count joins, and
+# the candidate side broadcasts — the vocab-sized unigram table never
+# re-shuffles. Totals are scalar aggregates (one row, broadcast).
+# --------------------------------------------------------------------------
+
+_PMI_MIN_SUPPORT = 5
+_PMI_TOP_K = 50
+
+
+@register(
+    "tx16_pmi_collocations",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY 1),
+    bg AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    bgc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM bg GROUP BY 1, 2
+      HAVING COUNT(*) >= {_PMI_MIN_SUPPORT}),
+    tot AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS nu,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bg) AS nb)
+    SELECT g.w1, g.w2, g.n_pair,
+           u1.c AS n_w1, u2.c AS n_w2,
+           ((CAST(g.n_pair AS DOUBLE) / CAST(t.nb AS DOUBLE))
+            * (CAST(t.nu AS DOUBLE) / CAST(u1.c AS DOUBLE)))
+            * (CAST(t.nu AS DOUBLE) / CAST(u2.c AS DOUBLE)) AS lift
+    FROM bgc g
+    JOIN uni u1 ON g.w1 = u1.w
+    JOIN uni u2 ON g.w2 = u2.w
+    CROSS JOIN tot t
+    ORDER BY lift DESC, g.w1, g.w2
+    LIMIT {_PMI_TOP_K}
+    """,
+    tags=("TX16",),
+)
+def tx16_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX16: top-50 adjacent-word collocations by PMI lift (block comment
+    above), with pair and unigram counts riding along."""
+    ensure_session_conf(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select(tokens().alias("toks"))
+    # unigram counts: vocab-sized, read by BOTH count joins below
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bg = toked.select(F.explode(bigram_multiset(F.col("toks"))).alias("bg"))
+    cands = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_MIN_SUPPORT)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "n_pair",
+        )
+    )
+    totals = (
+        toked.select(F.explode("toks").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nu"))
+        .crossJoin(bg.agg(F.count(F.lit(1)).cast("long").alias("nb")))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("n_w2"))
+    lift = (
+        (F.col("n_pair").cast("double") / F.col("nb").cast("double"))
+        * (F.col("nu").cast("double") / F.col("n_w1").cast("double"))
+    ) * (F.col("nu").cast("double") / F.col("n_w2").cast("double"))
+    return (
+        u1.join(F.broadcast(cands), "w1")
+        .join(u2.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "n_pair", "n_w1", "n_w2", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )

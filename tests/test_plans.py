@@ -959,3 +959,68 @@ def test_rollup_sentinel_collision_fails_loudly(spark, specs):
     )
     with pytest.raises(SparkRuntimeException, match="sentinel collision"):
         _xa15_rollup(bad_date).count()
+
+
+def test_markov_transitions_single_window_broadcast_totals(spark, specs):
+    # the (prev,next) count artifact is checkpointed (read by two branches,
+    # so its one-window build is upstream of the final plan); the final
+    # plan must join the per-prev totals as a BROADCAST, never a merge join
+    plan = formatted_plan(specs["xa16_markov_transitions"].builder(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 1
+    assert "SortMergeJoin" not in plan
+    # the pair-count build itself (pre-checkpoint) is one window pass over
+    # the session key — audit it directly
+    import re
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    ev = table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    frag = formatted_plan(
+        ev.select(F.lag("event_type").over(w).alias("prev_type"),
+                  F.col("event_type").alias("next_type"))
+        .groupBy("prev_type", "next_type").count()
+    )
+    assert len(re.findall(r"\(\d+\) Window", frag)) == 1
+
+
+def test_rfm_segments_scalar_thresholds_broadcast(spark, specs):
+    plan = formatted_plan(specs["xa17_rfm_segments"].builder(spark, SF_SMOKE))
+    # the quartile boundaries are a scalar aggregate joined back as a
+    # broadcast over the checkpointed customer-level artifact — the
+    # customer table never re-shuffles for the bucketing, and NTILE's
+    # global-sort window never appears anywhere
+    assert count_broadcast_joins(plan) >= 1
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ohlc_daily_one_agg_no_window(spark, specs):
+    plan = formatted_plan(specs["xt5_ohlc_daily"].builder(spark, SF_SMOKE))
+    # open/close ride as struct min/max INSIDE the one hash aggregation —
+    # no row_number window pass, one scan
+    import re
+
+    assert "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_pmi_collocations_candidates_broadcast(spark, specs):
+    plan = formatted_plan(specs["tx16_pmi_collocations"].builder(spark, SF_SMOKE))
+    # the support-filtered candidate pairs broadcast into the unigram-count
+    # join; totals are 1-row broadcasts; the text scan reads only `text`
+    assert count_broadcast_joins(plan) >= 2
+    assert scan_columns(plan, containing="text") <= {"doc_id", "text"}
+
+
+def test_ra_link_prediction_full_agg_shape(spark, specs):
+    plan = formatted_plan(specs["graph_ra_link_prediction"].builder(spark, SF_SMOKE))
+    # full wedge aggregation (cn-filter shortcut is unsound for RA): the
+    # adjacency self-join must stay shuffle-hash, selection is a top-k heap
+    assert "ShuffledHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
