@@ -2105,3 +2105,61 @@ def xt5_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# XA18 — CUMULATIVE ACTIVE USERS: per day, how many users appeared for the
+# FIRST time and the running total of distinct users ever seen — the growth
+# curve every product/corpus dashboard opens with. A naive per-day
+# COUNT(DISTINCT user) with a cumulative union is quadratic; the standard
+# linear form used here: first-seen date per user (one hash agg on the fact
+# table), count per day (dim-sized agg), cumulative sum over the day
+# dimension. The single-partition running-sum window sits over DAYS —
+# pre-reduced, bounded — which is exactly the global-window shape the
+# registry-wide audit permits.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa18_cumulative_active_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1),
+    per_day AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new_users
+      FROM first_seen GROUP BY 1)
+    SELECT d, n_new_users,
+           CAST(SUM(n_new_users) OVER (
+             ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_cumulative_users
+    FROM per_day
+    ORDER BY d
+    """,
+    tags=("XA18",),
+)
+def xa18_cumulative_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA18: daily new-user counts and the cumulative distinct-user curve
+    (block comment above)."""
+    ensure_session_conf(spark)
+    first_seen = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("d"))
+    )
+    per_day = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.select(
+            "d",
+            "n_new_users",
+            F.sum("n_new_users").over(w).cast("long")
+            .alias("n_cumulative_users"),
+        )
+        .orderBy("d")
+    )

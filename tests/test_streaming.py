@@ -1071,3 +1071,58 @@ def test_event_ledger_stream_source_matches_batch(spark, tmp_path):
     )
     direct = sorted(t for t in want if t[0] in (0, 1))
     assert replay == direct
+
+
+def test_stream_ohlc_daily_matches_batch(spark, tmp_path):
+    """XT5 streaming twin: the daily OHLC bars — including open/close as
+    min/max over the (ts_us, event_id, value) struct — computed as a
+    complete-mode streaming aggregation over the events stream must equal
+    the registered batch query. Pins that the struct-ordered min/max
+    trick is a legal, incrementally-maintainable streaming agg state (the
+    property that makes XT5's one-pass plan deployable as a live bar
+    builder)."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.functions.exact import dsum
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = (
+        read_events_stream(spark, SF_SMOKE)
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
+        )
+    )
+    pos = F.struct("ts_us", "event_id", "value")
+    bars = ev.groupBy("event_type", "d").agg(
+        F.min(pos).getField("value").alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(pos).getField("value").alias("close_value"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+    out = run_available_now(bars, "t_stream_ohlc", str(tmp_path / "ckpt"))
+    batch = all_specs()["xt5_ohlc_daily"].builder(spark, SF_SMOKE)
+    canon = lambda rows: sorted(  # noqa: E731
+        (
+            r["event_type"], str(r["d"]), repr(r["open_value"]),
+            repr(r["high_value"]), repr(r["low_value"]),
+            repr(r["close_value"]), r["n_events"], repr(r["sum_value"]),
+        )
+        for r in rows
+    )
+    assert canon(out.collect()) == canon(batch.collect())
