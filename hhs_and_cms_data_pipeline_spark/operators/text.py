@@ -1441,3 +1441,90 @@ def tx16_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# TX17 — SLIDING-WINDOW CHUNKER: split every document into fixed-size token
+# chunks with overlap — the pretraining/RAG segmentation step that feeds
+# sequence packing (PIPE/pack_sequences consumes fixed-length pieces; this
+# is where the pieces come from). Chunk starts advance by stride =
+# size - overlap; the last chunk is truncated at the document end. Chunk
+# size 16 / overlap 4 are sized to the fixture's ~30-token documents (a
+# production run uses 1024/128 — the plan is IDENTICAL: map-only
+# sequence+explode per row, zero joins, zero aggregations; the only
+# exchange is the output sort).
+# --------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 16
+_CHUNK_OVERLAP = 4
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "tx17_chunk_spans",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents),
+    spans AS (
+      SELECT doc_id,
+             generate_subscripts(
+               list_transform(generate_series(0, len(toks) - 1,
+                                              {_CHUNK_STRIDE}), s -> s),
+               1) - 1 AS chunk_idx,
+             unnest(generate_series(0, len(toks) - 1, {_CHUNK_STRIDE}))
+               AS start_tok,
+             toks
+      FROM toked
+      WHERE len(toks) >= 1)
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(LEAST(start_tok + {_CHUNK_TOKENS}, len(toks)) AS BIGINT)
+             AS end_tok,
+           CAST(LEAST(start_tok + {_CHUNK_TOKENS}, len(toks)) - start_tok
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(
+             toks[start_tok + 1 : LEAST(start_tok + {_CHUNK_TOKENS},
+                                        len(toks))], ' ') AS chunk_text
+    FROM spans
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("TX17",),
+)
+def tx17_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX17: overlapping fixed-size token chunks per document (block
+    comment above) — (doc_id, chunk_idx, start/end token, length, text)."""
+    ensure_session_conf(spark)
+    toked = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens().alias("toks"))
+        .filter(F.size("toks") >= 1)
+    )
+    n = F.size("toks")
+    spans = toked.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("chunk_idx", "start_tok"),
+    )
+    end = F.least(F.col("start_tok") + _CHUNK_TOKENS, F.size("toks"))
+    return (
+        spans.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            end.cast("long").alias("end_tok"),
+            (end - F.col("start_tok")).cast("long").alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(
+                    "toks",
+                    F.col("start_tok") + 1,
+                    end - F.col("start_tok"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

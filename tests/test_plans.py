@@ -1024,3 +1024,11 @@ def test_ra_link_prediction_full_agg_shape(spark, specs):
     # adjacency self-join must stay shuffle-hash, selection is a top-k heap
     assert "ShuffledHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_spans_is_map_only(spark, specs):
+    plan = formatted_plan(specs["tx17_chunk_spans"].builder(spark, SF_SMOKE))
+    # chunking is per-row sequence+explode: no joins, no aggregations,
+    # the output sort is the only exchange
+    assert count_exchanges(plan) <= 1
+    assert "Join" not in plan and "HashAggregate" not in plan
