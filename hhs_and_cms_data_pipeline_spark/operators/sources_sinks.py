@@ -1274,3 +1274,86 @@ def s11_event_ledger_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# K11 — COMPACTION PLANNER: assign small "files" to target-size compaction
+# bins — the planning half of OPTIMIZE/rewriteDataFiles in every table
+# format (the execution half is K5's partition rewrite). The file
+# population here is the per-(event_type, day) partition stats relation
+# (the K7 manifest shape derived from data so the oracle sees identical
+# input); the policy is deterministic next-fit over a size-DESC ordering:
+# running-sum the sizes, bin = floor(preceding_mass / target). Single-
+# partition windows are over the REDUCED stats relation (one row per
+# file), the shape the registry-wide global-window audit permits — a
+# metadata plan is dim-sized by definition.
+# --------------------------------------------------------------------------
+
+_COMPACT_TARGET_ROWS = 2000
+
+
+@register(
+    "k11_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    packed AS (
+      SELECT event_type, d, n_rows,
+             CAST(SUM(n_rows) OVER (
+               ORDER BY n_rows DESC, event_type, d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS csum
+      FROM files),
+    binned AS (
+      SELECT event_type, d, n_rows,
+             CAST(floor(CAST(csum - n_rows AS DOUBLE)
+                        / {_COMPACT_TARGET_ROWS}.0) AS BIGINT) AS bin
+      FROM packed)
+    SELECT event_type, d, n_rows, bin,
+           CAST(SUM(n_rows) OVER (PARTITION BY bin) AS BIGINT) AS bin_rows,
+           CAST(COUNT(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files
+    FROM binned
+    ORDER BY bin, n_rows DESC, event_type, d
+    """,
+    tags=("K11",),
+)
+def k11_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11: next-fit compaction bins over the per-(type, day) file stats
+    (block comment above) — each file's bin plus per-bin totals, the plan
+    a rewrite job executes group by group."""
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    files = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    order = Window.orderBy(
+        F.desc("n_rows"), F.asc("event_type"), F.asc("d")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    binned = files.select(
+        "event_type",
+        "d",
+        "n_rows",
+        F.floor(
+            (F.sum("n_rows").over(order) - F.col("n_rows")).cast("double")
+            / float(_COMPACT_TARGET_ROWS)
+        ).cast("long").alias("bin"),
+    )
+    per_bin = Window.partitionBy("bin")
+    return (
+        binned.select(
+            "event_type",
+            "d",
+            "n_rows",
+            "bin",
+            F.sum("n_rows").over(per_bin).cast("long").alias("bin_rows"),
+            F.count(F.lit(1)).over(per_bin).cast("long").alias("bin_files"),
+        )
+        .orderBy("bin", F.desc("n_rows"), "event_type", "d")
+    )

@@ -828,8 +828,20 @@ def test_link_prediction_wedge_join_never_broadcasts_adjacency(spark, specs):
     # top-20 missing edges via per-partition heaps
     assert "TakeOrderedAndProject" in plan
     # the cn filter rides INSIDE the aggregation's output, before the
-    # anti-join/degree joins — never a post-join filter of 100M pairs
-    assert plan.index("ShuffledHashJoin") > plan.index("HashAggregate")
+    # anti-join/degree joins — never a post-join filter of 100M pairs.
+    # Formatted-plan node ids number bottom-up: the wedge aggregation's id
+    # must be lower than the anti/degree joins above it, and a Filter on
+    # cn must sit between them.
+    import re
+
+    nodes = {
+        int(m.group(1)): m.group(2)
+        for m in re.finditer(r"^\((\d+)\) (\w+)", plan, re.M)
+    }
+    agg_ids = [i for i, n in nodes.items() if n == "HashAggregate"]
+    bhj_ids = [i for i, n in nodes.items() if n == "BroadcastHashJoin"]
+    assert agg_ids and bhj_ids and max(agg_ids) < min(bhj_ids)
+    assert re.search(r"Condition : \(cn#\d+L >= 3\)", plan)
 
 
 def test_link_prediction_gate_falls_back_when_filter_could_bite(spark, specs):
@@ -1032,3 +1044,21 @@ def test_chunk_spans_is_map_only(spark, specs):
     # the output sort is the only exchange
     assert count_exchanges(plan) <= 1
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_compaction_plan_windows_over_reduced_stats(spark, specs):
+    plan = formatted_plan(specs["k11_compaction_plan"].builder(spark, SF_SMOKE))
+    # the fact table collapses to per-(type, day) stats in one hash agg
+    # BEFORE any window: both planner windows run over the reduced
+    # metadata relation, never the events scan. Formatted-plan node ids
+    # number bottom-up, so the agg's id must be LOWER than every window's.
+    import re
+
+    nodes = {
+        int(m.group(1)): m.group(2)
+        for m in re.finditer(r"^\((\d+)\) (\w+)", plan, re.M)
+    }
+    agg_ids = [i for i, n in nodes.items() if n == "HashAggregate"]
+    win_ids = [i for i, n in nodes.items() if n == "Window"]
+    assert agg_ids and win_ids
+    assert max(agg_ids) < min(win_ids)
