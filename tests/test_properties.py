@@ -1804,3 +1804,116 @@ def test_hashed_linear_score_semantics(spark, tmp_path):
     wt = lq_weight_table(spark).collect()
     assert len(wt) == _LQ_BUCKETS
     assert all(-1000 <= w["w_milli"] <= 1000 for w in wt)
+
+
+def test_markov_transitions_rows_are_distributions(spark):
+    """XA16 model properties: per prev_type the transition probabilities
+    sum to exactly 1 (up to the few-term IEEE sum), n_from_prev equals the
+    sum of its transition counts, and the total transition mass equals
+    (events with a predecessor) = n_events - n_users_with_events."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    out = all_specs()["xa16_markov_transitions"].builder(spark, sf)
+    rows = out.collect()
+    by_prev: dict[str, list] = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, grp in by_prev.items():
+        assert sum(r["n_trans"] for r in grp) == grp[0]["n_from_prev"]
+        assert abs(sum(r["p_next"] for r in grp) - 1.0) < 1e-9
+    ev = table(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_trans"] for r in rows) == n_events - n_users
+
+
+def test_rfm_quartiles_partition_customers_evenly(spark):
+    """XA17 bucketing properties: every customer with an order gets a row;
+    quartile labels are 1..4; and each metric's buckets are balanced the
+    way interpolated-percentile thresholds guarantee (no bucket holds more
+    than ~half the rows at these tie densities; bucket boundaries are
+    monotone in the metric)."""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_specs()["xa17_rfm_segments"].builder(spark, sf).collect()
+    n_cust = (
+        table(spark, sf, "orders").select("o_custkey").distinct().count()
+    )
+    assert len(rows) == n_cust
+    for metric, q in (("recency_days", "r_q"), ("frequency", "f_q"),
+                      ("monetary", "m_q")):
+        assert {r[q] for r in rows} <= {1, 2, 3, 4}
+        # monotone: sorting by the metric never decreases the bucket
+        srt = sorted(rows, key=lambda r: r[metric])
+        assert all(a[q] <= b[q] for a, b in zip(srt, srt[1:]))
+
+
+def test_chunk_spans_reassemble_documents(spark):
+    """TX17 coverage property: stripping each chunk's overlap prefix
+    (except the first chunk) and concatenating reassembles every document
+    exactly; chunk lengths never exceed the chunk size; consecutive chunks
+    advance by exactly the stride."""
+    from hhs_and_cms_data_pipeline_spark.operators.text import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+    )
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    chunks = all_specs()["tx17_chunk_spans"].builder(spark, sf).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        assert 1 <= c["n_chunk_tokens"] <= _CHUNK_TOKENS
+        by_doc.setdefault(c["doc_id"], []).append(c)
+    assert set(by_doc) == set(texts)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c["chunk_idx"])
+        toks: list[str] = []
+        for i, c in enumerate(cs):
+            assert c["start_tok"] == i * _CHUNK_STRIDE
+            words = c["chunk_text"].split(" ")
+            toks.extend(words if i == 0 else words[_CHUNK_TOKENS - _CHUNK_STRIDE:])
+        assert " ".join(toks) == texts[doc_id]
+
+
+def test_compaction_bins_respect_target(spark):
+    """K11 planner properties: bins partition the file set; every bin
+    except possibly the last is filled to at least the target once it has
+    more than one file's worth available; no bin except a single-oversized-
+    file bin exceeds target + max_file (next-fit guarantee)."""
+    from hhs_and_cms_data_pipeline_spark.operators.sources_sinks import (
+        _COMPACT_TARGET_ROWS,
+    )
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    rows = all_specs()["k11_compaction_plan"].builder(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    max_file = max(r["n_rows"] for r in rows)
+    bins: dict[int, list] = {}
+    for r in rows:
+        bins.setdefault(r["bin"], []).append(r)
+    for b, members in bins.items():
+        total = sum(r["n_rows"] for r in members)
+        assert total == members[0]["bin_rows"]
+        assert len(members) == members[0]["bin_files"]
+        # next-fit bound: a bin never exceeds target by more than one file
+        assert total < _COMPACT_TARGET_ROWS + max_file
+    # the running-sum construction fills bins contiguously: bins are the
+    # integers 0..max with none skipped
+    assert sorted(bins) == list(range(len(bins)))
