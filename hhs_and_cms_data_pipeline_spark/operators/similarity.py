@@ -2212,3 +2212,116 @@ def sim_radius_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("radius_recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SIM20 — NDCG@10 audit of the IVF ranking: recall (SIM11) says WHETHER the
+# true neighbors were found; NDCG says whether they were found IN THE RIGHT
+# ORDER — the position-discounted metric (Järvelin & Kekäläinen 2002) every
+# retrieval eval reports next to recall. Binary gains (IVF hit is in the
+# exact top-10 or not); the 1/log2(rank+1) discounts are TEN fixed-point
+# integer literals (round(1e12/log2(i+1)), generated once in Python and
+# inlined into BOTH engines — the floor-log2/Benford-literal determinism
+# discipline), so DCG and ideal DCG are exact BIGINT sums and the final
+# NDCG is one IEEE division. Cheap by construction: two top-k searches and
+# a 10-row join, like SIM11/SIM13/SIM14.
+# --------------------------------------------------------------------------
+
+_NDCG_DISC_FP = {
+    1: 1000000000000, 2: 630929753571, 3: 500000000000, 4: 430676558073,
+    5: 386852807235, 6: 356207187108, 7: 333333333333, 8: 315464876786,
+    9: 301029995664, 10: 289064826318,
+}  # round(1e12 / log2(rank+1)), rank = 1..10
+
+
+@register(
+    "sim_ndcg_report",
+    oracle=f"""
+    WITH q AS ({_SQL_Q}),
+    norms AS ({SQL_EMB_NORMS}),
+    exact_dots AS (
+      SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}),
+    exact_top AS (
+      SELECT d.vec_id
+      FROM exact_dots d
+      JOIN norms n ON d.vec_id = n.vec_id
+      CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
+      ORDER BY d.dot / (sqrt(n.n2) * sqrt(qn.n2)) DESC, d.vec_id
+      LIMIT {_TOP_K}),
+    {_SQL_IVF_CELL_CTES},
+    ivf_dots AS (
+      SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+      FROM embeddings e
+      JOIN cell ON e.label = cell.label
+      CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}),
+    ivf_ranked AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rnk
+      FROM (
+        SELECT d.vec_id, d.dot / (sqrt(n.n2) * sqrt(qn.n2)) AS cosine
+        FROM ivf_dots d
+        JOIN norms n ON d.vec_id = n.vec_id
+        CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn)
+      ORDER BY rnk LIMIT {_TOP_K}),
+    disc AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({r}, CAST({w} AS BIGINT))" for r, w in sorted(_NDCG_DISC_FP.items()))})
+        t(rnk, w)),
+    dcg AS (
+      SELECT CAST(COALESCE(SUM(d.w), 0) AS BIGINT) AS dcg_fp
+      FROM ivf_ranked r
+      JOIN exact_top e ON r.vec_id = e.vec_id
+      JOIN disc d ON r.rnk = d.rnk),
+    idcg AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS idcg_fp FROM disc
+      WHERE rnk <= (SELECT COUNT(*) FROM exact_top))
+    SELECT CAST({_TOP_K} AS BIGINT) AS k,
+           dcg.dcg_fp, idcg.idcg_fp,
+           CAST(dcg.dcg_fp AS DOUBLE) / CAST(idcg.idcg_fp AS DOUBLE)
+             AS ndcg_at_k
+    FROM dcg CROSS JOIN idcg
+    """,
+    tags=("SIM20",),
+)
+def sim_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM20: one-row NDCG@10 report for the IVF path (block comment
+    above) — exact-integer DCG over fixed-point rank discounts, ideal DCG
+    from the same table, one final division."""
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    exact_ids = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))  # 10-row frame
+    ivf_ranked = (
+        sim_ivf_topk(spark, sf_dir)
+        .select("vec_id", "cosine")
+        .withColumn("rnk", F.row_number().over(w))
+        .localCheckpoint(eager=False)
+    )
+    disc = spark.createDataFrame(
+        sorted(_NDCG_DISC_FP.items()), "rnk int, w long"
+    )
+    dcg = (
+        ivf_ranked.join(exact_ids, "vec_id")
+        .join(F.broadcast(disc), "rnk")
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("dcg_fp"))
+    )
+    n_exact = exact_ids.agg(F.count(F.lit(1)).alias("n_exact"))
+    idcg = (
+        disc.crossJoin(F.broadcast(n_exact))
+        .filter(F.col("rnk") <= F.col("n_exact"))
+        .agg(F.sum("w").cast("long").alias("idcg_fp"))
+    )
+    return dcg.crossJoin(idcg).select(
+        F.lit(_TOP_K).cast("long").alias("k"),
+        "dcg_fp",
+        "idcg_fp",
+        (F.col("dcg_fp").cast("double") / F.col("idcg_fp").cast("double"))
+        .alias("ndcg_at_k"),
+    )
