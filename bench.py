@@ -87,6 +87,19 @@ def main() -> None:
         # wedges on this dense graph, and a bare repartition of those keys
         # already costs 11-14s on this VM). Honest cost, no silent cap.
         "graph_link_prediction",
+        # graph_ra_link_prediction is intentionally NOT here: same full
+        # wedge aggregation (the cn-filter shortcut is unsound for RA
+        # ordering), so it pays the same ~16s floor graph_link_prediction
+        # already represents in this pack; its correctness is gated at
+        # sf0.01 like everything else.
+        "xa16_markov_transitions",
+        "xa17_rfm_segments",
+        "xa18_cumulative_active_users",
+        "xt5_ohlc_daily",
+        "tx16_pmi_collocations",
+        "tx17_chunk_spans",
+        "k11_compaction_plan",
+        "sim_ndcg_report",
     ]
     missing = [n for n in extended_names if n not in all_]
     if missing:

@@ -610,6 +610,16 @@ def test_incremental_rollup_resumes_from_checkpoint(spark, tmp_path):
             ),
             str(stage / name),
         )
+        # distinct ascending mtimes: the file source orders batches by
+        # modification time, and two writes landing on one mtime tick
+        # (seen under parallel-suite load) would flip the expected [3, 2]
+        # batch sizes — pin the arrival order like stage_chronological_files
+        import os as _os
+
+        _os.utime(
+            str(stage / name),
+            (1_600_000_000 + 60 * int(name[1]),) * 2,
+        )
 
     seen: list[tuple[int, int]] = []
     base = make_rollup_merger(target)
