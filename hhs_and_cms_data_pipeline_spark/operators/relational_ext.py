@@ -2163,3 +2163,74 @@ def xa18_cumulative_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+# XA19 — ACTIVITY STREAKS, the gaps-and-islands classic at day granularity:
+# for each user, the longest run of CONSECUTIVE active days (and how many
+# distinct streaks they had). The standard O(1)-state trick: over each
+# user's distinct active days in order, day - row_number is CONSTANT within
+# a consecutive run and unique per run — one distinct-day aggregation, one
+# window on the user key, one (user, anchor) aggregation, one per-user
+# aggregation; every exchange is keyed on user_id (or a reduction of it),
+# nothing global. Distinct from ST3's minute-level sessionization: this is
+# the calendar-retention view (DAU streaks, "7-day streak" badges).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa19_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    runs AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d) AS INT) AS anchor
+      FROM days),
+    streaks AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS streak_start
+      FROM runs GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           MIN(streak_start) AS first_active_day
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY longest_streak DESC, user_id
+    LIMIT 100
+    """,
+    tags=("XA19",),
+)
+def xa19_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA19: top-100 users by longest consecutive-day activity streak
+    (block comment above) — streak count, longest run, first active day."""
+    ensure_session_conf(spark)
+    days = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.select(
+        "user_id",
+        "d",
+        F.date_sub("d", F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = runs.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.min("streak_start").alias("first_active_day"),
+        )
+        .orderBy(F.desc("longest_streak"), F.asc("user_id"))
+        .limit(100)
+    )

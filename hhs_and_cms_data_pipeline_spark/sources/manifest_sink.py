@@ -147,8 +147,11 @@ def _gc_tombstones(
     to physical deletion. A reader that pinned the prior manifest can
     therefore finish opening its files for at least `grace` seconds
     after an overwrite — the same VACUUM-style retention contract as
-    sinks.py's write_parquet_atomic. Returns (tombstones to carry in the
-    new manifest, file names to delete now)."""
+    sinks.py's write_parquet_atomic. The grace is a PER-TARGET policy
+    supplied by each writer (a later commit with a shorter grace reaps
+    earlier writers' tombstones early — configure it consistently per
+    target, as with any table-format retention setting). Returns
+    (tombstones to carry in the new manifest, file names to delete now)."""
     now = time.time()
     gc = list((manifest or {}).get("gc", []))
     gc.extend({"file": f, "superseded_at": now} for f in superseded)
