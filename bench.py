@@ -100,6 +100,7 @@ def main() -> None:
         "tx17_chunk_spans",
         "k11_compaction_plan",
         "sim_ndcg_report",
+        "xa19_activity_streaks",
     ]
     missing = [n for n in extended_names if n not in all_]
     if missing:
