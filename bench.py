@@ -101,6 +101,7 @@ def main() -> None:
         "k11_compaction_plan",
         "sim_ndcg_report",
         "xa19_activity_streaks",
+        "xa20_event_concentration",
     ]
     missing = [n for n in extended_names if n not in all_]
     if missing:

@@ -2234,3 +2234,122 @@ def xa19_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("longest_streak"), F.asc("user_id"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# XA20 — EVENT-CONCENTRATION (Lorenz/Pareto) AUDIT: how skewed is activity
+# across users — what share of all events comes from each activity decile
+# of the user base, cumulatively ("do 10% of users produce 60% of the
+# data?"). Production-relevant twice over: spam/bot screening and
+# join-skew forecasting (XS7's per-key profile, aggregated to a curve).
+# Scale-honest decile assignment: a textbook Lorenz curve ranks EVERY user
+# with a global-order window (the 100 TB job-killer); here the nine decile
+# BOUNDARIES come from exact interpolated percentiles of the per-user
+# counts (scalar aggregate, broadcast back — the XA17 pattern), users
+# bucket by comparison map-side, and the final cumulative sum runs over
+# the ten-row decile relation. Shares are exact-integer IEEE divisions.
+# Boundary-tied users share a decile deterministically in both engines
+# (bucket = count of thresholds strictly below the user's count).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa20_event_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1),
+    q AS (
+      SELECT quantile_cont(n, 0.1) AS t1, quantile_cont(n, 0.2) AS t2,
+             quantile_cont(n, 0.3) AS t3, quantile_cont(n, 0.4) AS t4,
+             quantile_cont(n, 0.5) AS t5, quantile_cont(n, 0.6) AS t6,
+             quantile_cont(n, 0.7) AS t7, quantile_cont(n, 0.8) AS t8,
+             quantile_cont(n, 0.9) AS t9
+      FROM per_user),
+    bucketed AS (
+      SELECT u.user_id, u.n,
+             CAST(1 + CAST(q.t1 < u.n AS INT) + CAST(q.t2 < u.n AS INT)
+                    + CAST(q.t3 < u.n AS INT) + CAST(q.t4 < u.n AS INT)
+                    + CAST(q.t5 < u.n AS INT) + CAST(q.t6 < u.n AS INT)
+                    + CAST(q.t7 < u.n AS INT) + CAST(q.t8 < u.n AS INT)
+                    + CAST(q.t9 < u.n AS INT) AS BIGINT) AS decile
+      FROM per_user u CROSS JOIN q),
+    per_decile AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS n_events
+      FROM bucketed GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_users) AS BIGINT) AS tu,
+             CAST(SUM(n_events) AS BIGINT) AS te
+      FROM per_decile)
+    SELECT d.decile, d.n_users, d.n_events,
+           CAST(d.n_events AS DOUBLE) / CAST(t.te AS DOUBLE) AS event_share,
+           CAST(SUM(d.n_events) OVER (
+                  ORDER BY d.decile ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(t.te AS DOUBLE) AS cum_event_share,
+           CAST(SUM(d.n_users) OVER (
+                  ORDER BY d.decile ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(t.tu AS DOUBLE) AS cum_user_share
+    FROM per_decile d CROSS JOIN tot t
+    ORDER BY d.decile
+    """,
+    tags=("XA20",),
+)
+def xa20_event_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA20: per activity-decile user and event counts plus the Lorenz
+    cumulative shares (block comment above)."""
+    ensure_session_conf(spark)
+    per_user = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    qs = per_user.agg(
+        *[
+            F.percentile(F.col("n"), F.lit(i / 10.0)).alias(f"t{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = (
+        F.lit(1)
+        + sum(
+            (F.col(f"t{i}") < F.col("n")).cast("int") for i in range(1, 10)
+        )
+    ).cast("long")
+    per_decile = (
+        per_user.crossJoin(F.broadcast(qs))
+        .select("n", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        # ten-row relation; read by the totals and the cumulative window
+        .localCheckpoint(eager=False)
+    )
+    tot = per_decile.agg(
+        F.sum("n_users").cast("long").alias("tu"),
+        F.sum("n_events").cast("long").alias("te"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("te").cast("double"))
+            .alias("event_share"),
+            (
+                F.sum("n_events").over(w).cast("double")
+                / F.col("te").cast("double")
+            ).alias("cum_event_share"),
+            (
+                F.sum("n_users").over(w).cast("double")
+                / F.col("tu").cast("double")
+            ).alias("cum_user_share"),
+        )
+        .orderBy("decile")
+    )
