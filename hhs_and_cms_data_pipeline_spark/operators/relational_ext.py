@@ -2353,3 +2353,180 @@ def xa20_event_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# XT6 — EWMA TREND: exponentially weighted moving average of the daily
+# event-count series per event type — the smoothing step every monitoring /
+# drift dashboard applies before alerting. The recursion y_t = a*x_t +
+# (1-a)*y_{t-1} is not window-expressible, so we use the standard truncated
+# form: with a = 1/2 the weights are dyadic (2^-d) and after 16 terms the
+# tail weight is < 2^-15 — below any alerting threshold. Truncation makes
+# the operator exact AND distributed: 15 LAGs over one (event_type, d)
+# window, numerator/denominator accumulated in BIGINT (weights 2^15..2^0),
+# one final IEEE double division. No float accumulation order exists to
+# diverge between engines, so the DuckDB differential is bit-exact.
+# Plan: one date-grain pre-aggregation (map-side partial), one exchange on
+# event_type, one per-key ordered scan computing all 15 lags in a single
+# window frame. Per-key state is 16 rows regardless of data size — at
+# 100 TB the pre-agg reduces the fact table to (types x days) rows first.
+# --------------------------------------------------------------------------
+
+_EWMA_TERMS = 16  # current row + 15 lags; tail weight < 2^-15
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    num = [f"n * {1 << (_EWMA_TERMS - 1)}"]
+    den = [str(1 << (_EWMA_TERMS - 1))]
+    for i in range(1, _EWMA_TERMS):
+        w = 1 << (_EWMA_TERMS - 1 - i)
+        num.append(f"COALESCE(l{i}, 0) * {w}")
+        den.append(f"CASE WHEN l{i} IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql_terms()
+_EWMA_LAGS_SQL = ", ".join(
+    f"lag(n, {i}) OVER (PARTITION BY event_type ORDER BY d) AS l{i}"
+    for i in range(1, _EWMA_TERMS)
+)
+
+
+@register(
+    "xt6_ewma_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, d, n, {_EWMA_LAGS_SQL}
+      FROM daily)
+    SELECT event_type, d, n AS n_events,
+           CAST({_EWMA_NUM_SQL} AS BIGINT) AS ewma_num,
+           CAST({_EWMA_DEN_SQL} AS BIGINT) AS ewma_den,
+           CAST({_EWMA_NUM_SQL} AS DOUBLE) / CAST({_EWMA_DEN_SQL} AS DOUBLE)
+             AS ewma
+    FROM lagged
+    ORDER BY event_type, d
+    """,
+    tags=("XT6",),
+)
+def xt6_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XT6: truncated dyadic EWMA (a=1/2, 16 terms) of daily event counts
+    per event type (block comment above). Integer numerator/denominator are
+    emitted alongside the double for auditability."""
+    ensure_session_conf(spark)
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lags = [F.lag("n", i).over(w).alias(f"l{i}") for i in range(1, _EWMA_TERMS)]
+    lagged = daily.select("event_type", "d", "n", *lags)
+    num = F.col("n") * F.lit(1 << (_EWMA_TERMS - 1))
+    den = F.lit(1 << (_EWMA_TERMS - 1)).cast("long")
+    for i in range(1, _EWMA_TERMS):
+        wt = 1 << (_EWMA_TERMS - 1 - i)
+        li = F.col(f"l{i}")
+        num = num + F.coalesce(li, F.lit(0)) * F.lit(wt)
+        den = den + F.when(li.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return (
+        lagged.select(
+            "event_type",
+            "d",
+            F.col("n").alias("n_events"),
+            num.cast("long").alias("ewma_num"),
+            den.cast("long").alias("ewma_den"),
+            (num.cast("double") / den.cast("double")).alias("ewma"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+# --------------------------------------------------------------------------
+# U5 — RATE-LIMIT sampler: keep at most ONE event per (user, 10-minute
+# tumbling window), chosen deterministically as the EARLIEST by
+# (ts, event_id) — the fixed-window ingestion throttle against bots and
+# runaway clients. Distinct from U4: debounce drops events too CLOSE to
+# their predecessor (sliding gap rule — a steady 9-minute drip never
+# passes), while the fixed-window limiter admits exactly one event per
+# wall-clock bucket no matter the spacing. Each kept row carries the size
+# of the burst it collapsed (n_in_window) so drop rates are auditable.
+# One exchange on (user_id, window); ROW_NUMBER + COUNT share the same
+# window partition so the plan is a single sort per key. Window bucketing
+# is integer microsecond division (6e8 us) — exact, engine-independent,
+# no timezone/date functions on the hot path. At 100 TB the bucket bounds
+# each window's rows by one user-10-minutes of traffic; a hot user is by
+# definition the thing being limited and the kept output is 1 row/bucket.
+# --------------------------------------------------------------------------
+
+_RATE_WINDOW_US = 600_000_000  # 10-minute tumbling bucket
+
+
+@register(
+    "u5_rate_limit_per_key",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             epoch_us(ts) // {_RATE_WINDOW_US} AS win
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL),
+    ranked AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             CAST(win AS BIGINT) AS win,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id, win
+               ORDER BY ts_us, event_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (
+               PARTITION BY user_id, win) AS BIGINT) AS n_in_window
+      FROM ev)
+    SELECT event_id, user_id, event_type, ts_us, win, n_in_window
+    FROM ranked
+    WHERE rn = 1
+    ORDER BY event_id
+    """,
+    tags=("U5",),
+)
+def u5_rate_limit_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: events surviving the one-per-user-per-10-minute fixed-window
+    rate limit (block comment above) — kept rows with the size of the
+    burst each one collapsed."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.unix_micros("ts") / F.lit(_RATE_WINDOW_US))
+            .cast("long")
+            .alias("win"),
+        )
+    )
+    wkey = Window.partitionBy("user_id", "win")
+    w = wkey.orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts_us",
+            "win",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wkey).cast("long").alias("n_in_window"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("event_id")
+    )
