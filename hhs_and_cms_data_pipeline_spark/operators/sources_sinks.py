@@ -22,7 +22,7 @@ import os
 import shutil
 import weakref
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1356,4 +1356,118 @@ def k11_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(per_bin).cast("long").alias("bin_files"),
         )
         .orderBy("bin", F.desc("n_rows"), "event_type", "d")
+    )
+
+
+# --------------------------------------------------------------------------
+# K12 — SCD TYPE-2 DIMENSION DERIVATION: collapse each user's event stream
+# into slowly-changing-dimension history rows — one row per CONSECUTIVE run
+# of the same event_type, with [valid_from, valid_to) microsecond validity,
+# an is_current flag on the open run, and the run's event count. This is
+# the warehouse "dim_user_state" build every CDC pipeline materializes from
+# a change log (K9 derives the changelog; K12 derives the interval history).
+# Shape: gaps-and-islands — LAG marks change points, a running SUM numbers
+# runs, one aggregation per (user, run), LEAD closes each interval with the
+# next run's start. Exchanges: one on user_id for the numbering windows,
+# one on (user_id, run) for the run aggregation — which consumes the
+# RUN-sized relation (transitions, not events), and the closing LEAD
+# re-partitions that same reduced relation. Ties inside a timestamp are
+# totally ordered by event_id so both engines build identical runs.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "k12_scd2_user_state",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_id IS NOT NULL AND event_type IS NOT NULL),
+    flagged AS (
+      SELECT *,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    runs AS (
+      SELECT *,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      FROM flagged),
+    grouped AS (
+      SELECT user_id, run_id,
+             MIN(event_type) AS state,
+             MIN(ts_us) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events_in_state
+      FROM runs GROUP BY 1, 2),
+    closed AS (
+      SELECT user_id, state, valid_from_us,
+             LEAD(valid_from_us) OVER (
+               PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+             n_events_in_state
+      FROM grouped)
+    SELECT user_id, state, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current,
+           n_events_in_state
+    FROM closed
+    ORDER BY user_id, valid_from_us
+    """,
+    tags=("K12",),
+)
+def k12_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12: SCD Type-2 state history per user (block comment above) —
+    consecutive same-type runs as half-open validity intervals."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("run_id"),
+    )
+    grouped = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events_in_state"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        grouped.select(
+            "user_id",
+            "state",
+            "valid_from_us",
+            F.lead("valid_from_us").over(wrun).alias("valid_to_us"),
+            "n_events_in_state",
+        )
+        .select(
+            "user_id",
+            "state",
+            "valid_from_us",
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+            "n_events_in_state",
+        )
+        .orderBy("user_id", "valid_from_us")
     )

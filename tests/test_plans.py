@@ -1105,3 +1105,26 @@ def test_mips_ivf_probe_broadcasts_cells(spark, specs):
     assert count_broadcast_joins(plan) >= 2
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_aggregates_runs_not_events(spark, specs):
+    plan = formatted_plan(specs["k12_scd2_user_state"].builder(spark, SF_SMOKE))
+    import re
+
+    # the WHOLE derivation stacks on ONE user_id exchange: LAG + running
+    # SUM windows, then the run aggregation rides the same sort order as a
+    # SortAggregate, then the closing LEAD — plus only the final output
+    # sort. A second data exchange appearing here means the (user, run)
+    # grouping stopped exploiting the window sort.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert count_exchanges(plan) <= 2, plan
+    wins = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Window", plan)]
+    aggs = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) (?:Hash|Sort)Aggregate", plan)
+    ]
+    assert len(wins) >= 2 and aggs, plan
+    # numbering windows (lowest ids) sit below the run aggregation, the
+    # closing LEAD above it
+    assert min(wins) < min(aggs) < max(wins)
+    assert "Join" not in plan

@@ -2040,3 +2040,32 @@ def test_mips_augmentation_monotone_and_topk_order(spark):
     exact_dot = {r["vec_id"]: r["dot"] for r in scored}
     for r in probe:
         assert r["dot"] == exact_dot[r["vec_id"]]
+
+
+def test_scd2_intervals_tile_user_timelines(spark):
+    """K12 invariants: per user exactly one open (is_current) row; closed
+    intervals are half-open, non-overlapping, and CONTIGUOUS (each
+    valid_to equals the next valid_from); consecutive states differ (runs
+    are maximal); n_events_in_state sums back to the user's event count."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_specs()["k12_scd2_user_state"].builder(spark, sf).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for _uid, grp in by_user.items():
+        grp.sort(key=lambda r: r["valid_from_us"])
+        assert sum(r["is_current"] for r in grp) == 1
+        assert grp[-1]["is_current"] and grp[-1]["valid_to_us"] is None
+        for a, b in zip(grp, grp[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["state"] != b["state"], "runs must be maximal"
+    ev = table(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    assert sum(r["n_events_in_state"] for r in rows) == ev.count()
