@@ -102,6 +102,11 @@ def main() -> None:
         "sim_ndcg_report",
         "xa19_activity_streaks",
         "xa20_event_concentration",
+        # this session's additions
+        "xt6_ewma_trend",
+        "u5_rate_limit_per_key",
+        "sim_mips_ivf_topk",
+        "k12_scd2_user_state",
     ]
     missing = [n for n in extended_names if n not in all_]
     if missing:
