@@ -921,3 +921,97 @@ def drift_from_counts(c: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# DQ9 — MEDIAN/MAD ROBUST ANOMALY AUDIT over the daily event-count series
+# per event type. dq_outlier_zscore's mean/std flags break down exactly
+# when outliers exist (the outlier inflates the std that is supposed to
+# catch it — masking); the robust version scores against the MEDIAN and
+# the Median Absolute Deviation, which have a 50% breakdown point
+# (Hampel's rule: |x - med| > 3 * 1.4826*MAD). Every day is emitted with
+# its robust z and flag — never only the anomalies, so the audit cannot
+# return a vacuous empty set on clean data.
+# Exactness: daily counts are integers; both medians are exact order
+# statistics (x or x.5, then quarters for the deviation median) — the only
+# float ops are one multiply by the 1.4826 consistency constant and one
+# division, both deterministic IEEE on both engines. MAD = 0 (a constant
+# series) yields NULL robust_z via NULLIF and flags any deviation — the
+# standard caveat, stated here.
+# Plan: one fact-table pre-agg to (type, day); the two median aggregations
+# and joins run over that reduced relation, dim-side broadcast.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_mad_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, CAST(median(n) AS DOUBLE) AS med
+      FROM daily GROUP BY 1),
+    dev AS (
+      SELECT daily.event_type, daily.d, daily.n, med.med,
+             abs(CAST(daily.n AS DOUBLE) - med.med) AS adev
+      FROM daily JOIN med ON daily.event_type = med.event_type),
+    madt AS (
+      SELECT event_type, CAST(median(adev) AS DOUBLE) AS mad
+      FROM dev GROUP BY 1)
+    SELECT dev.event_type, dev.d, dev.n AS n_events, dev.med, madt.mad,
+           (CAST(dev.n AS DOUBLE) - dev.med)
+             / NULLIF(1.4826 * madt.mad, 0.0) AS robust_z,
+           abs(CAST(dev.n AS DOUBLE) - dev.med)
+             > 3.0 * (1.4826 * madt.mad) AS is_anomaly
+    FROM dev JOIN madt ON dev.event_type = madt.event_type
+    ORDER BY dev.event_type, dev.d
+    """,
+    tags=("DQ9",),
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ9: Hampel median/MAD anomaly flags over daily event counts per
+    type (block comment above) — every day scored, outlier-resistant."""
+    ensure_session_conf(spark)
+    from ..sources import table
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.median("n").cast("double").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        "med",
+        F.abs(F.col("n").cast("double") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.median("adev").cast("double").alias("mad")
+    )
+    scale = F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "d",
+            F.col("n").alias("n_events"),
+            "med",
+            "mad",
+            (
+                (F.col("n").cast("double") - F.col("med"))
+                / F.nullif(scale, F.lit(0.0))
+            ).alias("robust_z"),
+            (F.abs(F.col("n").cast("double") - F.col("med")) > F.lit(3.0) * scale)
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -2069,3 +2069,31 @@ def test_scd2_intervals_tile_user_timelines(spark):
         & F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
     )
     assert sum(r["n_events_in_state"] for r in rows) == ev.count()
+
+
+def test_mad_outliers_match_python_model(spark):
+    """DQ9 model property: med/mad equal a pure-Python median/MAD over the
+    same daily series; the flag is exactly |n-med| > 3*1.4826*mad; robust_z
+    is NULL iff mad == 0; and every day of every type is emitted."""
+    import statistics
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_specs()["dq_mad_outliers"].builder(spark, sf).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for _etype, grp in by_type.items():
+        ns = [r["n_events"] for r in grp]
+        med = float(statistics.median(ns))
+        mad = float(statistics.median([abs(n - med) for n in ns]))
+        assert len({r["d"] for r in grp}) == len(grp)
+        for r in grp:
+            assert r["med"] == med and r["mad"] == mad
+            expect_flag = abs(r["n_events"] - med) > 3.0 * (1.4826 * mad)
+            assert r["is_anomaly"] == expect_flag
+            if mad == 0.0:
+                assert r["robust_z"] is None
+            else:
+                assert r["robust_z"] == (r["n_events"] - med) / (1.4826 * mad)
