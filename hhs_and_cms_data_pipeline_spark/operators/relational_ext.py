@@ -2530,3 +2530,73 @@ def u5_rate_limit_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# XT7 — ROLLING MEDIAN: 15-day rolling median of the daily event-count
+# series per event type — the robust smoother ops dashboards overlay when
+# spikes would drag a rolling MEAN (and the windowed companion to DQ9's
+# global median/MAD audit). Spark has no framed-window median, so the
+# operator states it exactly over the bounded frame: collect_list of the
+# ≤15 frame values, array_sort, exact middle element (odd) or the IEEE
+# mean of the two middles (even) — all inside codegen'd array expressions,
+# no UDF. The frame is a compile-time constant, so the per-row array is
+# O(15) regardless of data size; the plan is the same pre-agg + one
+# (event_type) window pass as XT6. DuckDB's framed median() on integers
+# has exactly these order-statistic semantics, so the differential is
+# bit-exact.
+# --------------------------------------------------------------------------
+
+_ROLL_MED_DAYS = 15
+
+
+@register(
+    "xt7_rolling_median",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT event_type, d, n AS n_events,
+           CAST(median(n) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN {_ROLL_MED_DAYS - 1} PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS rolling_median
+    FROM daily
+    ORDER BY event_type, d
+    """,
+    tags=("XT7",),
+)
+def xt7_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XT7: 15-day rolling median of daily event counts per type (block
+    comment above) — exact order statistic over the bounded frame."""
+    ensure_session_conf(spark)
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(_ROLL_MED_DAYS - 1), 0)
+    )
+    s = F.array_sort(F.collect_list("n").over(w))
+    m = F.size(s)
+    mid_hi = F.element_at(s, (m / 2 + 1).cast("int")).cast("double")
+    mid_lo = F.element_at(s, (m / 2).cast("int")).cast("double")
+    rolling = F.when(m % 2 == 1, F.element_at(s, ((m + 1) / 2).cast("int")).cast("double")).otherwise(
+        (mid_lo + mid_hi) / F.lit(2.0)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "d",
+            F.col("n").alias("n_events"),
+            rolling.alias("rolling_median"),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -1128,3 +1128,16 @@ def test_scd2_aggregates_runs_not_events(spark, specs):
     # closing LEAD above it
     assert min(wins) < min(aggs) < max(wins)
     assert "Join" not in plan
+
+
+def test_rolling_median_preagg_single_window(spark, specs):
+    plan = formatted_plan(specs["xt7_rolling_median"].builder(spark, SF_SMOKE))
+    import re
+
+    # exact frame median rides ONE window pass over the date-grain
+    # pre-agg; no UDF, no extra exchange beyond agg + window + output sort
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+    aggs = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
+    wins = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Window", plan)]
+    assert aggs and wins and min(aggs) < min(wins)

@@ -2097,3 +2097,23 @@ def test_mad_outliers_match_python_model(spark):
                 assert r["robust_z"] is None
             else:
                 assert r["robust_z"] == (r["n_events"] - med) / (1.4826 * mad)
+
+
+def test_rolling_median_matches_python_model(spark):
+    """XT7 model property: each row's rolling_median equals the exact
+    median of the last <=15 observed daily counts of its event type."""
+    import statistics
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_specs()["xt7_rolling_median"].builder(spark, sf).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for _etype, grp in by_type.items():
+        grp.sort(key=lambda r: r["d"])
+        ns = [r["n_events"] for r in grp]
+        for t, r in enumerate(grp):
+            frame = ns[max(0, t - 14) : t + 1]
+            assert r["rolling_median"] == float(statistics.median(frame))
