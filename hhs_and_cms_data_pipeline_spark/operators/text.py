@@ -1528,3 +1528,101 @@ def tx17_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# TX18 — interpolated KNESER-NEY bigram probabilities (Kneser & Ney 1995;
+# Chen & Goodman 1999 eq. 4.25): the smoothing every serious n-gram LM
+# (KenLM included) actually ships, distinct from TX13's add-one code
+# lengths. Per bigram (w1, w2):
+#     P_KN(w2|w1) = max(c(w1 w2) - D, 0)/c(w1 .)
+#                   + (D * N1+(w1 .)/c(w1 .)) * (N1+(. w2)/N_bg_types)
+# with discount D = 0.75, where N1+(w1 .) = distinct continuations of w1,
+# N1+(. w2) = distinct CONTEXTS of w2 (the "how many places does this word
+# follow" novelty count that makes KN work), N_bg_types = distinct bigram
+# types. Every operand is an integer count; the probability is ONE fixed
+# IEEE expression tree mirrored token-for-token in the oracle, so both
+# engines round identically at every step — no decimal machinery needed.
+# Plan shape at 100 TB: bigrams from the in-row zip_with multiset (map-
+# only), ONE (bg, w1, w2)-keyed aggregation materialized once, and the
+# three model tables (context totals, continuation counts, the type
+# scalar) are rollups of it — vocabulary-sized, broadcast into the final
+# scoring join. Output: the 50 most frequent bigrams (c DESC, bg ASC), a
+# bounded deterministic report.
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75
+_KN_TOP = 50
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH bgm AS (
+      SELECT w1, w2, w1 || ' ' || w2 AS bg FROM (
+        SELECT w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM ({SQL_TOKS}))
+      WHERE w2 IS NOT NULL),
+    c2 AS (SELECT bg, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bgm GROUP BY 1, 2, 3),
+    c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw,
+                  CAST(COUNT(*) AS BIGINT) AS n1f
+           FROM c2 GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c2 GROUP BY 1),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM c2)
+    SELECT c2.bg, c2.c, c1.cw, c1.n1f, cont.n1b,
+           (GREATEST(CAST(c2.c AS DOUBLE) - {_KN_D}, 0.0)
+              / CAST(c1.cw AS DOUBLE))
+           + ((({_KN_D} * CAST(c1.n1f AS DOUBLE)) / CAST(c1.cw AS DOUBLE))
+              * (CAST(cont.n1b AS DOUBLE) / CAST(nt.nbt AS DOUBLE)))
+             AS p_kn
+    FROM c2
+    JOIN c1 ON c2.w1 = c1.w1
+    JOIN cont ON c2.w2 = cont.w2
+    CROSS JOIN nt
+    ORDER BY c2.c DESC, c2.bg
+    LIMIT {_KN_TOP}
+    """,
+    tags=("TX18",),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX18: interpolated Kneser-Ney bigram model over the corpus (block
+    comment above) — the 50 most frequent bigrams with their smoothed
+    conditional probabilities and the model counts behind them."""
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokens().alias("toks"))
+    bgm = toked.select(
+        F.explode(bigram_multiset(F.col("toks"))).alias("bg")
+    ).select(
+        "bg",
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    c2 = (
+        bgm.groupBy("bg", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cw"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    nt = c2.agg(F.count(F.lit(1)).cast("long").alias("nbt"))
+    p_kn = (
+        F.greatest(F.col("c").cast("double") - F.lit(_KN_D), F.lit(0.0))
+        / F.col("cw").cast("double")
+    ) + (
+        (F.lit(_KN_D) * F.col("n1f").cast("double") / F.col("cw").cast("double"))
+        * (F.col("n1b").cast("double") / F.col("nbt").cast("double"))
+    )
+    return (
+        c2.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(nt))
+        .select("bg", "c", "cw", "n1f", "n1b", p_kn.alias("p_kn"))
+        .orderBy(F.desc("c"), F.asc("bg"))
+        .limit(_KN_TOP)
+    )

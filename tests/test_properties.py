@@ -2117,3 +2117,55 @@ def test_rolling_median_matches_python_model(spark):
         for t, r in enumerate(grp):
             frame = ns[max(0, t - 14) : t + 1]
             assert r["rolling_median"] == float(statistics.median(frame))
+
+
+def test_kneser_ney_is_a_probability_distribution(spark):
+    """TX18 model property: for each context w1, the interpolated-KN mass
+    over the FULL vocabulary sums to exactly 1 — the discounted observed
+    mass plus lambda(w1) times the (complete) continuation distribution.
+    Verified by recomputing the model in Python from raw bigram counts and
+    checking the registered query's p_kn values against it."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents").select("text").collect()
+    big = Counter()
+    for r in docs:
+        ws = r["text"].split(" ")
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+    cw = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (a, b), c in big.items():
+        cw[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    nbt = len(big)
+    D = 0.75
+    # normalization: observed discounted mass + lambda * full continuation
+    for a in list(cw)[:200]:
+        obs = sum(max(big[(a, b)] - D, 0.0) for (x, b) in big if x == a)
+        lam = D * n1f[a] / cw[a]
+        # full-vocab continuation mass is sum(n1b)/nbt = 1, so the
+        # interpolated model normalizes exactly
+        assert abs(obs / cw[a] + lam * 1.0 - 1.0) < 1e-9
+        # exact identity: sum(max(c-D,0)) = cw - D*n1f for c >= 1
+        assert abs(obs - (cw[a] - D * n1f[a])) < 1e-9
+    # the registered top-50 rows carry exactly the model's counts and p_kn
+    rows = all_specs()["text_kneser_ney_bigram"].builder(spark, sf).collect()
+    assert len(rows) == 50
+    for r in rows:
+        a, b = r["bg"].split(" ")[0], r["bg"].split(" ")[-1]
+        assert r["c"] == big[(a, b)]
+        assert r["cw"] == cw[a] and r["n1f"] == n1f[a] and r["n1b"] == n1b[b]
+        expect = max(r["c"] - D, 0.0) / cw[a] + (D * n1f[a] / cw[a]) * (
+            n1b[b] / nbt
+        )
+        assert abs(r["p_kn"] - expect) < 1e-12
+        assert 0.0 < r["p_kn"] <= 1.0
