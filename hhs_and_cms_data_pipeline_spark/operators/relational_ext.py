@@ -2600,3 +2600,73 @@ def xt7_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --------------------------------------------------------------------------
+# XA21 — SEASONALITY PROFILE: the day-of-week x hour-of-day load matrix
+# (every traffic/capacity dashboard's heatmap), with each cell's share of
+# total traffic and the peak hour flagged per weekday. Calendar math is
+# INTEGER arithmetic on epoch microseconds — dow = (days_since_epoch + 4)
+# mod 7 (1970-01-01 was a Thursday; 0 = Sunday), hour = hours mod 24, all
+# UTC by construction — because Spark's dayofweek() (1=Sunday) and
+# DuckDB's (0=Sunday) disagree and both can drag session timezones in.
+# One fact-table aggregation to <=168 cells; the ranking window and the
+# total are broadcast-sized. Map-side partial agg does the heavy lifting
+# at any scale.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xa21_seasonal_profile",
+    oracle="""
+    WITH cells AS (
+      SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM cells),
+    ranked AS (
+      SELECT dow, hod, n_events,
+             ROW_NUMBER() OVER (
+               PARTITION BY dow ORDER BY n_events DESC, hod) AS rnk
+      FROM cells)
+    SELECT CAST(r.dow AS BIGINT) AS dow, CAST(r.hod AS BIGINT) AS hod,
+           r.n_events,
+           CAST(r.n_events AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           r.rnk = 1 AS is_peak_hour
+    FROM ranked r CROSS JOIN tot t
+    ORDER BY dow, hod
+    """,
+    tags=("XA21",),
+)
+def xa21_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA21: day-of-week x hour-of-day traffic matrix (block comment
+    above) — cell counts, share of total, per-weekday peak hour."""
+    ensure_session_conf(spark)
+    us = F.unix_micros(F.col("ts"))
+    cells = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            ((F.floor(us / F.lit(86_400_000_000)) + 4) % 7).cast("long").alias("dow"),
+            (F.floor(us / F.lit(3_600_000_000)) % 24).cast("long").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    tot = cells.agg(F.sum("n_events").cast("long").alias("total"))
+    w = Window.partitionBy("dow").orderBy(F.desc("n_events"), F.asc("hod"))
+    return (
+        cells.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total").cast("double"))
+            .alias("share"),
+            (F.col("rnk") == 1).alias("is_peak_hour"),
+        )
+        .orderBy("dow", "hod")
+    )
