@@ -2341,9 +2341,12 @@ def sim_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so nearest-neighbor machinery (here: the IVF per-label cells, built over
 # AUGMENTED centroids) solves MIPS. SIM23 audits the probe honestly:
 # recall@10 of SIM22 against SIM21 (measured 0.3 at sf0.001-0.1 with
-# nprobe=2 of 10 label cells — the label quantizer is norm-blind, which is
-# exactly the augmentation's documented weakness when norms vary; the audit
-# existing to SAY so is the deliverable). All dot/centroid math rides the
+# nprobe=2 of 10 label cells; norm-banded 20-cell variants measured no
+# better at equal scan fraction — the synthetic embeddings are near-
+# isotropic random vectors, the documented WORST case for any coarse
+# quantizer, so ~scan-fraction recall is the honest expectation here and
+# the audit existing to SAY so is the deliverable; clustered real corpora
+# are where IVF recall beats the scan fraction). All dot math rides the
 # bit-exact fold + decimal-routed aggregates the cosine family uses, so
 # every float agrees with the DuckDB oracle bitwise.
 # At 100 TB: M^2 is one scalar agg (map-side partial max); augmentation is
