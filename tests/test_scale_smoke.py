@@ -205,3 +205,83 @@ def test_shingle_dedup_shape_at_10x(spark):
     # 10x raises shingle dfs, so the base slice can only LOSE candidates
     # whose every shared shingle crossed the cap — never gain or rescore
     assert set(base_pairs) <= set(one_x)
+
+
+def test_rate_limit_hot_key_burst(spark):
+    """U5 skew stress: ONE user firing 200k events inside a single
+    10-minute window (the exact bot pattern the limiter exists for) plus a
+    sprinkle of normal traffic. The window operator must stream the hot
+    key (sort-based, no per-key materialization that OOMs), keep EXACTLY
+    the earliest event of the burst, and report the full burst size."""
+    from pyspark.sql import functions as F
+
+    burst = spark.range(200_000).select(
+        (F.col("id") + 1_000_000).alias("event_id"),
+        F.lit(7777).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        # ts strictly increasing with id, all 200k inside ONE 10-minute
+        # bucket — the earliest (the survivor) is event_id 1_000_000
+        (F.lit(1_600_000_000_000_000) + F.col("id")).alias("ts_us"),
+    )
+    normal = spark.range(50).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        (F.lit(1_600_000_000_000_000) + F.col("id") * 3_600_000_000).alias("ts_us"),
+    )
+    ev = burst.unionByName(normal).select(
+        "event_id", "user_id", "event_type", "ts_us",
+        F.floor(F.col("ts_us") / F.lit(600_000_000)).cast("long").alias("win"),
+    )
+    from pyspark.sql import Window
+
+    wkey = Window.partitionBy("user_id", "win")
+    w = wkey.orderBy("ts_us", "event_id")
+    kept = (
+        ev.select(
+            "event_id", "user_id", "win",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wkey).alias("n_in_window"),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    hot = [r for r in kept if r["user_id"] == 7777]
+    assert len(hot) == 1
+    assert hot[0]["event_id"] == 1_000_000 and hot[0]["n_in_window"] == 200_000
+    assert len(kept) == 1 + 50  # normal rows land in distinct windows
+
+
+def test_scd2_hot_user_alternating_runs(spark):
+    """K12 skew stress: one user alternating state every event for 200k
+    events — the worst case for the gaps-and-islands derivation (every
+    event is a run boundary, so the run relation is as large as the
+    input). The single-exchange window/SortAggregate stack must stream it
+    and produce 200k maximal runs that tile the timeline."""
+    from pyspark.sql import functions as F, Window
+
+    ev = spark.range(200_000).select(
+        F.col("id").alias("event_id"),
+        F.lit(42).alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("event_type"),
+        (F.lit(1_600_000_000_000_000) + F.col("id") * 1_000_000).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    runs = ev.select(
+        "user_id", "event_type", "ts_us",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_id"),
+    )
+    grouped = runs.groupBy("user_id", "run_id").agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    agg = grouped.agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_run"),
+    ).collect()[0]
+    assert agg["n_runs"] == 200_000      # every event its own maximal run
+    assert agg["n_events"] == 200_000
+    assert agg["max_run"] == 1
