@@ -2670,3 +2670,150 @@ def xa21_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+# --------------------------------------------------------------------------
+# XJ4 — NEAREST as-of join: match each 'error' event to the CLOSEST
+# 'purchase' of the same user in EITHER direction (kdb's `aj` family /
+# pandas merge_asof(direction="nearest") — the sensor-alignment variant;
+# XJ1 is the backward-only form). Contract: a purchase at exactly the
+# error's timestamp counts as BACKWARD (inclusive past, exclusive future,
+# so the two candidate sets partition time); ties on distance prefer the
+# past purchase; ties inside a timestamp resolve by event_id (backward:
+# highest, forward: lowest — the nearest-scan orders below and the
+# oracle's correlated ORDER BY state the same choice).
+# Plan: TWO carry passes over the same user_id partitioning — ascending
+# (ts, purchase-first) carrying the last purchase forward, descending
+# (ts, error-first) carrying the next purchase backward — then a map-only
+# CASE on the two integer distances. One exchange, no row explosion, no
+# per-row subquery: the same shape that makes XJ1 scale-safe, doubled.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xj4_asof_nearest",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+      WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        AND user_id IS NOT NULL),
+    err AS (SELECT * FROM ev WHERE event_type = 'error'),
+    matched AS (
+      SELECT a.event_id, a.user_id, a.ts_us,
+             (SELECT p.event_id FROM ev p
+               WHERE p.user_id = a.user_id AND p.event_type = 'purchase'
+                 AND p.ts_us <= a.ts_us
+               ORDER BY p.ts_us DESC, p.event_id DESC LIMIT 1) AS prev_id,
+             (SELECT p.ts_us FROM ev p
+               WHERE p.user_id = a.user_id AND p.event_type = 'purchase'
+                 AND p.ts_us <= a.ts_us
+               ORDER BY p.ts_us DESC, p.event_id DESC LIMIT 1) AS prev_ts_us,
+             (SELECT p.event_id FROM ev p
+               WHERE p.user_id = a.user_id AND p.event_type = 'purchase'
+                 AND p.ts_us > a.ts_us
+               ORDER BY p.ts_us ASC, p.event_id ASC LIMIT 1) AS next_id,
+             (SELECT p.ts_us FROM ev p
+               WHERE p.user_id = a.user_id AND p.event_type = 'purchase'
+                 AND p.ts_us > a.ts_us
+               ORDER BY p.ts_us ASC, p.event_id ASC LIMIT 1) AS next_ts_us
+      FROM err a)
+    SELECT event_id, user_id, ts_us, prev_id, next_id,
+           CASE
+             WHEN prev_id IS NULL THEN next_id
+             WHEN next_id IS NULL THEN prev_id
+             WHEN ts_us - prev_ts_us <= next_ts_us - ts_us THEN prev_id
+             ELSE next_id
+           END AS nearest_purchase_id,
+           CASE
+             WHEN prev_id IS NULL THEN next_ts_us - ts_us
+             WHEN next_id IS NULL THEN ts_us - prev_ts_us
+             WHEN ts_us - prev_ts_us <= next_ts_us - ts_us
+               THEN ts_us - prev_ts_us
+             ELSE next_ts_us - ts_us
+           END AS nearest_dt_us
+    FROM matched
+    ORDER BY event_id
+    """,
+    tags=("XJ4",),
+)
+def xj4_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XJ4: nearest-in-time as-of join, errors to purchases (block comment
+    above) — both directional matches plus the nearest pick and its
+    distance."""
+    ensure_session_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin("purchase", "error")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.when(F.col("event_type") == "purchase", F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("m"),
+        )
+    )
+    is_p = F.col("m") == 0
+    # backward pass: purchases sort BEFORE errors at equal ts (inclusive
+    # past); last-seen = highest event_id among equal-ts purchases
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "m", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward pass: descending ts, errors scan BEFORE equal-ts purchases
+    # (exclusive future); event_id DESC so last-seen = LOWEST id
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.asc("m"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_id = F.last(F.when(is_p, F.col("event_id")), ignorenulls=True).over(wb)
+    prev_ts = F.last(F.when(is_p, F.col("ts_us")), ignorenulls=True).over(wb)
+    next_id = F.last(F.when(is_p, F.col("event_id")), ignorenulls=True).over(wf)
+    next_ts = F.last(F.when(is_p, F.col("ts_us")), ignorenulls=True).over(wf)
+    # ONE select so the two same-spec carries collapse into one Window
+    # node per direction (chained withColumn nests projections that block
+    # the window-collapse rule — 4 Window nodes instead of 2)
+    both = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "m",
+        prev_id.alias("prev_id"),
+        prev_ts.alias("prev_ts_us"),
+        next_id.alias("next_id"),
+        next_ts.alias("next_ts_us"),
+    ).filter(F.col("m") == 1)
+    d_prev = F.col("ts_us") - F.col("prev_ts_us")
+    d_next = F.col("next_ts_us") - F.col("ts_us")
+    nearest_id = (
+        F.when(F.col("prev_id").isNull(), F.col("next_id"))
+        .when(F.col("next_id").isNull(), F.col("prev_id"))
+        .when(d_prev <= d_next, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+    )
+    nearest_dt = (
+        F.when(F.col("prev_id").isNull(), d_next)
+        .when(F.col("next_id").isNull(), d_prev)
+        .when(d_prev <= d_next, d_prev)
+        .otherwise(d_next)
+    )
+    return (
+        both.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "prev_id",
+            "next_id",
+            nearest_id.alias("nearest_purchase_id"),
+            nearest_dt.alias("nearest_dt_us"),
+        )
+        .orderBy("event_id")
+    )

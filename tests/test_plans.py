@@ -1141,3 +1141,16 @@ def test_rolling_median_preagg_single_window(spark, specs):
     aggs = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
     wins = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Window", plan)]
     assert aggs and wins and min(aggs) < min(wins)
+
+
+def test_asof_nearest_two_passes_one_partitioning(spark, specs):
+    plan = formatted_plan(specs["xj4_asof_nearest"].builder(spark, SF_SMOKE))
+    import re
+
+    # the backward and forward carries are window passes over the same
+    # user_id hash partitioning (one exchange + re-sort, never a second
+    # hash exchange of the data), with no join or row explosion anywhere
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "Join" not in plan
+    hash_ex = len(re.findall(r"hashpartitioning\(user_id", plan))
+    assert hash_ex <= 1, plan

@@ -2169,3 +2169,47 @@ def test_kneser_ney_is_a_probability_distribution(spark):
         )
         assert abs(r["p_kn"] - expect) < 1e-12
         assert 0.0 < r["p_kn"] <= 1.0
+
+
+def test_asof_nearest_picks_true_minimum(spark):
+    """XJ4 model property: for every error, the picked purchase really is
+    the minimum |dt| purchase of that user (inclusive past, exclusive
+    future), distance ties prefer the past, and nearest_dt_us is its
+    distance — verified against a brute-force Python scan."""
+    from pyspark.sql import functions as F
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        table(spark, sf, "events")
+        .filter(
+            F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .collect()
+    )
+    purchases: dict[int, list] = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            purchases.setdefault(r["user_id"], []).append((r["ts_us"], r["event_id"]))
+    rows = all_specs()["xj4_asof_nearest"].builder(spark, sf).collect()
+    n_err = sum(1 for r in ev if r["event_type"] == "error")
+    assert len(rows) == n_err
+    for r in rows:
+        cand = purchases.get(r["user_id"], [])
+        past = [(r["ts_us"] - t, -eid) for t, eid in cand if t <= r["ts_us"]]
+        futr = [(t - r["ts_us"], eid) for t, eid in cand if t > r["ts_us"]]
+        best_p = min(past) if past else None
+        best_f = min(futr) if futr else None
+        if best_p is None and best_f is None:
+            assert r["nearest_purchase_id"] is None
+            continue
+        if best_f is None or (best_p is not None and best_p[0] <= best_f[0]):
+            want_id, want_dt = -best_p[1], best_p[0]
+        else:
+            want_id, want_dt = best_f[1], best_f[0]
+        assert r["nearest_purchase_id"] == want_id, r
+        assert r["nearest_dt_us"] == want_dt, r
