@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum, sql_dsum
+from .relational_ext import SQL_DAILY_EVENT_COUNTS
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources.csvsrc import read_cms_quality, read_hhs_weekly
@@ -945,13 +946,8 @@ def drift_from_counts(c: DataFrame) -> DataFrame:
 
 @register(
     "dq_mad_outliers",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM events
-      WHERE ts IS NOT NULL AND event_type IS NOT NULL
-      GROUP BY 1, 2),
+    oracle=f"""
+    WITH daily AS ({SQL_DAILY_EVENT_COUNTS}),
     med AS (
       SELECT event_type, CAST(median(n) AS DOUBLE) AS med
       FROM daily GROUP BY 1),
@@ -976,14 +972,9 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ9: Hampel median/MAD anomaly flags over daily event counts per
     type (block comment above) — every day scored, outlier-resistant."""
     ensure_session_conf(spark)
-    from ..sources import table
+    from .relational_ext import daily_event_counts
 
-    daily = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    daily = daily_event_counts(spark, sf_dir)
     med = daily.groupBy("event_type").agg(
         F.median("n").cast("double").alias("med")
     )

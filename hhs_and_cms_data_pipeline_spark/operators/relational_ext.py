@@ -2372,6 +2372,28 @@ def xa20_event_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB the pre-agg reduces the fact table to (types x days) rows first.
 # --------------------------------------------------------------------------
 
+# Shared (event_type, day) pre-aggregation: the XT6/XT7 smoothers and
+# DQ9's MAD audit all consume the SAME daily series — one definition (and
+# one oracle CTE body) so the null-filter and date-cast contract cannot
+# drift between them.
+SQL_DAILY_EVENT_COUNTS = """SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2"""
+
+
+def daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, d, n): daily event counts, the Spark twin of
+    SQL_DAILY_EVENT_COUNTS."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 _EWMA_TERMS = 16  # current row + 15 lags; tail weight < 2^-15
 
 
@@ -2395,12 +2417,7 @@ _EWMA_LAGS_SQL = ", ".join(
 @register(
     "xt6_ewma_trend",
     oracle=f"""
-    WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM events
-      WHERE ts IS NOT NULL AND event_type IS NOT NULL
-      GROUP BY 1, 2),
+    WITH daily AS ({SQL_DAILY_EVENT_COUNTS}),
     lagged AS (
       SELECT event_type, d, n, {_EWMA_LAGS_SQL}
       FROM daily)
@@ -2419,12 +2436,7 @@ def xt6_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event type (block comment above). Integer numerator/denominator are
     emitted alongside the double for auditability."""
     ensure_session_conf(spark)
-    daily = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    daily = daily_event_counts(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("d")
     lags = [F.lag("n", i).over(w).alias(f"l{i}") for i in range(1, _EWMA_TERMS)]
     lagged = daily.select("event_type", "d", "n", *lags)
@@ -2509,10 +2521,12 @@ def u5_rate_limit_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             F.unix_micros("ts").alias("ts_us"),
-            F.floor(F.unix_micros("ts") / F.lit(_RATE_WINDOW_US))
-            .cast("long")
-            .alias("win"),
         )
+        # SQL `div` = true 64-bit integer division, matching the oracle's
+        # `//`; floor(double-division) would round the quotient first and
+        # can misbucket within half an ulp of a window boundary once ts_us
+        # outgrows double precision
+        .select("*", F.expr(f"ts_us div {_RATE_WINDOW_US}").alias("win"))
     )
     wkey = Window.partitionBy("user_id", "win")
     w = wkey.orderBy("ts_us", "event_id")
@@ -2553,12 +2567,7 @@ _ROLL_MED_DAYS = 15
 @register(
     "xt7_rolling_median",
     oracle=f"""
-    WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM events
-      WHERE ts IS NOT NULL AND event_type IS NOT NULL
-      GROUP BY 1, 2)
+    WITH daily AS ({SQL_DAILY_EVENT_COUNTS})
     SELECT event_type, d, n AS n_events,
            CAST(median(n) OVER (
              PARTITION BY event_type ORDER BY d
@@ -2573,12 +2582,7 @@ def xt7_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XT7: 15-day rolling median of daily event counts per type (block
     comment above) — exact order statistic over the bounded frame."""
     ensure_session_conf(spark)
-    daily = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    daily = daily_event_counts(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")
@@ -2645,13 +2649,15 @@ def xa21_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XA21: day-of-week x hour-of-day traffic matrix (block comment
     above) — cell counts, share of total, per-weekday peak hour."""
     ensure_session_conf(spark)
-    us = F.unix_micros(F.col("ts"))
     cells = (
         table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
+        .select(F.unix_micros(F.col("ts")).alias("us"))
+        # `div` = 64-bit integer division (the oracle's `//`), not
+        # floor(double-division) — see U5
         .groupBy(
-            ((F.floor(us / F.lit(86_400_000_000)) + 4) % 7).cast("long").alias("dow"),
-            (F.floor(us / F.lit(3_600_000_000)) % 24).cast("long").alias("hod"),
+            ((F.expr("us div 86400000000") + 4) % 7).cast("long").alias("dow"),
+            (F.expr("us div 3600000000") % 24).cast("long").alias("hod"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
@@ -2759,6 +2765,14 @@ def xj4_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m"),
         )
     )
+    return asof_nearest_frame(ev).orderBy("event_id")
+
+
+def asof_nearest_frame(ev: DataFrame) -> DataFrame:
+    """XJ4's carry/pick core over any (event_id, user_id, ts_us, m) frame
+    (m: 0 = match candidate, 1 = probe) — factored so the same-microsecond
+    tie contract is pinned by a synthetic-fixture test
+    (tests/test_properties.py), not just the tie-free testdata."""
     is_p = F.col("m") == 0
     # backward pass: purchases sort BEFORE errors at equal ts (inclusive
     # past); last-seen = highest event_id among equal-ts purchases
@@ -2767,11 +2781,13 @@ def xj4_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us", "m", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # forward pass: descending ts, errors scan BEFORE equal-ts purchases
-    # (exclusive future); event_id DESC so last-seen = LOWEST id
+    # forward pass: descending ts, errors (m=1) scan BEFORE equal-ts
+    # purchases (m=0) — m DESC — so a same-microsecond purchase is NOT yet
+    # seen at the error row (exclusive future, matching the oracle's
+    # strict `p.ts_us > a.ts_us`); event_id DESC so last-seen = LOWEST id
     wf = (
         Window.partitionBy("user_id")
-        .orderBy(F.desc("ts_us"), F.asc("m"), F.desc("event_id"))
+        .orderBy(F.desc("ts_us"), F.desc("m"), F.desc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_id = F.last(F.when(is_p, F.col("event_id")), ignorenulls=True).over(wb)
@@ -2815,5 +2831,4 @@ def xj4_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             nearest_id.alias("nearest_purchase_id"),
             nearest_dt.alias("nearest_dt_us"),
         )
-        .orderBy("event_id")
     )

@@ -2531,8 +2531,16 @@ def sim_mips_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact scan (SIM21) — the honesty audit every approximate
     index ships with."""
     ensure_session_conf(spark)
-    exact_ids = _mips_exact_topk(spark, sf_dir).select("vec_id")
-    probe_ids = _mips_ivf_topk(spark, sf_dir).select("vec_id")
+    # localCheckpoint: each 10-row ID set is consumed twice (count +
+    # intersect) — without it the exact scan and the whole augmented-IVF
+    # centroid/probe pipeline would execute twice (same convention as the
+    # SIM11/SIM14 recall reports)
+    exact_ids = (
+        _mips_exact_topk(spark, sf_dir).select("vec_id").localCheckpoint(eager=False)
+    )
+    probe_ids = (
+        _mips_ivf_topk(spark, sf_dir).select("vec_id").localCheckpoint(eager=False)
+    )
     n_exact = exact_ids.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     n_probe = probe_ids.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
     n_hit = (

@@ -2030,11 +2030,13 @@ def test_mips_augmentation_monotone_and_topk_order(spark):
         .select(emb_norm2(F.col("embedding")).alias("n2"))
         .collect()[0]["n2"]
     )
-    # reduction identity on every vector (float-tolerant: identity holds
-    # analytically; each side accumulates differently)
-    aug = sorted(scored, key=lambda r: (m2 + qn2 - 2 * r["dot"], r["vec_id"]))
+    # reduction identity: augmented distance is WEAKLY monotone
+    # non-increasing in the dot (exact list equality would flake whenever
+    # two distinct dots round to the same d2 — the two sorts then
+    # tie-break differently on data that is actually correct)
     byd = sorted(scored, key=lambda r: (-r["dot"], r["vec_id"]))
-    assert [r["vec_id"] for r in aug] == [r["vec_id"] for r in byd]
+    ds = [m2 + qn2 - 2 * r["dot"] for r in byd]
+    assert ds == sorted(ds)
 
     probe = specs["sim_mips_ivf_topk"].builder(spark, sf).collect()
     exact_dot = {r["vec_id"]: r["dot"] for r in scored}
@@ -2213,3 +2215,48 @@ def test_asof_nearest_picks_true_minimum(spark):
             want_id, want_dt = best_f[1], best_f[0]
         assert r["nearest_purchase_id"] == want_id, r
         assert r["nearest_dt_us"] == want_dt, r
+
+
+def test_asof_nearest_same_microsecond_tie_is_past(spark):
+    """XJ4 tie contract on a constructed fixture the tie-free testdata
+    cannot exercise: a purchase sharing the error's exact microsecond is a
+    BACKWARD match (inclusive past) and must NOT leak into next_id
+    (exclusive future); among equal-distance past/future the past wins;
+    equal-ts duplicates resolve by event_id (past: highest, future:
+    lowest)."""
+    from hhs_and_cms_data_pipeline_spark.operators.relational_ext import (
+        asof_nearest_frame,
+    )
+
+    # m: 0 = purchase, 1 = error
+    ev = spark.createDataFrame(
+        [
+            # user 1: purchase at the error's exact ts + a later purchase
+            (10, 1, 100, 0),
+            (20, 1, 100, 1),
+            (30, 1, 200, 0),
+            # user 2: equidistant past and future purchases
+            (40, 2, 100, 0),
+            (50, 2, 150, 1),
+            (60, 2, 200, 0),
+            # user 3: two purchases at the same past ts, two at the same
+            # future ts — event_id tie-breaks
+            (70, 3, 100, 0),
+            (71, 3, 100, 0),
+            (80, 3, 150, 1),
+            (90, 3, 300, 0),
+            (91, 3, 300, 0),
+        ],
+        "event_id long, user_id long, ts_us long, m int",
+    )
+    rows = {r["event_id"]: r for r in asof_nearest_frame(ev).collect()}
+    r1 = rows[20]
+    assert r1["prev_id"] == 10, "same-ts purchase is a past match"
+    assert r1["next_id"] == 30, "same-ts purchase must not leak into next"
+    assert r1["nearest_purchase_id"] == 10 and r1["nearest_dt_us"] == 0
+    r2 = rows[50]
+    assert r2["prev_id"] == 40 and r2["next_id"] == 60
+    assert r2["nearest_purchase_id"] == 40, "distance tie prefers the past"
+    r3 = rows[80]
+    assert r3["prev_id"] == 71, "equal-ts past duplicates: highest id"
+    assert r3["next_id"] == 90, "equal-ts future duplicates: lowest id"
