@@ -113,3 +113,24 @@ def round1(c: Column, alias: str | None = None) -> Column:
 
 def sql_round1(expr: str) -> str:
     return f"CAST(CAST(CAST(({expr}) AS DECIMAL(38,1)) AS VARCHAR) AS DOUBLE)"
+
+
+def floordiv(c: Column, b: int) -> Column:
+    """Exact FLOOR division of a possibly-negative integer column by a
+    positive integer constant, bit-identical in Spark and DuckDB (pair of
+    :func:`sql_floordiv`). Both engines' integer division truncates toward
+    zero, so subtract the positive remainder first: the quotient of the
+    exact multiple is the floor on either side of zero. The one double
+    division is of an exact multiple — exact while |c| < 2^53 (epoch
+    microseconds reach that in year 2255). Replaces floor(double-division)
+    — which can misbucket within an ulp of a boundary — and date_diff
+    oracles, whose boundary-crossing count diverges from floor for
+    sub-unit timestamps BEFORE the reference (caught by the adversarial
+    differential gate)."""
+    pmod = ((c % b) + b) % b
+    return ((c - pmod) / b).cast("long")
+
+
+def sql_floordiv(expr: str, b: int) -> str:
+    """Oracle-side rendering of :func:`floordiv`."""
+    return f"CAST((({expr}) - (((({expr}) % {b}) + {b}) % {b})) // {b} AS BIGINT)"

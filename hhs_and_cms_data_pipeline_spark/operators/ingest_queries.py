@@ -829,7 +829,7 @@ _DRIFT_SCALE = 1_000_000_000
     WITH ev AS (
       SELECT event_type,
              CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS is_ref
-      FROM events),
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
     c AS (
       SELECT event_type,
              CAST(SUM(is_ref) AS BIGINT) AS n_ref,
@@ -840,12 +840,12 @@ _DRIFT_SCALE = 1_000_000_000
              CAST(SUM(n_cur) AS BIGINT) AS tot_cur
       FROM c)
     SELECT event_type, n_ref, n_cur,
-           CAST(({_DRIFT_SCALE} * n_ref) // tot_ref AS BIGINT) AS p_ref_fp,
-           CAST(({_DRIFT_SCALE} * n_cur) // tot_cur AS BIGINT) AS p_cur_fp,
-           CAST(ABS(({_DRIFT_SCALE} * n_ref) // tot_ref
-                    - ({_DRIFT_SCALE} * n_cur) // tot_cur) AS BIGINT) AS delta_fp,
-           CAST(SUM(ABS(({_DRIFT_SCALE} * n_ref) // tot_ref
-                        - ({_DRIFT_SCALE} * n_cur) // tot_cur))
+           CAST(({_DRIFT_SCALE} * n_ref) // NULLIF(tot_ref, 0) AS BIGINT) AS p_ref_fp,
+           CAST(({_DRIFT_SCALE} * n_cur) // NULLIF(tot_cur, 0) AS BIGINT) AS p_cur_fp,
+           CAST(ABS(({_DRIFT_SCALE} * n_ref) // NULLIF(tot_ref, 0)
+                    - ({_DRIFT_SCALE} * n_cur) // NULLIF(tot_cur, 0)) AS BIGINT) AS delta_fp,
+           CAST(SUM(ABS(({_DRIFT_SCALE} * n_ref) // NULLIF(tot_ref, 0)
+                        - ({_DRIFT_SCALE} * n_cur) // NULLIF(tot_cur, 0)))
                   OVER () AS BIGINT) AS l1_drift_fp
     FROM c CROSS JOIN t
     ORDER BY event_type
@@ -871,6 +871,10 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     c = (
         _table(spark, sf_dir, "events")
+        # same null gate as ST17's merger (timeless/typeless events have
+        # no place in an event-time drift window) — the shared-contract
+        # claim below only holds with the filter on BOTH paths
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
         .select("event_type", drift_is_ref_col().alias("is_ref"))
         .groupBy("event_type")
         .agg(
@@ -899,8 +903,11 @@ def drift_from_counts(c: DataFrame) -> DataFrame:
         F.sum("n_ref").cast("long").alias("tot_ref"),
         F.sum("n_cur").cast("long").alias("tot_cur"),
     )
-    p_ref = F.expr(f"({_DRIFT_SCALE} * n_ref) div tot_ref")
-    p_cur = F.expr(f"({_DRIFT_SCALE} * n_cur) div tot_cur")
+    # NULLIF: an EMPTY window (all data on one side of the split) yields
+    # NULL shares, never a DIVIDE_BY_ZERO that kills the monitoring job —
+    # adversarial-gate finding; both engines agree (div/[//] NULL -> NULL)
+    p_ref = F.expr(f"({_DRIFT_SCALE} * n_ref) div nullif(tot_ref, 0)")
+    p_cur = F.expr(f"({_DRIFT_SCALE} * n_cur) div nullif(tot_cur, 0)")
     delta = F.abs(p_ref - p_cur)
     from pyspark.sql import Window
 

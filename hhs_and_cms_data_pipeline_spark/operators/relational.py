@@ -399,7 +399,13 @@ def u1_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas drop_duplicates(subset=...) (first-wins)."""
     ensure_session_conf(spark)
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # NULLS LAST pins the engines together: Spark's bare ASC sorts NULL ts
+    # FIRST while DuckDB's sorts them LAST — latent on null-free testdata,
+    # caught by the adversarial differential gate. An unknown-time event
+    # only wins if the user has nothing datable.
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc("event_id")
+    )
     return (
         ev.select("user_id", "event_id", "event_type", "value",
                   F.row_number().over(w).alias("rn"))

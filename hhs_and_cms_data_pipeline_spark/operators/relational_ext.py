@@ -747,6 +747,36 @@ def xs7_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Dense-spine safety: one corrupt timestamp (a 1970 default, a year-9999
+# sentinel) silently inflates the min->max hourly spine by decades —
+# multiplying the output and the window state by 1000x before anyone
+# notices. Refuse loudly instead (same pattern as the posting-pack
+# overflow guard in retrieval.py); the oracle never sees the guard fire
+# because firing IS the failure.
+_SPINE_MAX_HOURS = 200_000  # ~22 years of hourly cells
+
+
+def _guarded_spine_hours(bounds: DataFrame) -> DataFrame:
+    """EXPLODEd hourly spine between bounds.lo/hi with the range guard."""
+    n_hours = (F.unix_micros("hi") - F.unix_micros("lo")) / F.lit(3_600_000_000)
+    checked_lo = F.when(
+        n_hours > _SPINE_MAX_HOURS,
+        F.raise_error(
+            F.format_string(
+                "gapfill spine would span %s hours (max %s): timestamp "
+                "outliers inflate the dense series — clean or clamp ts first",
+                n_hours.cast("long").cast("string"),
+                F.lit(str(_SPINE_MAX_HOURS)),
+            )
+        ).cast("timestamp"),
+    ).otherwise(F.col("lo"))
+    return bounds.select(
+        F.explode(
+            F.sequence(checked_lo, F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+
+
 @register(
     "xt1_gapfill_locf",
     oracle=f"""
@@ -799,11 +829,7 @@ def xt1_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    spine_h = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h")
-    )
+    spine_h = _guarded_spine_hours(bounds)
     types = ev.select("event_type").distinct()
     spine = spine_h.crossJoin(F.broadcast(types))
     hourly = ev.groupBy("h", "event_type").agg(
@@ -1421,9 +1447,7 @@ def xt3_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    spine_h = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
-    )
+    spine_h = _guarded_spine_hours(bounds)
     types = ev.select("event_type").distinct()
     spine = spine_h.crossJoin(F.broadcast(types))
     hourly = ev.groupBy("h", "event_type").agg(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, sql_dsum
+from ..functions.exact import dsum, floordiv, sql_dsum, sql_floordiv
 from .ingest_queries import _DRIFT_SCALE, _DRIFT_SPLIT
 from ..registry import register
 from ..session import ensure_session_conf
@@ -107,7 +107,7 @@ _SQL_SESSIONIZED_CTES = """ordered AS (
                        ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
-      WHERE ts IS NOT NULL),
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     sessions AS (
       SELECT user_id, ts, event_id, event_type,
              CAST(SUM(is_new) OVER (
@@ -132,9 +132,13 @@ def with_session_seq(ev):
     in _SQL_SESSIONIZED_CTES): Spark's asc default is NULLS FIRST where
     DuckDB's is NULLS LAST, so a null timestamp would silently land at
     opposite ends of the session ordering on the two engines. A sessionizer
-    has no meaningful position for an untimed event anyway.
+    has no meaningful position for an untimed event anyway — and a NULL
+    user_id is excluded with it (one contract for the whole session
+    family, ST3/ST4/ST7/ST9): a session keyed on "unknown user" lumps
+    unrelated traffic, and the stateful twin's non-null output schema
+    cannot carry it (adversarial-gate finding).
     """
-    ev = ev.filter(F.col("ts").isNotNull())
+    ev = ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(order)
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -890,7 +894,7 @@ def stream_snapshot_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
-      WHERE ts IS NOT NULL),
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     sessions AS (
       SELECT user_id, ts, value,
              SUM(is_new) OVER (
@@ -927,7 +931,10 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     ev = (
         table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
+        # null user_id excluded like the rest of the session family (the
+        # oracle always did; the builder kept a NULL group — latent on
+        # null-free testdata, caught by the adversarial gate)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", "ts", "value")
     )
     return (
@@ -1350,11 +1357,10 @@ def _theil_sen_partition(batches):
 
 @register(
     "gx3_theil_sen_trend",
-    oracle="""
+    oracle=f"""
     WITH pts AS (
       SELECT user_id,
-             date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
-                       CAST(ts AS TIMESTAMP)) AS x,
+             {sql_floordiv("epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')", 1_000_000)} AS x,
              CAST(value AS DOUBLE) AS y
       FROM events
       WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
@@ -1407,18 +1413,14 @@ def gx3_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            # FLOOR, not trunc-cast: matches date_diff's boundary-crossing
-            # count on both sides of the epoch (trunc diverges for
-            # pre-epoch timestamps; latent on this corpus, pinned anyway)
-            F.floor(
-                (
-                    F.unix_micros("ts")
-                    - F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
-                )
-                / F.lit(1_000_000)
-            )
-            .cast("long")
-            .alias("x"),
+            # exact floor division (functions.exact.floordiv): date_diff's
+            # crossing count diverges from floor for sub-second timestamps
+            # BEFORE the epoch — same adversarial-gate finding as XA9
+            floordiv(
+                F.unix_micros("ts")
+                - F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp")),
+                1_000_000,
+            ).alias("x"),
             F.col("value").cast("double").alias("y"),
         )
     )
@@ -1768,12 +1770,12 @@ def make_drift_merger(target: str):
              CAST(SUM(n_cur) AS BIGINT) AS tot_cur
       FROM c)
     SELECT event_type, n_ref, n_cur,
-           CAST(({_DRIFT_SCALE} * n_ref) // tot_ref AS BIGINT) AS p_ref_fp,
-           CAST(({_DRIFT_SCALE} * n_cur) // tot_cur AS BIGINT) AS p_cur_fp,
-           CAST(ABS(({_DRIFT_SCALE} * n_ref) // tot_ref
-                    - ({_DRIFT_SCALE} * n_cur) // tot_cur) AS BIGINT) AS delta_fp,
-           CAST(SUM(ABS(({_DRIFT_SCALE} * n_ref) // tot_ref
-                        - ({_DRIFT_SCALE} * n_cur) // tot_cur))
+           CAST(({_DRIFT_SCALE} * n_ref) // NULLIF(tot_ref, 0) AS BIGINT) AS p_ref_fp,
+           CAST(({_DRIFT_SCALE} * n_cur) // NULLIF(tot_cur, 0) AS BIGINT) AS p_cur_fp,
+           CAST(ABS(({_DRIFT_SCALE} * n_ref) // NULLIF(tot_ref, 0)
+                    - ({_DRIFT_SCALE} * n_cur) // NULLIF(tot_cur, 0)) AS BIGINT) AS delta_fp,
+           CAST(SUM(ABS(({_DRIFT_SCALE} * n_ref) // NULLIF(tot_ref, 0)
+                        - ({_DRIFT_SCALE} * n_cur) // NULLIF(tot_cur, 0)))
                   OVER () AS BIGINT) AS l1_drift_fp
     FROM c CROSS JOIN t
     ORDER BY event_type

@@ -15,7 +15,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, dsum, dsum_over, sql_dsum
+from ..functions.exact import davg, dsum, dsum_over, floordiv, sql_dsum, sql_floordiv
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
@@ -1397,8 +1397,7 @@ _TREND_TOP_K = 10
     oracle=f"""
     WITH pts AS (
       SELECT user_id,
-             date_diff('minute', TIMESTAMP '{_TREND_EPOCH}',
-                       CAST(ts AS TIMESTAMP)) AS x,
+             {sql_floordiv(f"epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(TIMESTAMP '{_TREND_EPOCH}')", 60_000_000)} AS x,
              CAST(value AS DOUBLE) AS y
       FROM events
       WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
@@ -1444,20 +1443,17 @@ def xa9_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            # FLOOR, not trunc-cast: date_diff counts boundary crossings,
-            # which is floor of the elapsed interval for timestamps on
-            # either side of the epoch (trunc diverges before it). Minute
+            # exact floor division (functions.exact.floordiv): date_diff's
+            # boundary count diverges from floor for sub-minute timestamps
+            # BEFORE the epoch (adversarial gate finding), and
+            # floor(double-division) can misbucket near boundaries. Minute
             # grain keeps sx*sx and n*sxx ~3600x further from int64
             # overflow than second grain at the same event volume.
-            F.floor(
-                (
-                    F.unix_micros("ts")
-                    - F.unix_micros(F.lit(_TREND_EPOCH).cast("timestamp"))
-                )
-                / F.lit(60_000_000)
-            )
-            .cast("long")
-            .alias("x"),
+            floordiv(
+                F.unix_micros("ts")
+                - F.unix_micros(F.lit(_TREND_EPOCH).cast("timestamp")),
+                60_000_000,
+            ).alias("x"),
             F.col("value").cast("double").alias("y"),
         )
     )

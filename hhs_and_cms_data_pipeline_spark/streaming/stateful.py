@@ -145,8 +145,12 @@ def run_stateful_sessionize(
         # NULL (_SQL_SESSIONIZED_CTES): without the filter, unix_micros
         # yields NULL -> pandas NaN -> astype("int64") raises inside the
         # Python worker, failing the whole stream where the batch twin
-        # succeeds
-        .filter(F.col("ts").isNotNull())
+        # succeeds. NULL-user rows are dropped too (oracle: WHERE user_id
+        # IS NOT NULL): a NULL grouping key reaches the stateful fold as a
+        # None-keyed pandas group and fails the non-null output-schema
+        # decode — adversarial-gate finding; a session of "unknown user"
+        # lumps unrelated traffic anyway.
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         # int64 micros in-flight: Arrow-exact for the pandas state fold.
         .select("user_id", F.unix_micros("ts").alias("ts"), "event_id")
     )
