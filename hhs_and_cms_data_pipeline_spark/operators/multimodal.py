@@ -411,8 +411,13 @@ def frame_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw mapInPandas feature extraction (features as array<double>) —
     the form downstream jobs consume; unit-tested in tests/test_multimodal.py."""
     ensure_session_conf(spark)
-    payloads = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    payloads = (
+        spread(table(spark, sf_dir, "documents"))
+        # zero-byte payloads are malformed media (no header byte to parse)
+        # and are quarantined like any corrupt record — adversarial-gate
+        # contract, mirrored by the oracles' octet_length > 0
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     )
     return payloads.mapInPandas(extract_frame_features, FRAME_FEATURE_SCHEMA)
 
@@ -434,7 +439,7 @@ _SQL_FEATURE_COLS = ",\n           ".join(
     WITH b AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS n
-      FROM documents),
+      FROM documents WHERE octet_length(encode(text)) > 0),
     bytes AS (
       SELECT doc_id, n,
              list_transform(range(0, n),
@@ -538,8 +543,10 @@ def resize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw mapInPandas resize (thumb as binary) — the form an image
     derivative pipeline writes out; unit-tested in tests/test_multimodal.py."""
     ensure_session_conf(spark)
-    payloads = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    payloads = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.length("text") > 0)  # zero-byte = malformed, quarantined
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     )
     return payloads.mapInPandas(resize_batches, RESIZE_SCHEMA)
 
@@ -550,7 +557,7 @@ def resize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS n
-      FROM documents)
+      FROM documents WHERE octet_length(encode(text)) > 0)
     SELECT doc_id,
            CAST(16 + (('0x' || substr(hx, 1, 2))::UBIGINT)::BIGINT % 64
                 AS INTEGER) AS src_width,
@@ -757,7 +764,7 @@ def _dh_sql_g(i: str) -> str:
     WITH b AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS n
-      FROM documents),
+      FROM documents WHERE octet_length(encode(text)) > 0),
     bits AS (
       SELECT doc_id,
              list_transform(range(0, 64), k ->
@@ -791,7 +798,11 @@ def mm_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the bucket-count window keyed on the 16-char hash — exactly
     the dedup_exact shape with a perceptual key instead of md5."""
     ensure_session_conf(spark)
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)  # zero-byte = malformed, quarantined
+        .select("doc_id", "text")
+    )
     hx = F.hex(F.encode(F.col("text"), "UTF-8"))
     n = F.octet_length(F.encode(F.col("text"), "UTF-8"))
     grid_n = _DH_COLS * _DH_ROWS
@@ -892,7 +903,7 @@ def patch_mean_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     WITH b7 AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS n
-      FROM documents),
+      FROM documents WHERE octet_length(encode(text)) > 0),
     grid AS (
       SELECT doc_id, n, hx, unnest(range({_N_PATCHES})) AS patch
       FROM b7),
@@ -926,8 +937,10 @@ def mm_patch_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     next. mean_byte is one exact-int division, bit-identical to the
     oracle's hex-dump re-derivation."""
     ensure_session_conf(spark)
-    payloads = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    payloads = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.length("text") > 0)  # zero-byte = malformed, quarantined
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     )
     return (
         payloads.mapInPandas(patch_mean_batches, PATCH_SCHEMA)
@@ -995,7 +1008,7 @@ def keyframe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     WITH b AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS n
-      FROM documents),
+      FROM documents WHERE octet_length(encode(text)) > 0),
     fr AS (
       SELECT doc_id, n // {_KF_FRAME} AS nf,
              list_transform(range(0, n // {_KF_FRAME}), f ->
@@ -1030,8 +1043,10 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever decoded downstream). Integer signatures make the result bit-exact
     against the oracle's hex-dump re-derivation."""
     ensure_session_conf(spark)
-    payloads = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    payloads = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.length("text") > 0)  # zero-byte = malformed, quarantined
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     )
     return payloads.mapInPandas(keyframe_batches, KEYFRAME_SCHEMA).orderBy(
         "doc_id"

@@ -181,3 +181,97 @@ def test_gapfill_spine_guard_refuses_decade_outlier(spark, tmp_path):
     for name in ("xt1_gapfill_locf", "xt3_gapfill_interpolate"):
         with _pytest.raises(Exception, match="spine would span"):
             SPECS[name].builder(spark, str(d)).collect()
+
+
+# ---------------------------------------------------------------------------
+# Documents-table adversarial gate: same idea over the text/dedup/curation
+# surface. Fixture contract notes: doc_id unique; n_chars == len(text)
+# (derived-column invariant the generator upholds); text/lang/source may be
+# empty strings; lang/source may be NULL. NULL text is excluded BY CONTRACT
+# — the corpus loader guarantees a string body (the reference's corpus
+# does) — so the gate exercises degenerate strings, not absent ones.
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+          "theta", "iota", "kappa"]
+
+
+def _adversarial_documents() -> list[dict]:
+    rows: list[dict] = []
+
+    def add(text, lang="en", source="srcA"):
+        rows.append(
+            {
+                "doc_id": len(rows),
+                "text": text,
+                "lang": lang,
+                "source": source,
+                "n_chars": len(text),
+            }
+        )
+
+    # baseline corpus: varied multi-token docs, deterministic
+    for i in range(60):
+        toks = [_WORDS[(i * 7 + j) % 10] for j in range(8 + i % 9)]
+        add(" ".join(toks), lang=["en", "es", "fr"][i % 3],
+            source=f"src{i % 4}")
+    # exact duplicates and near-duplicates (one token changed)
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    add(dup); add(dup); add(dup.replace("zeta", "iota"))
+    # empty and whitespace-only bodies
+    add(""); add(" "); add("   ")
+    # single-token and single-char docs
+    add("alpha"); add("x")
+    # all-one-token repetition (repetition filters, Zipf, BPE)
+    add("spam " * 49 + "spam")
+    # unicode: accents, CJK, emoji, combining marks
+    add("café naïve résumé über")
+    add("数据 管道 引擎")
+    add("rocket \U0001F680 launch \U0001F680")
+    # punctuation-only and mixed-symbol bodies
+    add("!!! ??? ;;; :::"); add("a,b.c;d:e")
+    # very long single token (token-length stats, BPE)
+    add("x" * 500)
+    # doubled spaces => empty-string tokens inside the split
+    add("alpha  beta   gamma")
+    # NULL / empty metadata
+    add("plain body with null lang", lang=None)
+    add("plain body with null source", source=None)
+    add("plain body with empty lang", lang="")
+    return rows
+
+
+@pytest.fixture(scope="module")
+def adv_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial_docs_sf")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    rows = _adversarial_documents()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+DOC_QUERIES = sorted(
+    n
+    for n, s in SPECS.items()
+    if s.oracle is not None
+    and "documents" in s.oracle.lower()
+    and "events" not in s.oracle.lower()
+)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_adversarial_documents_differential(name, spark, adv_docs_dir):
+    spec = SPECS[name]
+    con = duckdb_connection(adv_docs_dir)
+    compare_spark_duckdb(spec.builder(spark, adv_docs_dir), con, spec.oracle)
