@@ -1606,7 +1606,7 @@ _DECON_COS_TAU = 0.45  # same non-trivial threshold family as D5 on this data
     scored AS (
       SELECT c.vec_id,
              {sql_emb_dot("c.embedding", "b.embedding")}
-               / (sqrt(c.n2) * sqrt(b.n2)) AS cosine
+               / NULLIF(sqrt(c.n2) * sqrt(b.n2), 0.0) AS cosine
       FROM corpus c CROSS JOIN bench b),
     agg AS (
       SELECT vec_id, MAX(cosine) AS max_cosine,
@@ -1663,9 +1663,9 @@ def semantic_decontaminate(
     corpus_n = corpus.select(
         "vec_id", "embedding", emb_norm2(F.col("embedding")).alias("n2")
     )
-    cosine = emb_dot(F.col("embedding"), F.col("be")) / (
+    cosine = emb_dot(F.col("embedding"), F.col("be")) / F.nullif((
         F.sqrt("n2") * F.sqrt("bn2")
-    )
+    ), F.lit(0.0))
     scored = corpus_n.crossJoin(bench_n).select(
         "vec_id", cosine.alias("cosine")
     )

@@ -859,7 +859,7 @@ def cosine_of_pairs(cand: DataFrame, emb: DataFrame) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("n2").alias("nb"),
     )
-    cosine = emb_dot(F.col("ea"), F.col("eb")) / (F.sqrt("na") * F.sqrt("nb"))
+    cosine = emb_dot(F.col("ea"), F.col("eb")) / F.nullif((F.sqrt("na") * F.sqrt("nb")), F.lit(0.0))
     return cand.join(ea, "vec_a").join(eb, "vec_b").select(
         "vec_a", "vec_b", cosine.alias("cosine")
     )
@@ -876,11 +876,11 @@ _D5_MAX_ROWS = 20_000  # all-pairs ceiling: ~2e8 candidate pairs
              {sql_emb_dot('a.embedding', 'b.embedding')} AS dot
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
     SELECT vec_a, vec_b,
-           dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+           dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) AS cosine
     FROM pairs
     JOIN norms na ON vec_a = na.vec_id
     JOIN norms nb ON vec_b = nb.vec_id
-    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {_COS_TAU}
+    WHERE dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) >= {_COS_TAU}
     ORDER BY vec_a, vec_b
     """,
     tags=("D5",),
@@ -1009,11 +1009,11 @@ def hyperplane_bands(emb: DataFrame) -> DataFrame:
       JOIN embeddings ea ON ea.vec_id = c.vec_a
       JOIN embeddings eb ON eb.vec_id = c.vec_b)
     SELECT vec_a, vec_b,
-           dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+           dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) AS cosine
     FROM pairs
     JOIN norms na ON vec_a = na.vec_id
     JOIN norms nb ON vec_b = nb.vec_id
-    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {_COS_TAU}
+    WHERE dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) >= {_COS_TAU}
     ORDER BY vec_a, vec_b
     """,
     tags=("D6",),

@@ -77,7 +77,7 @@ _SQL_IVF_CELL_CTES = f"""ex AS (
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> {_QUERY_VEC_ID})
     SELECT d.vec_id,
-           d.dot / (sqrt(n.n2) * sqrt(qn.n2)) AS cosine
+           d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) AS cosine
     FROM dots d
     JOIN norms n ON d.vec_id = n.vec_id
     CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
@@ -104,9 +104,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).crossJoin(F.broadcast(q))
-    cosine = emb_dot(F.col("embedding"), F.col("q_emb")) / (
+    cosine = emb_dot(F.col("embedding"), F.col("q_emb")) / F.nullif((
         F.sqrt(emb_norm2(F.col("embedding"))) * F.sqrt(F.col("q_n2"))
-    )
+    ), F.lit(0.0))
     return (
         cand.select("vec_id", cosine.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -160,7 +160,7 @@ def _ivf_query_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN q
       WHERE e.vec_id <> {_QUERY_VEC_ID})
     SELECT d.vec_id,
-           d.dot / (sqrt(n.n2) * sqrt(qn.n2)) AS cosine
+           d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) AS cosine
     FROM dots d
     JOIN norms n ON d.vec_id = n.vec_id
     CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
@@ -193,9 +193,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(q_full))
     )
-    cosine = emb_dot(F.col("embedding"), F.col("q_emb")) / (
+    cosine = emb_dot(F.col("embedding"), F.col("q_emb")) / F.nullif((
         F.sqrt(emb_norm2(F.col("embedding"))) * F.sqrt(F.col("q_n2"))
-    )
+    ), F.lit(0.0))
     return (
         in_cell.select("vec_id", cosine.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -224,7 +224,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.vec_id <> {_QUERY_VEC_ID}),
     top AS (
       SELECT d.vec_id,
-             d.dot / (sqrt(n.n2) * sqrt(qn.n2)) AS cosine
+             d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) AS cosine
       FROM dots d
       JOIN norms n ON d.vec_id = n.vec_id
       CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
@@ -299,7 +299,7 @@ _KNN_K = 5
     scored AS (
       SELECT p.probe_id, e.vec_id,
              {sql_emb_dot('e.embedding', 'p.p_emb')}
-               / (sqrt(n.n2) * sqrt(pn.n2)) AS cosine
+               / NULLIF(sqrt(n.n2) * sqrt(pn.n2), 0.0) AS cosine
       FROM probes p
       CROSS JOIN embeddings e
       JOIN norms n  ON e.vec_id = n.vec_id
@@ -351,7 +351,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (
                 emb_dot(F.col("embedding"), F.col("p_emb"))
-                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("p_n2")))
+                / F.nullif((F.sqrt(F.col("n2")) * F.sqrt(F.col("p_n2"))), F.lit(0.0))
             ).alias("cosine"),
         )
     )
@@ -628,7 +628,7 @@ _GEMM_K = 5
     scored AS (
       SELECT p.probe_id, e.vec_id,
              {sql_emb_dot('e.embedding', 'p.p_emb')}
-               / (sqrt(n.n2) * sqrt(pn.n2)) AS cosine
+               / NULLIF(sqrt(n.n2) * sqrt(pn.n2), 0.0) AS cosine
       FROM probes p
       CROSS JOIN embeddings e
       JOIN norms n  ON e.vec_id = n.vec_id
@@ -675,9 +675,10 @@ def sim_partitioned_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy()
-            cos = (m @ p_mat.T) / (
-                np.sqrt((m * m).sum(axis=1))[:, None] * p_norm[None, :]
-            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (m @ p_mat.T) / (
+                    np.sqrt((m * m).sum(axis=1))[:, None] * p_norm[None, :]
+                )
             out = []
             for j in range(len(p_ids)):
                 # EXCLUDE self-matches (masking them with -inf and slicing
@@ -686,16 +687,25 @@ def sim_partitioned_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 valid = ids != p_ids[j]
                 vids, vcos = ids[valid], cos[valid, j]
                 # exact local top-k with the global tie-break (cos desc, id
-                # asc). NaN pins FIRST, not dropped: Spark/DuckDB ORDER BY
-                # DESC both treat NaN as the LARGEST double, while lexsort
-                # sorts NaN last — a zero-norm vector (cos = 0/0 = NaN)
-                # would silently vanish from the partial top-k and diverge
-                # this operator from SIM4 and its own oracle.
-                sort_key = np.where(np.isnan(vcos), -np.inf, -vcos)
+                # asc). A zero-norm vector has UNDEFINED cosine (0/0): the
+                # corpus-wide contract is SQL NULL, which ranks LAST under
+                # DESC on both engines — so undefined entries sort to the
+                # back here and are emitted as real NULLs (nullable
+                # Float64), matching the oracle's NULLIF exactly.
+                undef = ~np.isfinite(vcos)
+                sort_key = np.where(undef, np.inf, -vcos)
                 order = np.lexsort((vids, sort_key))[: _GEMM_K]
                 for i in order:
-                    out.append((int(p_ids[j]), int(vids[i]), float(vcos[i])))
-            yield pd.DataFrame(out, columns=["probe_id", "vec_id", "cosine"])
+                    out.append(
+                        (
+                            int(p_ids[j]),
+                            int(vids[i]),
+                            None if undef[i] else float(vcos[i]),
+                        )
+                    )
+            pdf_out = pd.DataFrame(out, columns=["probe_id", "vec_id", "cosine"])
+            pdf_out["cosine"] = pd.array(pdf_out["cosine"], dtype="Float64")
+            yield pdf_out
 
     partial = emb.mapInPandas(
         partial_topk, "probe_id long, vec_id long, cosine double"
@@ -736,7 +746,7 @@ _LSH_KNN_K = 5
     scored AS (
       SELECT cd.probe_id, cd.vec_id,
              {sql_emb_dot('ec.embedding', 'ep.embedding')}
-               / (sqrt(nc.n2) * sqrt(np.n2)) AS cosine
+               / NULLIF(sqrt(nc.n2) * sqrt(np.n2), 0.0) AS cosine
       FROM cand cd
       JOIN embeddings ep ON ep.vec_id = cd.probe_id
       JOIN embeddings ec ON ec.vec_id = cd.vec_id
@@ -799,9 +809,9 @@ def sim_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ec = emb.withColumn("n2", emb_norm2(F.col("embedding")))
-    cosine = emb_dot(F.col("embedding"), F.col("p_emb")) / (
+    cosine = emb_dot(F.col("embedding"), F.col("p_emb")) / F.nullif((
         F.sqrt(F.col("n2")) * F.sqrt(F.col("p_n2"))
-    )
+    ), F.lit(0.0))
     from pyspark.sql import Window
 
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1332,7 +1342,7 @@ _EVAL_K = 5
     escored AS (
       SELECT p.probe_id, e.vec_id, e.label,
              {sql_emb_dot('e.embedding', 'p.p_emb')}
-               / (sqrt(n.n2) * sqrt(pn.n2)) AS cosine
+               / NULLIF(sqrt(n.n2) * sqrt(pn.n2), 0.0) AS cosine
       FROM eprobes p
       CROSS JOIN embeddings e
       JOIN norms n  ON e.vec_id = n.vec_id
@@ -1393,7 +1403,7 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             (
                 emb_dot(F.col("embedding"), F.col("p_emb"))
-                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("p_n2")))
+                / F.nullif((F.sqrt(F.col("n2")) * F.sqrt(F.col("p_n2"))), F.lit(0.0))
             ).alias("cosine"),
         )
     )
@@ -1450,7 +1460,7 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM exact_dots d
       JOIN norms n ON d.vec_id = n.vec_id
       CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
-      ORDER BY d.dot / (sqrt(n.n2) * sqrt(qn.n2)) DESC, d.vec_id
+      ORDER BY d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) DESC, d.vec_id
       LIMIT {_TOP_K}),
     {_SQL_IVF_CELL_CTES},
     ivf_dots AS (
@@ -1464,7 +1474,7 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ivf_dots d
       JOIN norms n ON d.vec_id = n.vec_id
       CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
-      ORDER BY d.dot / (sqrt(n.n2) * sqrt(qn.n2)) DESC, d.vec_id
+      ORDER BY d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) DESC, d.vec_id
       LIMIT {_TOP_K})
     SELECT CAST({_TOP_K} AS BIGINT) AS k,
            (SELECT COUNT(*) FROM exact_top) AS n_exact,
@@ -1551,15 +1561,15 @@ _TRUNC_DIMS = 16
         WHERE e.vec_id <> {_QUERY_VEC_ID}) d
       JOIN norms n ON d.vec_id = n.vec_id
       CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
-      ORDER BY d.dot / (sqrt(n.n2) * sqrt(qn.n2)) DESC, d.vec_id
+      ORDER BY d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) DESC, d.vec_id
       LIMIT {_TOP_K}),
     trunc_top AS (
       SELECT e.vec_id
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> {_QUERY_VEC_ID}
       ORDER BY {sql_emb_dot(f'e.embedding[1:{_TRUNC_DIMS}]', f'q.q_emb[1:{_TRUNC_DIMS}]')}
-               / (sqrt({sql_emb_dot(f'e.embedding[1:{_TRUNC_DIMS}]', f'e.embedding[1:{_TRUNC_DIMS}]')})
-                  * sqrt({sql_emb_dot(f'q.q_emb[1:{_TRUNC_DIMS}]', f'q.q_emb[1:{_TRUNC_DIMS}]')})) DESC,
+               / NULLIF(sqrt({sql_emb_dot(f'e.embedding[1:{_TRUNC_DIMS}]', f'e.embedding[1:{_TRUNC_DIMS}]')})
+                  * sqrt({sql_emb_dot(f'q.q_emb[1:{_TRUNC_DIMS}]', f'q.q_emb[1:{_TRUNC_DIMS}]')}), 0.0) DESC,
                e.vec_id
       LIMIT {_TOP_K})
     SELECT CAST({_TOP_K} AS BIGINT) AS k,
@@ -1605,7 +1615,7 @@ def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).crossJoin(q)
 
     def topk(vec: F.Column, qv: F.Column, q_n2: F.Column) -> DataFrame:
-        cosine = emb_dot(vec, qv) / (F.sqrt(emb_dot(vec, vec)) * F.sqrt(q_n2))
+        cosine = emb_dot(vec, qv) / F.nullif((F.sqrt(emb_dot(vec, vec)) * F.sqrt(q_n2)), F.lit(0.0))
         return (
             cand.select("vec_id", cosine.alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1675,7 +1685,7 @@ _SEMDEDUP_TAU = 0.45  # same non-trivial threshold as D5/D6 on the
       JOIN norms na ON c.vec_a = na.vec_id
       JOIN norms nb ON c.vec_b = nb.vec_id
       WHERE {sql_emb_dot('ea.embedding', 'eb.embedding')}
-              / (sqrt(na.n2) * sqrt(nb.n2)) >= {_SEMDEDUP_TAU})
+              / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) >= {_SEMDEDUP_TAU})
     SELECT a.vec_id, a.cl AS cluster, d.vec_id IS NULL AS kept
     FROM a2 a LEFT JOIN dups d ON a.vec_id = d.vec_id
     ORDER BY a.vec_id
@@ -1756,14 +1766,14 @@ _RERANK_POOL = 50
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> {_QUERY_VEC_ID}
       ORDER BY {sql_emb_dot(f'e.embedding[1:{_TRUNC_DIMS}]', f'q.q_emb[1:{_TRUNC_DIMS}]')}
-               / (sqrt({sql_emb_dot(f'e.embedding[1:{_TRUNC_DIMS}]', f'e.embedding[1:{_TRUNC_DIMS}]')})
-                  * sqrt({sql_emb_dot(f'q.q_emb[1:{_TRUNC_DIMS}]', f'q.q_emb[1:{_TRUNC_DIMS}]')})) DESC,
+               / NULLIF(sqrt({sql_emb_dot(f'e.embedding[1:{_TRUNC_DIMS}]', f'e.embedding[1:{_TRUNC_DIMS}]')})
+                  * sqrt({sql_emb_dot(f'q.q_emb[1:{_TRUNC_DIMS}]', f'q.q_emb[1:{_TRUNC_DIMS}]')}), 0.0) DESC,
                e.vec_id
       LIMIT {_RERANK_POOL}),
     rer AS (
       SELECT e.vec_id,
              {sql_emb_dot('e.embedding', 'q.q_emb')}
-               / (sqrt(n.n2) * sqrt(qn.n2)) AS cosine_full
+               / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) AS cosine_full
       FROM pool p
       JOIN embeddings e ON e.vec_id = p.vec_id
       CROSS JOIN q
@@ -1782,7 +1792,7 @@ _RERANK_POOL = 50
       JOIN norms n ON d.vec_id = n.vec_id
       CROSS JOIN (SELECT n2 FROM norms
                   WHERE vec_id = {_QUERY_VEC_ID}) qn
-      ORDER BY d.dot / (sqrt(n.n2) * sqrt(qn.n2)) DESC, d.vec_id
+      ORDER BY d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) DESC, d.vec_id
       LIMIT {_TOP_K})
     SELECT CAST(r.rnk AS BIGINT) AS rnk, r.vec_id, r.cosine_full,
            x.vec_id IS NOT NULL AS in_exact
@@ -1825,9 +1835,9 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).crossJoin(q)
     e_t = F.slice("embedding", 1, _TRUNC_DIMS)
-    cos_t = emb_dot(e_t, F.slice("q_emb", 1, _TRUNC_DIMS)) / (
+    cos_t = emb_dot(e_t, F.slice("q_emb", 1, _TRUNC_DIMS)) / F.nullif((
         F.sqrt(emb_dot(e_t, e_t)) * F.sqrt("q_n2_t")
-    )
+    ), F.lit(0.0))
     pool = (
         cand.select("vec_id", cos_t.alias("cos_t"))
         .orderBy(F.desc("cos_t"), F.asc("vec_id"))
@@ -1835,10 +1845,10 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .localCheckpoint(eager=False)
     )
-    cos_f = emb_dot(F.col("embedding"), F.col("q_emb")) / (
+    cos_f = emb_dot(F.col("embedding"), F.col("q_emb")) / F.nullif((
         F.sqrt(emb_dot(F.col("embedding"), F.col("embedding")))
         * F.sqrt("q_n2")
-    )
+    ), F.lit(0.0))
     rer = (
         pool.join(emb, "vec_id")
         .crossJoin(q)
@@ -2089,11 +2099,11 @@ _RADIUS = 0.25  # non-trivial on the synthetic corpus: 12/14/43 exact
       CROSS JOIN q
       WHERE e.vec_id <> {_QUERY_VEC_ID})
     SELECT d.vec_id,
-           d.dot / (sqrt(n.n2) * sqrt(qn.n2)) AS cosine
+           d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) AS cosine
     FROM dots d
     JOIN norms n ON d.vec_id = n.vec_id
     CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
-    WHERE d.dot / (sqrt(n.n2) * sqrt(qn.n2)) >= {_RADIUS}
+    WHERE d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) >= {_RADIUS}
     ORDER BY cosine DESC, d.vec_id
     """,
     tags=("SIM18",),
@@ -2116,9 +2126,9 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cells), "label", "semi")
         .crossJoin(F.broadcast(q))
     )
-    cosine = emb_dot(F.col("embedding"), F.col("q_emb")) / (
+    cosine = emb_dot(F.col("embedding"), F.col("q_emb")) / F.nullif((
         F.sqrt(emb_norm2(F.col("embedding"))) * F.sqrt(F.col("q_n2"))
-    )
+    ), F.lit(0.0))
     return (
         cand.select("vec_id", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _RADIUS)
@@ -2140,7 +2150,7 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM exact_dots d
       JOIN norms n ON d.vec_id = n.vec_id
       CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
-      WHERE d.dot / (sqrt(n.n2) * sqrt(qn.n2)) >= {_RADIUS}),
+      WHERE d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) >= {_RADIUS}),
     {_SQL_IVF_CELL_CTES},
     ivf_dots AS (
       SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
@@ -2153,7 +2163,7 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ivf_dots d
       JOIN norms n ON d.vec_id = n.vec_id
       CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
-      WHERE d.dot / (sqrt(n.n2) * sqrt(qn.n2)) >= {_RADIUS})
+      WHERE d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) >= {_RADIUS})
     SELECT (SELECT COUNT(*) FROM exact_set) AS n_exact,
            (SELECT COUNT(*) FROM ivf_set) AS n_ivf,
            (SELECT COUNT(*) FROM exact_set e
@@ -2181,9 +2191,9 @@ def sim_radius_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb_norm2(F.col("embedding")).alias("q_n2"),
         )
     )
-    cosine = emb_dot(F.col("embedding"), F.col("q_emb")) / (
+    cosine = emb_dot(F.col("embedding"), F.col("q_emb")) / F.nullif((
         F.sqrt(emb_norm2(F.col("embedding"))) * F.sqrt(F.col("q_n2"))
-    )
+    ), F.lit(0.0))
     exact_ids = (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
@@ -2248,7 +2258,7 @@ _NDCG_DISC_FP = {
       FROM exact_dots d
       JOIN norms n ON d.vec_id = n.vec_id
       CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn
-      ORDER BY d.dot / (sqrt(n.n2) * sqrt(qn.n2)) DESC, d.vec_id
+      ORDER BY d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) DESC, d.vec_id
       LIMIT {_TOP_K}),
     {_SQL_IVF_CELL_CTES},
     ivf_dots AS (
@@ -2260,7 +2270,7 @@ _NDCG_DISC_FP = {
     ivf_ranked AS (
       SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rnk
       FROM (
-        SELECT d.vec_id, d.dot / (sqrt(n.n2) * sqrt(qn.n2)) AS cosine
+        SELECT d.vec_id, d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) AS cosine
         FROM ivf_dots d
         JOIN norms n ON d.vec_id = n.vec_id
         CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_QUERY_VEC_ID}) qn)

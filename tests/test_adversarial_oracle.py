@@ -275,3 +275,125 @@ def test_adversarial_documents_differential(name, spark, adv_docs_dir):
     spec = SPECS[name]
     con = duckdb_connection(adv_docs_dir)
     compare_spark_duckdb(spec.builder(spark, adv_docs_dir), con, spec.oracle)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings-table adversarial gate: the similarity / vector-dedup surface
+# over the corpora ANN code breaks on — zero vectors (norm 0: cosine is a
+# division by zero), an identical-vector cluster, huge (1e15) and tiny
+# (1e-15) magnitudes, negatives, axis-aligned one-hot vectors, and a NULL
+# label (an "unlabeled" IVF cell). Fixed dim (64) and non-null embeddings
+# are source contracts (a real embedding pipeline emits fixed-width
+# float32); vec_id 0 stays a normal standing query vector.
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+
+
+def _vec(seed: int, scale: float = 1.0) -> list[float]:
+    # deterministic float32-exact components on the 1/64 grid
+    import struct
+
+    out = []
+    for i in range(_DIM):
+        v = (((seed * 31 + i * 17) % 129) - 64) / 64.0 * scale
+        out.append(struct.unpack("f", struct.pack("f", v))[0])
+    return out
+
+
+def _adversarial_embeddings() -> list[dict]:
+    rows: list[dict] = []
+
+    def add(vec, label):
+        rows.append({"vec_id": len(rows), "embedding": vec, "label": label})
+
+    add(_vec(1), 3)  # vec_id 0: the standing query — normal
+    for i in range(1, 80):
+        add(_vec(i + 1), i % 10)
+    # zero vector: norm 0 — cosine paths must not crash or diverge
+    add([0.0] * _DIM, 4)
+    # identical-vector cluster (cosine exactly 1, dedup cluster)
+    twin = _vec(7)
+    for _ in range(4):
+        add(twin, 7)
+    # the query vector duplicated under another id (cosine 1 with q)
+    add(_vec(1), 2)
+    # large and tiny magnitudes. 1e5 is near the DOCUMENTED ceiling of the
+    # decimal-exact distance route: dim-64 squared distances must fit
+    # DECIMAL(38,24) (integer part 1e14), so |component| <~ 1e6; beyond
+    # that the engine fails LOUDLY (NUMERIC_VALUE_OUT_OF_RANGE) instead of
+    # silently losing precision — pinned by its own test below.
+    add(_vec(11, scale=1e5), 5)
+    add(_vec(13, scale=1e-15), 6)
+    # negated copy of the query (cosine exactly -1)
+    add([-x for x in _vec(1)], 8)
+    # axis-aligned one-hots
+    for k in (0, 1, _DIM - 1):
+        v = [0.0] * _DIM
+        v[k] = 1.0
+        add(v, 9)
+    # a NULL-label (unlabeled) vector — an IVF cell of its own
+    add(_vec(42), None)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def adv_emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial_emb_sf")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    rows = _adversarial_embeddings()
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r["embedding"] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r["label"] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d / "embeddings.parquet")
+    return str(d)
+
+
+EMB_QUERIES = sorted(
+    n
+    for n, s in SPECS.items()
+    if s.oracle is not None and "embeddings" in s.oracle.lower()
+)
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_adversarial_embeddings_differential(name, spark, adv_emb_dir):
+    spec = SPECS[name]
+    con = duckdb_connection(adv_emb_dir)
+    compare_spark_duckdb(spec.builder(spark, adv_emb_dir), con, spec.oracle)
+
+
+def test_extreme_magnitude_fails_loudly(spark, tmp_path):
+    """The decimal-exact similarity route (DECIMAL(38,24) distance sums)
+    cannot represent squared distances of ~1e15-magnitude vectors. The
+    contract is a LOUD failure (Spark ANSI NUMERIC_VALUE_OUT_OF_RANGE),
+    never silent precision loss — embedding pipelines normalize or bound
+    magnitudes at ingest."""
+    import pytest as _pytest
+
+    d = tmp_path / "sf_mag"
+    d.mkdir()
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    vecs = [_vec(1), _vec(2, scale=1e15), _vec(3)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([1, 2, 3], pa.int64()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    with _pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        SPECS["sim_ivf_topk"].builder(spark, str(d)).collect()
