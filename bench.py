@@ -152,18 +152,25 @@ def main() -> None:
     extended = timed_pack(extended_specs, include_builder=True)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_pack_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extended": extended,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_query_pack_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "extended": extended,
+            "sf": sf,
+        }
     )
+    print(line)
+    # Self-record: the driver captures stdout with a tail that has truncated
+    # mid-JSON before (BENCH_r09.json lost its `value` field), so append the
+    # full line to a repo-local log where the number survives regardless.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.jsonl"), "a") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # bench output on stdout is still the contract
     spark.stop()
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, dsum_over, sql_dsum
+from ..functions.exact import dsum, dsum_over, floordiv, sql_dsum, sql_floordiv
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import table
@@ -755,6 +755,20 @@ def xs7_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # because firing IS the failure.
 _SPINE_MAX_HOURS = 200_000  # ~22 years of hourly cells
 
+# Oracle-side mirror of the Spark builders' spine-range guard: both engines
+# must REFUSE a >_SPINE_MAX_HOURS span, or a legitimately long series would
+# fail the differential by design (builder raises, oracle succeeds) instead
+# of by divergence. DuckDB's error() is lazy inside CASE, like raise_error.
+_SQL_GUARDED_BOUNDS = f"""bounds AS (
+      SELECT CASE
+               WHEN (epoch_us(hi) - epoch_us(lo)) / 3600000000.0 > {_SPINE_MAX_HOURS}
+               THEN CAST(error('gapfill spine would exceed {_SPINE_MAX_HOURS} hours: '
+                               'timestamp outliers inflate the dense series — '
+                               'clean or clamp ts first') AS TIMESTAMP)
+               ELSE lo
+             END AS lo, hi
+      FROM (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev))"""
+
 
 def _guarded_spine_hours(bounds: DataFrame) -> DataFrame:
     """EXPLODEd hourly spine between bounds.lo/hi with the range guard."""
@@ -785,7 +799,7 @@ def _guarded_spine_hours(bounds: DataFrame) -> DataFrame:
              event_type, value
       FROM events
       WHERE ts IS NOT NULL AND event_type IS NOT NULL),
-    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+    {_SQL_GUARDED_BOUNDS},
     spine_h AS (
       SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
       FROM bounds),
@@ -1386,7 +1400,7 @@ def ohlc_bars_table(events: DataFrame) -> DataFrame:
              event_type, value
       FROM events
       WHERE ts IS NOT NULL AND event_type IS NOT NULL),
-    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+    {_SQL_GUARDED_BOUNDS},
     spine_h AS (
       SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
       FROM bounds),
@@ -2509,7 +2523,7 @@ _RATE_WINDOW_US = 600_000_000  # 10-minute tumbling bucket
     oracle=f"""
     WITH ev AS (
       SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
-             epoch_us(ts) // {_RATE_WINDOW_US} AS win
+             {sql_floordiv('epoch_us(ts)', _RATE_WINDOW_US)} AS win
       FROM events
       WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL),
     ranked AS (
@@ -2546,11 +2560,12 @@ def u5_rate_limit_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.unix_micros("ts").alias("ts_us"),
         )
-        # SQL `div` = true 64-bit integer division, matching the oracle's
-        # `//`; floor(double-division) would round the quotient first and
-        # can misbucket within half an ulp of a window boundary once ts_us
-        # outgrows double precision
-        .select("*", F.expr(f"ts_us div {_RATE_WINDOW_US}").alias("win"))
+        # exact FLOOR division (functions.exact.floordiv), not `div`:
+        # truncation would bucket a pre-1970 timestamp into a NEGATIVE
+        # half-open window shared with its mirror-image hour; floor keeps
+        # windows aligned on the same 10-minute grid on both sides of the
+        # epoch, identically in both engines (oracle: sql_floordiv)
+        .select("*", floordiv(F.col("ts_us"), _RATE_WINDOW_US).alias("win"))
     )
     wkey = Window.partitionBy("user_id", "win")
     w = wkey.orderBy("ts_us", "event_id")
@@ -2646,10 +2661,10 @@ def xt7_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "xa21_seasonal_profile",
-    oracle="""
+    oracle=f"""
     WITH cells AS (
-      SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
-             (epoch_us(ts) // 3600000000) % 24 AS hod,
+      SELECT ((({sql_floordiv('epoch_us(ts)', 86_400_000_000)} + 4) % 7) + 7) % 7 AS dow,
+             (({sql_floordiv('epoch_us(ts)', 3_600_000_000)} % 24) + 24) % 24 AS hod,
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM events
       WHERE ts IS NOT NULL
@@ -2677,11 +2692,18 @@ def xa21_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
         .select(F.unix_micros(F.col("ts")).alias("us"))
-        # `div` = 64-bit integer division (the oracle's `//`), not
-        # floor(double-division) — see U5
+        # exact FLOOR division + positive mod (see U5): truncating `div`
+        # and signed `%` would put a pre-1970 timestamp in a NEGATIVE
+        # dow/hod cell — a nonexistent calendar slot both engines would
+        # agree on (so the differential gate can't catch it); floor+pmod
+        # lands it in the real weekday/hour on both sides
         .groupBy(
-            ((F.expr("us div 86400000000") + 4) % 7).cast("long").alias("dow"),
-            (F.expr("us div 3600000000") % 24).cast("long").alias("hod"),
+            ((((floordiv(F.col("us"), 86_400_000_000) + 4) % 7) + 7) % 7)
+            .cast("long")
+            .alias("dow"),
+            (((floordiv(F.col("us"), 3_600_000_000) % 24) + 24) % 24)
+            .cast("long")
+            .alias("hod"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )

@@ -2531,7 +2531,7 @@ def sim_mips_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM probe_tk) AS n_probe,
            n_hit,
            CAST(n_hit AS DOUBLE)
-             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM exact_tk) AS recall
+             / NULLIF((SELECT CAST(COUNT(*) AS DOUBLE) FROM exact_tk), 0) AS recall
     FROM hit
     """,
     tags=("SIM23",),
@@ -2564,8 +2564,11 @@ def sim_mips_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_probe",
             "n_hit",
-            (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias(
-                "recall"
-            ),
+            # NULL (not NaN) on an empty exact set: Spark double 0/0 is NaN
+            # while DuckDB's is NULL — the same degenerate-corpus divergence
+            # class the adversarial gate fixed elsewhere (oracle uses NULLIF).
+            F.when(F.col("n_exact") == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("n_hit").cast("double") / F.col("n_exact").cast("double"))
+            .alias("recall"),
         )
     )

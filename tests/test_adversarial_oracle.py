@@ -16,6 +16,7 @@ reports is a REAL in-contract divergence, not quantization noise.
 from __future__ import annotations
 
 import datetime as dt
+import re
 import shutil
 
 import pyarrow as pa
@@ -181,6 +182,13 @@ def test_gapfill_spine_guard_refuses_decade_outlier(spark, tmp_path):
     for name in ("xt1_gapfill_locf", "xt3_gapfill_interpolate"):
         with _pytest.raises(Exception, match="spine would span"):
             SPECS[name].builder(spark, str(d)).collect()
+    # Differential symmetry: the ORACLE must refuse the same input (DuckDB
+    # error() mirror of the builder guard) — otherwise a long-span series
+    # fails the differential by design instead of by divergence.
+    con = duckdb_connection(str(d))
+    for name in ("xt1_gapfill_locf", "xt3_gapfill_interpolate"):
+        with _pytest.raises(Exception, match="spine would exceed"):
+            con.execute(SPECS[name].oracle).fetchall()
 
 
 # ---------------------------------------------------------------------------
@@ -397,3 +405,287 @@ def test_extreme_magnitude_fails_loudly(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
         SPECS["sim_ivf_topk"].builder(spark, str(d)).collect()
+
+
+# ---------------------------------------------------------------------------
+# Relational/TPC-H adversarial gate: the orders/lineitem/customer consumers
+# (TPC-H Q1-Q22, the report pack, joins, windows, sampling, ER blocking,
+# graph co-occurrence — ~100 queries) previously ran only on the null-free,
+# tie-free generated testdata. This fixture is their adversarial twin:
+# NULLs in every column including natural keys, duplicate natural keys,
+# same-date ties, exact predicate-boundary dates (1996-01-01 / 1996-04-01 /
+# 1996-10-01 / 1997-01-01 and the report CUTOFF 2000-06-01), discounts
+# exactly on the 0.05/0.07 BETWEEN edge, a pre-epoch order, orphan foreign
+# keys in both directions, a hot customer and a hot order (join skew),
+# empty-string and whitespace flags/segments (distinct from NULL), and
+# extreme money-grade (0.01-grid) amounts. Dimension tables stay the smoke
+# ones so FK targets (nation 0-24, part 0-199, supplier 0-9) are real.
+# ---------------------------------------------------------------------------
+
+_T0 = dt.datetime(1995, 1, 1)
+
+
+def _ts(y, m, d, h=0):
+    return dt.datetime(y, m, d, h)
+
+
+def _adversarial_customer() -> dict[str, list]:
+    cols = {k: [] for k in ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")}
+    segs = ["AUTOMOBILE", "BUILDING", "HOUSEHOLD", "FURNITURE", "MACHINERY"]
+
+    def add(key, name, nat, bal, seg):
+        cols["c_custkey"].append(key)
+        cols["c_name"].append(name)
+        cols["c_nationkey"].append(nat)
+        cols["c_acctbal"].append(bal)
+        cols["c_mktsegment"].append(seg)
+
+    # baseline: 60 customers over all 25 nations / 5 segments
+    for i in range(60):
+        add(i, f"Customer#{i:09d}", i % 25, round(i * 7.13 - 150.0, 2), segs[i % 5])
+    # NULLs: each nullable column alone, plus an all-null row (null PK)
+    add(60, None, 3, 10.0, "BUILDING")
+    add(61, "Customer#000000061", None, 10.0, "BUILDING")
+    add(62, "Customer#000000062", 4, None, "BUILDING")
+    add(63, "Customer#000000063", 5, 10.0, None)
+    add(None, None, None, None, None)
+    # duplicate natural key (same custkey twice, different attrs)
+    add(10, "Customer#000000010-dup", 11, 999.99, "HOUSEHOLD")
+    # empty-string / whitespace name and segment (distinct from NULL)
+    add(64, "", 6, 1.0, "")
+    add(65, " ", 7, 1.0, " ")
+    # ER-blocking near-duplicates of customer 1
+    add(66, "Customer#000000001", 1, 42.42, "AUTOMOBILE")
+    add(67, "customer#000000001", 1, 42.42, "AUTOMOBILE")
+    # extreme money-grade balances
+    add(68, "Customer#000000068", 8, 1e12, "MACHINERY")
+    add(69, "Customer#000000069", 9, -1e12, "MACHINERY")
+    add(70, "Customer#000000070", 10, 0.0, "FURNITURE")
+    # customers with NO orders (empty groups / anti-join survivors)
+    add(71, "Customer#000000071", 12, 5.25, "BUILDING")
+    add(72, "Customer#000000072", 13, -5.25, "HOUSEHOLD")
+    return cols
+
+
+def _adversarial_orders() -> dict[str, list]:
+    cols = {k: [] for k in (
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")}
+    stat = ["O", "F", "P"]
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    okey = 0
+
+    def add(cust, status, total, date, priority, key=None):
+        nonlocal okey
+        cols["o_orderkey"].append(okey if key is None else key)
+        cols["o_custkey"].append(cust)
+        cols["o_orderstatus"].append(status)
+        cols["o_totalprice"].append(total)
+        cols["o_orderdate"].append(date)
+        cols["o_orderpriority"].append(priority)
+        if key is None:
+            okey += 1
+
+    # baseline: 180 orders spread over 1995-2001, all statuses/priorities
+    for i in range(180):
+        add(
+            i % 60,
+            stat[i % 3],
+            round(1000.0 + i * 13.57, 2),
+            _T0 + dt.timedelta(days=(i * 13) % 2400, hours=i % 5),
+            prio[i % 5],
+        )
+    # exact predicate-boundary dates (Q4/Q7/Q8/Q14 ranges + report CUTOFF)
+    for d in (
+        _ts(1996, 1, 1), _ts(1996, 3, 31), _ts(1996, 4, 1), _ts(1996, 9, 30),
+        _ts(1996, 10, 1), _ts(1996, 12, 31), _ts(1997, 1, 1), _ts(1997, 12, 31),
+        _ts(2000, 5, 31), _ts(2000, 6, 1), _ts(2000, 6, 2),
+    ):
+        add(1, "O", 500.50, d, "1-URGENT")
+    # same-date tie block: 30 orders, one instant, many customers
+    for i in range(30):
+        add(i % 10, "F", round(10.0 + i, 2), _ts(1999, 7, 5), prio[i % 5])
+    # hot customer: #7 floods with 50 orders in one month
+    for i in range(50):
+        add(7, "O", 77.77, _ts(1998, 3, 1) + dt.timedelta(hours=i), "3-MEDIUM")
+    # NULLs: every column alone, plus all-null
+    add(None, "O", 10.0, _ts(1999, 1, 1), "5-LOW")          # null custkey
+    add(2, None, 10.0, _ts(1999, 1, 2), "5-LOW")            # null status
+    add(3, "F", None, _ts(1999, 1, 3), "5-LOW")             # null totalprice
+    add(4, "F", 10.0, None, "5-LOW")                        # null orderdate
+    add(5, "F", 10.0, _ts(1999, 1, 4), None)                # null priority
+    add(None, None, None, None, None)                       # all null attrs
+    # null PK order (joins must drop it identically in both engines)
+    add(6, "O", 11.0, _ts(1999, 1, 5), "2-HIGH", key=None)
+    cols["o_orderkey"][-1] = None
+    # duplicate natural key: orderkey 5 appears twice
+    add(8, "P", 123.45, _ts(1999, 2, 1), "4-NOT SPECIFIED", key=5)
+    # orphan custkey (no such customer): FK-orphan audit fodder
+    add(99999, "O", 55.55, _ts(1999, 2, 2), "1-URGENT")
+    # pre-epoch order (1969): week/month truncation left of the epoch
+    add(9, "F", 9.99, _ts(1969, 12, 29), "5-LOW")
+    # extreme money-grade totals
+    add(11, "O", 1e12, _ts(1999, 3, 1), "2-HIGH")
+    add(12, "O", -1e12, _ts(1999, 3, 2), "2-HIGH")
+    add(13, "O", 0.0, _ts(1999, 3, 3), "2-HIGH")
+    # empty-string / whitespace status and priority
+    add(14, "", 20.0, _ts(1999, 3, 4), "")
+    add(15, " ", 20.0, _ts(1999, 3, 5), " ")
+    return cols
+
+
+def _adversarial_lineitem(order_keys: list, order_dates: list) -> dict[str, list]:
+    cols = {k: [] for k in (
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate")}
+    rf = ["N", "A", "R"]
+    ls = ["O", "F"]
+
+    def add(okey, part, supp, ln, qty, price, disc, tax, flag, status, ship):
+        cols["l_orderkey"].append(okey)
+        cols["l_partkey"].append(part)
+        cols["l_suppkey"].append(supp)
+        cols["l_linenumber"].append(ln)
+        cols["l_quantity"].append(qty)
+        cols["l_extendedprice"].append(price)
+        cols["l_discount"].append(disc)
+        cols["l_tax"].append(tax)
+        cols["l_returnflag"].append(flag)
+        cols["l_linestatus"].append(status)
+        cols["l_shipdate"].append(ship)
+
+    # baseline: 1-3 lines per real order, shipdate = orderdate + 1-30 days
+    j = 0
+    for okey, odate in zip(order_keys, order_dates):
+        if okey is None or odate is None:
+            continue
+        for ln in range(1, 1 + (j % 3) + 1):
+            j += 1
+            add(
+                okey, (j * 7) % 200, j % 10, ln,
+                float(1 + (j % 50)),
+                round(100.0 + (j % 900) * 1.11, 2),
+                round((j % 11) * 0.01, 2),        # 0.00-0.10 grid
+                round((j % 9) * 0.01, 2),
+                rf[j % 3], ls[j % 2],
+                odate + dt.timedelta(days=1 + (j % 30)),
+            )
+    base_order = order_keys[0]
+    # discount exactly on the 0.05/0.07 BETWEEN edge (Q6) + shipdate edges
+    for d_, ship in (
+        (0.05, _ts(1996, 1, 1)), (0.06, _ts(1996, 3, 31)), (0.07, _ts(1996, 4, 1)),
+        (0.05, _ts(1996, 12, 31)), (0.07, _ts(1997, 1, 1)),
+        (0.04, _ts(1996, 6, 1)), (0.08, _ts(1996, 6, 1)),
+        (0.05, _ts(2000, 6, 1)), (0.06, _ts(2000, 6, 2)),
+    ):
+        add(base_order, 1, 1, 90, 10.0, 1000.0, d_, 0.02, "N", "O", ship)
+    # same-microsecond shipdate tie block across flags
+    for i in range(12):
+        add(order_keys[1], (i * 3) % 200, i % 10, 50 + i, 5.0, 200.0, 0.01,
+            0.01, rf[i % 3], ls[i % 2], _ts(1999, 7, 5))
+    # hot order: 200 lines on one orderkey (Q18 large-volume + join skew)
+    for i in range(200):
+        add(order_keys[2], i % 200, i % 10, 100 + i, 3.0,
+            round(50.0 + i * 0.25, 2), 0.02, 0.03, "N", "O",
+            _ts(1998, 5, 1) + dt.timedelta(minutes=i))
+    # NULLs: every column alone, plus an all-null row
+    t = _ts(1999, 4, 1)
+    add(None, 1, 1, 1, 1.0, 10.0, 0.01, 0.01, "N", "O", t)      # null okey
+    add(base_order, None, 1, 2, 1.0, 10.0, 0.01, 0.01, "N", "O", t)
+    add(base_order, 1, None, 3, 1.0, 10.0, 0.01, 0.01, "N", "O", t)
+    add(base_order, 1, 1, None, 1.0, 10.0, 0.01, 0.01, "N", "O", t)
+    add(base_order, 1, 1, 4, None, 10.0, 0.01, 0.01, "N", "O", t)
+    add(base_order, 1, 1, 5, 1.0, None, 0.01, 0.01, "N", "O", t)
+    add(base_order, 1, 1, 6, 1.0, 10.0, None, 0.01, "N", "O", t)
+    add(base_order, 1, 1, 7, 1.0, 10.0, 0.01, None, "N", "O", t)
+    add(base_order, 1, 1, 8, 1.0, 10.0, 0.01, 0.01, None, "O", t)
+    add(base_order, 1, 1, 9, 1.0, 10.0, 0.01, 0.01, "N", None, t)
+    add(base_order, 1, 1, 10, 1.0, 10.0, 0.01, 0.01, "N", "O", None)
+    add(None, None, None, None, None, None, None, None, None, None, None)
+    # orphan l_orderkey (no such order) and orphan part/supp keys
+    add(888888, 1, 1, 1, 2.0, 20.0, 0.02, 0.02, "A", "F", t)
+    add(base_order, 7777, 1, 11, 2.0, 20.0, 0.02, 0.02, "A", "F", t)
+    add(base_order, 1, 77, 12, 2.0, 20.0, 0.02, 0.02, "A", "F", t)
+    # negative and zero quantity/price (returns/corrections on the grid)
+    add(order_keys[3], 2, 2, 1, -5.0, -500.0, 0.05, 0.01, "R", "F", t)
+    add(order_keys[3], 3, 3, 2, 0.0, 0.0, 0.0, 0.0, "R", "F", t)
+    # extreme money-grade price
+    add(order_keys[4], 4, 4, 1, 1.0, 1e12, 0.1, 0.08, "N", "O", t)
+    add(order_keys[4], 5, 5, 2, 1.0, -1e12, 0.1, 0.08, "N", "O", t)
+    # empty-string / whitespace flags (distinct from NULL)
+    add(order_keys[5], 6, 6, 1, 1.0, 10.0, 0.01, 0.01, "", "", t)
+    add(order_keys[5], 7, 7, 2, 1.0, 10.0, 0.01, 0.01, " ", " ", t)
+    return cols
+
+
+@pytest.fixture(scope="module")
+def adv_tpch_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial_tpch_sf")
+    for t in TABLES:
+        if t not in ("orders", "lineitem", "customer"):
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    cust = _adversarial_customer()
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(cust["c_custkey"], pa.int64()),
+                "c_name": pa.array(cust["c_name"], pa.string()),
+                "c_nationkey": pa.array(cust["c_nationkey"], pa.int32()),
+                "c_acctbal": pa.array(cust["c_acctbal"], pa.float64()),
+                "c_mktsegment": pa.array(cust["c_mktsegment"], pa.string()),
+            }
+        ),
+        d / "customer.parquet",
+    )
+    orders = _adversarial_orders()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(orders["o_orderkey"], pa.int64()),
+                "o_custkey": pa.array(orders["o_custkey"], pa.int64()),
+                "o_orderstatus": pa.array(orders["o_orderstatus"], pa.string()),
+                "o_totalprice": pa.array(orders["o_totalprice"], pa.float64()),
+                "o_orderdate": pa.array(orders["o_orderdate"], pa.timestamp("us")),
+                "o_orderpriority": pa.array(orders["o_orderpriority"], pa.string()),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    li = _adversarial_lineitem(orders["o_orderkey"], orders["o_orderdate"])
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(li["l_orderkey"], pa.int64()),
+                "l_partkey": pa.array(li["l_partkey"], pa.int64()),
+                "l_suppkey": pa.array(li["l_suppkey"], pa.int64()),
+                "l_linenumber": pa.array(li["l_linenumber"], pa.int32()),
+                "l_quantity": pa.array(li["l_quantity"], pa.float64()),
+                "l_extendedprice": pa.array(li["l_extendedprice"], pa.float64()),
+                "l_discount": pa.array(li["l_discount"], pa.float64()),
+                "l_tax": pa.array(li["l_tax"], pa.float64()),
+                "l_returnflag": pa.array(li["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(li["l_linestatus"], pa.string()),
+                "l_shipdate": pa.array(li["l_shipdate"], pa.timestamp("us")),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    return str(d)
+
+
+_TPCH_TABLE_RE = re.compile(
+    r"\b(orders|lineitem|customer|supplier|part|nation|region)\b"
+)
+TPCH_QUERIES = sorted(
+    n
+    for n, s in SPECS.items()
+    if s.oracle is not None and _TPCH_TABLE_RE.search(s.oracle.lower())
+)
+
+
+@pytest.mark.parametrize("name", TPCH_QUERIES)
+def test_adversarial_tpch_differential(name, spark, adv_tpch_dir):
+    spec = SPECS[name]
+    con = duckdb_connection(adv_tpch_dir)
+    compare_spark_duckdb(spec.builder(spark, adv_tpch_dir), con, spec.oracle)

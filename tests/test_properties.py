@@ -1976,10 +1976,15 @@ def test_rate_limit_one_survivor_per_bucket(spark):
             "event_id",
             "user_id",
             F.unix_micros("ts").alias("ts_us"),
-            F.floor(F.unix_micros("ts") / F.lit(600_000_000)).cast("long").alias("win"),
         )
     )
-    evr = ev.collect()
+    # Independent model derives win with Python's true-floor `//` — the
+    # operator contract's exact floordiv — NOT floor(double-division),
+    # which rounds the quotient first and could agree with a boundary
+    # misbucket instead of catching one.
+    evr = [
+        {**r.asDict(), "win": r["ts_us"] // 600_000_000} for r in ev.collect()
+    ]
     assert sum(r["n_in_window"] for r in rows) == len(evr)
     # earliest-wins: no unfiltered event in the same bucket sorts before
     # its survivor
