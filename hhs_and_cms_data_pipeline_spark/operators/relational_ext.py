@@ -440,6 +440,10 @@ def unpivot_bed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric",
             "amount",
         )
+        # SQL-standard UNPIVOT excludes NULL cells; Spark's unpivot (pandas
+        # melt semantics) keeps them. Pin the SQL contract — a NULL
+        # measurement is no measurement (TPC-H adversarial gate).
+        .filter(F.col("amount").isNotNull())
         .orderBy("l_orderkey", "l_linenumber", "metric")
         .select("l_orderkey", "metric", "amount")
     )
@@ -1138,7 +1142,7 @@ def xu2_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT kb AS src, ka AS dst FROM er_pairs),
     reach_er(k, r) AS (
-      SELECT c_custkey, c_custkey FROM customer
+      SELECT c_custkey, c_custkey FROM customer WHERE c_custkey IS NOT NULL
       UNION
       SELECT reach_er.k, e.dst
       FROM reach_er JOIN er_edges e ON e.src = reach_er.r),
@@ -1182,7 +1186,16 @@ def er2_entity_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.c_custkey").alias("doc_a"), F.col("b.c_custkey").alias("doc_b")
     )
-    nodes = cust.select(F.col("c_custkey").alias("doc_id"))
+    # Entities are keyed by custkey, one output row per KEY: a duplicate
+    # record sharing a key is the thing being consolidated, not a second
+    # node, and a NULL key cannot name an entity (its size-join would drop
+    # it in one engine and not the other). distinct + null filter pins the
+    # contract the oracle's recursive-CTE UNION seed states.
+    nodes = (
+        cust.filter(F.col("c_custkey").isNotNull())
+        .select(F.col("c_custkey").alias("doc_id"))
+        .distinct()
+    )
     ents = alternating_star_components(nodes, pairs).select(
         F.col("doc_id").alias("c_custkey"), F.col("cluster_id").alias("entity_id")
     )
@@ -1217,7 +1230,9 @@ def er2_entity_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_order AS (
       SELECT l_orderkey,
              list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
-      FROM lineitem GROUP BY 1)
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+      GROUP BY 1)
     SELECT l_orderkey,
            CAST(len(qtys) AS BIGINT) AS n_lines,
            CAST(len(list_filter(qtys, q -> q > 25)) AS BIGINT) AS n_heavy,
@@ -1246,8 +1261,15 @@ def xf3_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode -> aggregate round-trips at 100 TB: one shuffle total, and
     downstream consumers get the array AND its stats from the same row."""
     ensure_session_conf(spark)
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    # Lines with no quantity or no line number contribute nothing to the
+    # quantity stats by contract: a NULL element poisons Spark's
+    # F.aggregate fold (NULL result) while DuckDB's list_aggregate skips
+    # it, and a NULL sort key orders differently inside the collected
+    # array (TPC-H adversarial gate).
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(F.col("l_quantity").isNotNull() & F.col("l_linenumber").isNotNull())
     )
     per_order = li.groupBy("l_orderkey").agg(
         F.transform(

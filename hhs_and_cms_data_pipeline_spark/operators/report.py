@@ -134,6 +134,7 @@ WITH weekly_counts AS (
   SELECT {_sql_week("o_orderdate")},
          COUNT(DISTINCT o_custkey) AS customer_count
   FROM orders
+  WHERE o_orderdate IS NOT NULL
   GROUP BY 1
 )
 SELECT collection_week,
@@ -161,8 +162,14 @@ def r1_weekly_count_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe by construction.
     """
     ensure_session_conf(spark)
+    # Undated orders are OUT of the trend by contract: a NULL week has no
+    # place in a week-over-week LAG, and the engines order NULLs at
+    # opposite ends of the window (Spark NULLS FIRST, DuckDB NULLS LAST),
+    # so including it would hand the first/last real week a different
+    # predecessor per engine (caught by the TPC-H adversarial gate).
     weekly = (
         table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
         .select(_week("o_orderdate"), "o_custkey")
         .groupBy("collection_week")
         .agg(F.countDistinct("o_custkey").alias("customer_count"))
@@ -512,6 +519,7 @@ SELECT c_name AS customer_name,
        MAX(CAST(date_trunc('week', o_orderdate) AS DATE)) AS last_week
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey AND o_orderdate <= {_SQL_CUTOFF}
+WHERE c_name IS NOT NULL
 GROUP BY c_name
 HAVING MAX(CAST(date_trunc('week', o_orderdate) AS DATE)) IS NULL
     OR MAX(CAST(date_trunc('week', o_orderdate) AS DATE)) < (
@@ -530,7 +538,15 @@ def r7_not_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     cutoff = F.lit(CUTOFF).cast("timestamp")
-    c = table(spark, sf_dir, "customer").select("c_custkey", F.col("c_name").alias("customer_name"))
+    # Nameless customers are OUT by contract: the report is keyed and
+    # alphabetically LIMITed by name, and a NULL name sorts at opposite
+    # ends per engine (Spark NULLS FIRST vs DuckDB NULLS LAST), flipping
+    # which real customer makes the top-10 (TPC-H adversarial gate).
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_name").isNotNull())
+        .select("c_custkey", F.col("c_name").alias("customer_name"))
+    )
     o = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") <= cutoff)

@@ -31,9 +31,14 @@ from ..sources import spread, table
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
              {sql_dsum('o_totalprice')} AS revenue
-      FROM orders GROUP BY 1)
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
     SELECT d, revenue,
-           CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE)
+           -- inner VARCHAR hop as in sql_dsum: DuckDB's direct
+           -- double->DECIMAL cast keeps binary-expansion noise that
+           -- Spark's shortest-repr conversion drops (visible only once
+           -- ~1e12-magnitude days enter the frame)
+           CAST(CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(38,6))) OVER w
+                AS VARCHAR) AS DOUBLE)
              / CAST(COUNT(*) OVER w AS DOUBLE) AS ma7
     FROM daily
     WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -47,8 +52,13 @@ def w4_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB), so the single-partition window is safe by construction; the
     in-frame sum goes through decimal so both engines agree bitwise."""
     ensure_session_conf(spark)
+    # Undated orders are OUT by contract: a NULL day would occupy a slot in
+    # the date-ordered ROWS frame, and the engines place it at opposite ends
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST), silently shifting the first
+    # or last 7 real days' averages (caught by the TPC-H adversarial gate).
     daily = (
         table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(dsum("o_totalprice", "revenue"))
     )
@@ -1050,7 +1060,9 @@ def _sql_z(a: str, b: str) -> str:
     WITH keyed AS (
       SELECT l_orderkey, l_partkey, l_suppkey,
              {_sql_z("l_partkey & 65535", "l_suppkey & 65535")} AS z
-      FROM lineitem)
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        AND l_suppkey IS NOT NULL)
     SELECT z, l_orderkey, l_partkey, l_suppkey
     FROM keyed
     ORDER BY z, l_orderkey, l_partkey, l_suppkey
@@ -1070,8 +1082,19 @@ def xs5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure per-row bit math (no shuffle of its own); the range partition
     of the write is the only exchange."""
     ensure_session_conf(spark)
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey"
+    # Rows missing any layout key are NOT layout-eligible by contract: a
+    # NULL key makes z NULL (sorted at opposite ends by the two engines,
+    # flipping the LIMIT set) and a NULL tie-break column does the same
+    # among equal-z rows. Real writers quarantine key-less rows before
+    # clustering (TPC-H adversarial gate).
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .filter(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_partkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+        )
     )
     z = _z_value(
         F.col("l_partkey").bitwiseAND(F.lit(65535)),
