@@ -1282,11 +1282,19 @@ def s11_event_ledger_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # format (the execution half is K5's partition rewrite). The file
 # population here is the per-(event_type, day) partition stats relation
 # (the K7 manifest shape derived from data so the oracle sees identical
-# input); the policy is deterministic next-fit over a size-DESC ordering:
-# running-sum the sizes, bin = floor(preceding_mass / target). Single-
-# partition windows are over the REDUCED stats relation (one row per
-# file), the shape the registry-wide global-window audit permits — a
-# metadata plan is dim-sized by definition.
+# input); the policy is deterministic next-fit over a size-DESC ordering,
+# PACKED PER PARTITION SUBTREE: within each event_type, running-sum the
+# sizes and take local_bin = (preceding_mass div target); global bin ids
+# compose as local_bin + a per-type offset (the running total of earlier
+# types' bin counts). Compaction never merges files across partition
+# boundaries anyway — a bin spanning two event_types could not be
+# rewritten as one file — so per-type packing is the semantically right
+# policy AND removes the planner's only global single-partition window:
+# a real 100 TB table's manifest is 10^6-10^7 files, where a single-node
+# sort of the whole manifest is the slow path. The packing window hash-
+# partitions by event_type; the only remaining single-partition window
+# runs over the per-TYPE bin counts (one row per event type — actually
+# dim-sized), which then broadcast-join back onto the files.
 # --------------------------------------------------------------------------
 
 _COMPACT_TARGET_ROWS = 2000
@@ -1304,14 +1312,30 @@ _COMPACT_TARGET_ROWS = 2000
     packed AS (
       SELECT event_type, d, n_rows,
              CAST(SUM(n_rows) OVER (
-               ORDER BY n_rows DESC, event_type, d
+               PARTITION BY event_type
+               ORDER BY n_rows DESC, d
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS csum
       FROM files),
-    binned AS (
+    localbin AS (
+      -- preceding mass and target are non-negative, so truncating integer
+      -- division IS floor on both engines (no double round-trip)
       SELECT event_type, d, n_rows,
-             CAST(floor(CAST(csum - n_rows AS DOUBLE)
-                        / {_COMPACT_TARGET_ROWS}.0) AS BIGINT) AS bin
-      FROM packed)
+             CAST((csum - n_rows) // {_COMPACT_TARGET_ROWS} AS BIGINT) AS lbin
+      FROM packed),
+    typebins AS (
+      SELECT event_type, CAST(MAX(lbin) + 1 AS BIGINT) AS n_bins
+      FROM localbin GROUP BY 1),
+    offsets AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(n_bins) OVER (
+               ORDER BY event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS off
+      FROM typebins),
+    binned AS (
+      SELECT l.event_type, l.d, l.n_rows,
+             CAST(l.lbin + o.off AS BIGINT) AS bin
+      FROM localbin l JOIN offsets o USING (event_type))
     SELECT event_type, d, n_rows, bin,
            CAST(SUM(n_rows) OVER (PARTITION BY bin) AS BIGINT) AS bin_rows,
            CAST(COUNT(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files
@@ -1321,9 +1345,12 @@ _COMPACT_TARGET_ROWS = 2000
     tags=("K11",),
 )
 def k11_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K11: next-fit compaction bins over the per-(type, day) file stats
-    (block comment above) — each file's bin plus per-bin totals, the plan
-    a rewrite job executes group by group."""
+    """K11: per-partition-subtree next-fit compaction bins over the
+    per-(type, day) file stats (block comment above) — each file's bin
+    plus per-bin totals, the plan a rewrite job executes group by group.
+    The packing window partitions by event_type (parallel at manifest
+    scale); only the type-count offset composition — one row per event
+    type — runs single-partition, then broadcasts back."""
     ensure_session_conf(spark)
     from pyspark.sql import Window
 
@@ -1333,17 +1360,45 @@ def k11_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("ts").cast("date").alias("d"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
-    order = Window.orderBy(
-        F.desc("n_rows"), F.asc("event_type"), F.asc("d")
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    binned = files.select(
+    order = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("n_rows"), F.asc("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    localbin = files.select(
         "event_type",
         "d",
         "n_rows",
-        F.floor(
-            (F.sum("n_rows").over(order) - F.col("n_rows")).cast("double")
-            / float(_COMPACT_TARGET_ROWS)
-        ).cast("long").alias("bin"),
+        # non-negative operands: truncating `div` == floor, exactly as the
+        # oracle's integer `//` (no double round-trip to misbucket)
+        (F.sum("n_rows").over(order) - F.col("n_rows"))
+        .cast("long")
+        .alias("pre_mass"),
+    ).select(
+        "event_type",
+        "d",
+        "n_rows",
+        F.expr(f"pre_mass div {_COMPACT_TARGET_ROWS}").cast("long").alias("lbin"),
+    )
+    # consumed twice (offset derivation + final join): checkpoint the
+    # file-stats relation or the whole fact scan and aggregation would
+    # execute once per branch
+    localbin = localbin.localCheckpoint(eager=False)
+    typebins = localbin.groupBy("event_type").agg(
+        (F.max("lbin") + F.lit(1)).cast("long").alias("n_bins")
+    )
+    woff = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = typebins.select(
+        "event_type",
+        F.coalesce(F.sum("n_bins").over(woff), F.lit(0)).cast("long").alias("off"),
+    )
+    binned = localbin.join(F.broadcast(offsets), "event_type").select(
+        "event_type",
+        "d",
+        "n_rows",
+        (F.col("lbin") + F.col("off")).cast("long").alias("bin"),
     )
     per_bin = Window.partitionBy("bin")
     return (

@@ -2226,14 +2226,12 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    from ..sources.manifest_sink import manifest_files, register_manifest_sink
+    from ..sources.manifest_sink import manifest_files, manifest_stream_writer
     from ..streaming.events import events_raw_schema
     from ..streaming.stateful import stage_chronological_files
 
     ensure_session_conf(spark)
     from ..functions.exact import dsum
-
-    register_manifest_sink(spark)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"manifest_stage_{tag}")
     target = os.path.join(tempfile.gettempdir(), f"manifest_sink_{tag}")
@@ -2249,10 +2247,9 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value")
     )
     q = (
-        raw.writeStream.format("manifest_jsonl")
-        .option("path", target)
-        .option("audit_column", "value")
-        .option("checkpointLocation", ckpt)
+        manifest_stream_writer(
+            raw, target, audit_column="value", checkpointLocation=ckpt
+        )
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

@@ -392,6 +392,59 @@ def register_manifest_sink(spark) -> None:
     spark.dataSource.register(ManifestJsonlSink)
 
 
+def manifest_stream_writer(
+    df,
+    path: str,
+    *,
+    audit_column: str | None = None,
+    query_name: str | None = None,
+    **options,
+):
+    """Configured ``writeStream`` for the manifest sink with the checkpoint
+    location ALWAYS resolved into a sink option.
+
+    Why this exists: `ManifestJsonlStreamWriter.commit` keys exactly-once
+    dedup on the checkpoint's query id, which it can only read if it knows
+    the checkpoint path. The Python Data Source runner process has NO
+    SparkSession and receives ONLY explicit sink options (verified
+    empirically: `SparkSession.getActiveSession()` is None there and the
+    session-conf default `spark.sql.streaming.checkpointLocation` never
+    reaches the options map — Spark materializes it as a RANDOM-uuid
+    subdirectory the sink cannot discover). So conf-default resolution has
+    to happen HERE, session-side, before start: explicit kwarg wins, else
+    the session conf root plus a deterministic per-query subdirectory
+    (queryName if given, else a hash of the target path — mirroring
+    Spark's own ``<root>/<queryName>`` convention), passed down as the
+    ``checkpointLocation`` sink option the commit path already honors.
+    Raw ``.format("manifest_jsonl")`` users who pass neither still get the
+    loud degraded-mode warning in `_commit_locked`.
+    """
+    import hashlib
+
+    spark = df.sparkSession
+    register_manifest_sink(spark)
+    cp = options.pop("checkpointLocation", None) or options.pop(
+        "checkpointlocation", None
+    )
+    if cp is None:
+        root = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
+        if root:
+            sub = query_name or hashlib.sha256(
+                os.path.abspath(path).encode()
+            ).hexdigest()[:16]
+            cp = os.path.join(root, sub)
+    w = df.writeStream.format("manifest_jsonl").option("path", path)
+    if audit_column is not None:
+        w = w.option("audit_column", audit_column)
+    if cp is not None:
+        w = w.option("checkpointLocation", cp)
+    if query_name is not None:
+        w = w.queryName(query_name)
+    for k, v in options.items():
+        w = w.option(k, v)
+    return w
+
+
 def manifest_files(path: str) -> list[str]:
     """Absolute paths of the COMMITTED part files — the only reader-visible
     view of the directory (module docstring: never list the directory).

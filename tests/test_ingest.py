@@ -665,6 +665,51 @@ def test_stream_manifest_warns_when_query_id_unresolvable(tmp_path):
                   batchId=0)
 
 
+def test_manifest_stream_writer_resolves_session_conf_checkpoint(spark, tmp_path):
+    """The engine-side writer helper resolves a session-conf-default
+    checkpoint into an explicit sink option, so the manifest carries the
+    query id (exactly-once keying) even when the user never passed
+    checkpointLocation to the sink. In-sink resolution is impossible by
+    construction — the Python Data Source runner process has no
+    SparkSession and Spark materializes the conf default as a random-uuid
+    subdirectory the sink cannot discover — so resolution happens at
+    stream-build time in manifest_stream_writer."""
+    import json
+    import os
+
+    from hhs_and_cms_data_pipeline_spark.sources.manifest_sink import (
+        MANIFEST_NAME,
+        manifest_stream_writer,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text('{"x": 1}\n')
+    sink = str(tmp_path / "sink")
+    conf_root = str(tmp_path / "cp_root")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", conf_root)
+    try:
+        df = spark.readStream.schema("x long").json(str(src))
+        q = (
+            manifest_stream_writer(df, sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        manifest = json.load(open(os.path.join(sink, MANIFEST_NAME)))
+        # the helper placed the checkpoint under the conf root ...
+        subdirs = os.listdir(conf_root)
+        assert len(subdirs) == 1, subdirs
+        # ... and the sink resolved the query id through it
+        assert manifest.get("query_id") == str(q.id)
+        # deterministic re-resolution: same path -> same checkpoint subdir
+        df2 = spark.readStream.schema("x long").json(str(src))
+        w2 = manifest_stream_writer(df2, sink)
+        assert os.listdir(conf_root) == subdirs
+    finally:
+        spark.conf.unset("spark.sql.streaming.checkpointLocation")
+
+
 def test_stream_manifest_commit_idempotent_on_batch_id(tmp_path):
     """ST22 exactly-once hinge: after a driver restart Spark re-commits
     the last micro-batch; re-registering its parts would double-count

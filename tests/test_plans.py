@@ -1049,7 +1049,7 @@ def test_chunk_spans_is_map_only(spark, specs):
 def test_compaction_plan_windows_over_reduced_stats(spark, specs):
     plan = formatted_plan(specs["k11_compaction_plan"].builder(spark, SF_SMOKE))
     # the fact table collapses to per-(type, day) stats in one hash agg
-    # BEFORE any window: both planner windows run over the reduced
+    # BEFORE any window: the planner windows run over the reduced
     # metadata relation, never the events scan. Formatted-plan node ids
     # number bottom-up, so the agg's id must be LOWER than every window's.
     import re
@@ -1062,6 +1062,26 @@ def test_compaction_plan_windows_over_reduced_stats(spark, specs):
     win_ids = [i for i, n in nodes.items() if n == "Window"]
     assert agg_ids and win_ids
     assert max(agg_ids) < min(win_ids)
+
+
+def test_compaction_plan_packs_per_partition_subtree(spark, specs):
+    """K11 scale posture: the PACKING window is hash-partitioned by
+    event_type — a manifest-scale (10^6-10^7 file) plan must never sort
+    the whole stats relation on one node. The only SinglePartition
+    exchange allowed feeds the per-TYPE offset window (one row per event
+    type), which must come back via broadcast."""
+    import re
+
+    plan = formatted_plan(specs["k11_compaction_plan"].builder(spark, SF_SMOKE))
+    # packing + per-bin windows are keyed: event_type and bin partitions
+    assert re.search(r"hashpartitioning\(event_type", plan)
+    assert re.search(r"hashpartitioning\(bin", plan)
+    # the offset composition joins back broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan
+    # at most ONE SinglePartition exchange (the type-count offsets); the
+    # file-stats relation itself must never be single-partitioned
+    singles = len(re.findall(r"Arguments: SinglePartition", plan))
+    assert singles <= 1, plan
 
 
 def test_ewma_trend_preagg_before_single_window(spark, specs):
