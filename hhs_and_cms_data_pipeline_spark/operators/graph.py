@@ -579,6 +579,33 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (DuckDB's 4.5s on the same SQL is a single-process radix agg with no
 # row serialization; numpy mapInPandas variants were prototyped and
 # measured SLOWER under this container's memory-reclaim behavior).
+#
+# Exchange-volume reduction attempts (r10, all measured at sf0.1, graph:
+# 20,000 nodes / 1.196M edges / 147.8M wedge mass, wedge GENERATION is
+# 1.7s — the exchange is everything else):
+#   - Count-Min pre-filter (two-pass, ship only CMS-estimate >= MIN_CN):
+#     mathematically unable to bind. CMS noise per key ~ mass/width; a
+#     LOSSLESS >=3 filter needs width >~ mass/2 = 74M registers
+#     (300-600MB — not register-sized, not broadcastable), and any
+#     broadcastable width leaves mass/width >> 3 so the estimate passes
+#     essentially every key. Filter selectivity ~ 0.
+#   - Broadcast-adjacency anti-join BEFORE the exchange: only 5.65M of
+#     147.8M wedge rows (3.8%) land on adjacent pairs, and probing 148M
+#     rows against the broadcast edge set measured 18.8s — costs more
+#     than the volume it saves.
+#   - Degree prefilter (cn>=3 needs deg>=3 both ends): 0 of 20k nodes
+#     have deg<3 on this graph. Vacuous.
+#   - collect_list-by-u array exchange (148M elements in 20k array rows,
+#     numpy multiplicity count in one Arrow stage): mean ~11.6s vs ~13.6s
+#     but 8.6-16.9s spread — the boxed ObjectHashAggregate partials GC-
+#     thrash; worse tail than the row exchange. Rejected.
+#   - Packed-int32 per-task numpy partial counts shuffled as 1024 binary
+#     bucket rows: 46-57s — materializing 148M rows into Arrow batches
+#     map-side dominates. Rejected (matches the r9 prototype note).
+# The row-exchange plan below keeps the tightest variance (13.2-15.3s);
+# the exact operator's cost is intrinsic (Theta(sum deg^2) pairs must
+# cross the network once), and the approximate family (RA scoring,
+# GRAPH8) sits alongside for scale users.
 # Within that floor the r9 plan cuts the old 33s to ~17s by:
 #   - aggregating on ONE packed int64 key (u<<32|v) instead of a two-
 #     column key (ids checked to fit int32 — raise_error otherwise);

@@ -285,3 +285,57 @@ def test_scd2_hot_user_alternating_runs(spark):
     assert agg["n_runs"] == 200_000      # every event its own maximal run
     assert agg["n_events"] == 200_000
     assert agg["max_run"] == 1
+
+
+def test_minhash_lsh_hot_bucket_burst(spark):
+    """LSH band-join skew stress (the dedup twin of the U5/K12 hot-key
+    bursts): 2,000 IDENTICAL documents all hash into the SAME (band, sig)
+    bucket in every band — the worst-case hot bucket the band self-join
+    can see. The quadratic blowup is the OPERATOR'S OWN candidate set
+    (identical docs really are all-pairs duplicates), so the contract is
+    exactness, not trimming: the join must stream the bucket under AQE
+    skew handling (no OOM, no silent cap) and verify every clone pair at
+    jaccard exactly 1.0, while the base corpus's near-dup pairs come out
+    IDENTICAL to the 1x run (the burst cannot rescore or suppress
+    unrelated pairs — bucket-locality means a hot bucket touches only its
+    own members)."""
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        _JACCARD_TAU,
+        minhash_verified_pairs,
+    )
+
+    K = 2_000
+    SHIFT = 10_000_000
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    one_x = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_verified_pairs(docs).collect()
+    )
+    clone_text = "the quick brown fox jumps over the lazy dog again and again"
+    clones = spark.range(K).select(
+        (F.col("id") + F.lit(SHIFT)).alias("doc_id"),
+        F.lit(clone_text).alias("text"),
+    )
+    burst = docs.unionAll(clones)
+    pairs = minhash_verified_pairs(burst).localCheckpoint(eager=False)
+    both_clones = pairs.filter(
+        (F.col("doc_a") >= SHIFT) & (F.col("doc_b") >= SHIFT)
+    )
+    stats = both_clones.agg(
+        F.count(F.lit(1)).alias("n"), F.min("jaccard").alias("mn")
+    ).collect()[0]
+    # all-pairs among identical docs, every one exact 1.0
+    assert stats["n"] == K * (K - 1) // 2
+    assert stats["mn"] == 1.0
+    # no cross pairs unless a base doc is genuinely near the clone text
+    cross = pairs.filter(
+        (F.col("doc_a") < SHIFT) & (F.col("doc_b") >= SHIFT)
+    )
+    assert all(r.jaccard >= _JACCARD_TAU for r in cross.collect())
+    base = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in pairs.filter(
+            (F.col("doc_a") < SHIFT) & (F.col("doc_b") < SHIFT)
+        ).collect()
+    )
+    assert base == one_x
