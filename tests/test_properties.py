@@ -1915,8 +1915,33 @@ def test_compaction_bins_respect_target(spark):
         # next-fit bound: a bin never exceeds target by more than one file
         assert total < _COMPACT_TARGET_ROWS + max_file
     # the running-sum construction fills bins contiguously: bins are the
-    # integers 0..max with none skipped
+    # integers 0..max with none skipped (per-type local bins + offsets
+    # compose to a gap-free global numbering)
     assert sorted(bins) == list(range(len(bins)))
+    # r10 per-partition-subtree policy: a bin never spans event types —
+    # compaction can only rewrite files within one partition subtree
+    for members in bins.values():
+        assert len({r["event_type"] for r in members}) == 1
+    # full model replay: per type, next-fit over (n_rows DESC, d) with
+    # true-floor integer division; global ids = local + per-type offset
+    # in event_type order
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    model: dict[tuple, int] = {}
+    offset = 0
+    for etype in sorted(by_type):
+        files = sorted(by_type[etype], key=lambda r: (-r["n_rows"], r["d"]))
+        csum = 0
+        n_bins = 0
+        for f in files:
+            lbin = csum // _COMPACT_TARGET_ROWS
+            model[(etype, f["d"])] = offset + lbin
+            csum += f["n_rows"]
+            n_bins = max(n_bins, lbin + 1)
+        offset += n_bins
+    for r in rows:
+        assert r["bin"] == model[(r["event_type"], r["d"])]
 
 
 def test_ewma_trend_matches_recursion_model(spark):
