@@ -105,18 +105,21 @@ _DRIVER_SAMPLED_THROUGH_R9: frozenset[str] = frozenset(
 )
 
 
-def _driver_sampled_names() -> frozenset[str]:
+def _driver_sampled_names(root: str | None = None) -> frozenset[str]:
     """Union of every query name a CORRECTNESS_r*.json artifact records —
     the r1-r9 frozen baseline plus whatever later rounds have sampled.
     Reading the artifacts keeps the never-sampled-first rotation advancing
     each round with no manual bookkeeping; any read problem degrades to
-    the frozen baseline (ordering is best-effort, never correctness)."""
+    the frozen baseline (ordering is best-effort, never correctness).
+    ``root`` overrides the repo-root artifact directory (tests)."""
     import glob as _glob
     import json as _json
     import os as _os
 
     sampled = set(_DRIVER_SAMPLED_THROUGH_R9)
-    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    repo_root = root or _os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__))
+    )
     for path in _glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:

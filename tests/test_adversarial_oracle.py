@@ -689,3 +689,92 @@ def test_adversarial_tpch_differential(name, spark, adv_tpch_dir):
     spec = SPECS[name]
     con = duckdb_connection(adv_tpch_dir)
     compare_spark_duckdb(spec.builder(spark, adv_tpch_dir), con, spec.oracle)
+
+
+def test_pre_epoch_bucketing_floor_not_truncate(spark, tmp_path):
+    """U5/XA21 pre-epoch contract: a 1969 event must land in a real
+    calendar cell (dow 0-6, hod 0-23) and in the 10-minute window grid
+    aligned across the epoch — exact floor division + positive mod, NOT
+    truncating div/% (which both engines would AGREE on while computing a
+    nonexistent negative cell, so the main gate can never catch it).
+    The standard adversarial events fixture stays post-1970 because the
+    XT1/XT3 spine guard refuses multi-decade spans; this fixture runs
+    only the two bucketing queries."""
+    base = int(dt.datetime(2024, 1, 1).timestamp()) * _US
+    rows = {
+        # 1969-12-31 23:55:00 UTC = -300s: truncation would bucket win=0
+        # (sharing the first POST-epoch window) and dow/hod negative
+        "event_id": [1, 2, 3, 4],
+        "ts": [-300 * _US, -86_400 * _US - 3 * 3600 * _US, base, base + _US],
+        "user_id": [1, 1, 1, 2],
+        "event_type": ["view", "click", "view", "click"],
+        "value": [1.0, 2.0, 3.0, 4.0],
+        "props": ["{}", "{}", "{}", "{}"],
+    }
+    d = tmp_path / "sf_preepoch"
+    d.mkdir()
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array(rows["ts"], pa.timestamp("us")),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"], pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    con = duckdb_connection(str(d))
+    for name in ("u5_rate_limit_per_key", "xa21_seasonal_profile"):
+        spec = SPECS[name]
+        compare_spark_duckdb(spec.builder(spark, str(d)), con, spec.oracle)
+    # semantic pins beyond engine agreement:
+    prof = {(r["dow"], r["hod"]): r["n_events"]
+            for r in SPECS["xa21_seasonal_profile"].builder(spark, str(d)).collect()}
+    assert all(0 <= dw <= 6 and 0 <= h <= 23 for dw, h in prof)
+    # 1969-12-31 was a WEDNESDAY (dow 3 with 0=Sunday), 23:55 UTC -> hod 23
+    assert prof.get((3, 23)) == 1
+    # 1969-12-30 21:00 UTC was a TUESDAY (dow 2), hod 21
+    assert prof.get((2, 21)) == 1
+    wins = {r["event_id"]: r["win"]
+            for r in SPECS["u5_rate_limit_per_key"].builder(spark, str(d)).collect()}
+    # floor: -300s is in window -1 (the LAST pre-epoch 10-min bucket),
+    # never window 0 (truncation's answer)
+    assert wins[1] == -1
+
+
+def test_mips_recall_null_on_degenerate_corpus(spark, tmp_path):
+    """SIM23 degenerate-corpus contract: with no non-query vectors the
+    exact top-k is empty (n_exact = 0) and recall must be NULL on BOTH
+    engines — Spark's raw double 0/0 would be NaN while DuckDB's is NULL,
+    the divergence class the F.when/NULLIF guard exists for."""
+    d = tmp_path / "sf_onlyq"
+    d.mkdir()
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0] + [0.0] * 15], pa.list_(pa.float32())
+                ),
+                "label": pa.array([1], pa.int64()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    spec = SPECS["sim_mips_recall_report"]
+    rows = spec.builder(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_exact"], r["n_hit"]) == (0, 0)
+    assert r["recall"] is None, f"recall must be NULL, got {r['recall']!r}"
+    con = duckdb_connection(str(d))
+    compare_spark_duckdb(spec.builder(spark, str(d)), con, spec.oracle)

@@ -262,3 +262,42 @@ def test_concurrent_planning_sees_consistent_confs(spark):
     for n in names:
         assert results[n] == sequential[n], f"{n} diverged under concurrency"
     assert all(v == "true" for v in aqe_reads), aqe_reads
+
+
+def test_driver_sample_rotation_self_advances(tmp_path):
+    """The registry orders never-driver-sampled names first, extending the
+    frozen r1-r9 baseline with whatever CORRECTNESS_r*.json artifacts
+    record — so each round's sample file rotates the next unsampled block
+    to the front with no manual bookkeeping. Unreadable artifacts degrade
+    to the baseline (ordering is best-effort, never correctness)."""
+    import json
+
+    from hhs_and_cms_data_pipeline_spark.registry import (
+        _DRIVER_SAMPLED_THROUGH_R9,
+        _driver_sampled_names,
+        all_specs,
+    )
+
+    # empty artifact dir -> exactly the frozen baseline
+    assert _driver_sampled_names(str(tmp_path)) == _DRIVER_SAMPLED_THROUGH_R9
+
+    # a new round's artifact unions in
+    names = list(all_specs())
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({n: {"rows_match": True} for n in names[:50]})
+    )
+    got = _driver_sampled_names(str(tmp_path))
+    assert got == _DRIVER_SAMPLED_THROUGH_R9 | set(names[:50])
+
+    # corrupt artifacts are skipped, valid ones still count
+    (tmp_path / "CORRECTNESS_r11.json").write_text("{ not json")
+    assert _driver_sampled_names(str(tmp_path)) == got
+
+    # the live ordering puts every never-sampled name before any sampled one
+    live = _driver_sampled_names()
+    seen_flags = [n in live for n in names]
+    assert seen_flags == sorted(seen_flags), (
+        "sampled names must all sort after never-sampled names"
+    )
+    # names themselves are the frozen contract; rotation must not lose any
+    assert set(names) == set(all_specs())
