@@ -2521,6 +2521,136 @@ def xt6_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# XT8 — CUSUM changepoint detection (Page 1954) over the shared daily
+# event-count series: the classic sequential mean-shift detector every
+# monitoring stack runs next to EWMA (XT6) and the MAD audit (DQ9) —
+# EWMA smooths, CUSUM ALARMS, accumulating evidence so a sustained small
+# shift fires even when no single day is an outlier. Per event type: the
+# first _CUSUM_TRAIN days train a baseline (sum_t counts over c_t days);
+# each later day contributes the scaled deviation
+#   g_i = 4*c_t*n_i - 5*sum_t          (positive iff n_i > 1.25 * mean)
+# and the one-sided statistic S_i = max(0, S_{i-1} + g_i) is computed in
+# CLOSED FORM as prefix_sum(g) - min(0, running_min(prefix_sum(g))) — the
+# standard identity that turns the clamped recursion into two stacked
+# windows, no recursion, no UDF. Alarm when S_i > 8*sum_t (cumulative
+# excess of ~2 training-days of mean traffic). ALL-INTEGER arithmetic:
+# the 4/5 slack ratio and the 8x threshold are exact BIGINT multiples, so
+# both engines agree bitwise with no float in sight. Scale: every window
+# runs on the date-grain pre-agg (thousands of rows per type at any
+# corpus size), partitioned by event_type; Catalyst stacks the
+# row_number, both prefix windows, and the alarm-rank window on ONE sort
+# per type (same shape as XT6); the per-type training stats broadcast.
+# --------------------------------------------------------------------------
+
+_CUSUM_TRAIN = 7       # baseline days per type
+_CUSUM_H_MULT = 8      # alarm threshold = 8 * sum_t (scaled units)
+
+
+@register(
+    "xt8_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS ({SQL_DAILY_EVENT_COUNTS}),
+    numbered AS (
+      SELECT event_type, d, n,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY d) AS BIGINT) AS rn
+      FROM daily),
+    train AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS sum_t,
+             CAST(COUNT(*) AS BIGINT) AS c_t
+      FROM numbered WHERE rn <= {_CUSUM_TRAIN} GROUP BY 1),
+    monitor AS (
+      SELECT m.event_type, m.d, m.n, t.sum_t,
+             4 * t.c_t * m.n - 5 * t.sum_t AS g
+      FROM numbered m JOIN train t USING (event_type)
+      WHERE m.rn > {_CUSUM_TRAIN}),
+    track AS (
+      SELECT event_type, d, n, sum_t,
+             CAST(SUM(g) OVER (PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_pref
+      FROM monitor),
+    scored AS (
+      SELECT event_type, d, n, sum_t,
+             CAST(c_pref - LEAST(0, MIN(c_pref) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum
+      FROM track)
+    SELECT event_type, d, n, cusum,
+           cusum > {_CUSUM_H_MULT} * sum_t AS is_alarm,
+           (cusum > {_CUSUM_H_MULT} * sum_t) AND
+             CAST(SUM(CASE WHEN cusum > {_CUSUM_H_MULT} * sum_t
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) = 1 AS is_first_alarm
+    FROM scored
+    ORDER BY event_type, d
+    """,
+    tags=("XT8",),
+)
+def xt8_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XT8: one-sided CUSUM mean-shift detector per event type (block
+    comment above) — monitor-day statistic, alarm flag, and the first
+    alarm per type, all in exact integer arithmetic."""
+    ensure_session_conf(spark)
+    daily = daily_event_counts(spark, sf_dir)
+    wnum = Window.partitionBy("event_type").orderBy("d")
+    wrun = wnum.rowsBetween(Window.unboundedPreceding, 0)
+    # consumed twice (training stats + monitor rows): checkpoint the
+    # numbered date-grain relation or the fact scan and the pre-agg would
+    # execute once per branch (same convention as K11)
+    numbered = daily.withColumn(
+        "rn", F.row_number().over(wnum).cast("long")
+    ).localCheckpoint(eager=False)
+    train = (
+        numbered.filter(F.col("rn") <= _CUSUM_TRAIN)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("sum_t"),
+            F.count(F.lit(1)).cast("long").alias("c_t"),
+        )
+    )
+    monitor = (
+        numbered.filter(F.col("rn") > _CUSUM_TRAIN)
+        .join(F.broadcast(train), "event_type")
+        .select(
+            "event_type",
+            "d",
+            "n",
+            "sum_t",
+            (
+                F.lit(4) * F.col("c_t") * F.col("n")
+                - F.lit(5) * F.col("sum_t")
+            ).alias("g"),
+        )
+    )
+    track = monitor.withColumn("c_pref", F.sum("g").over(wrun).cast("long"))
+    scored = track.withColumn(
+        "cusum",
+        (
+            F.col("c_pref")
+            - F.least(F.lit(0).cast("long"), F.min("c_pref").over(wrun))
+        ).cast("long"),
+    )
+    is_alarm = F.col("cusum") > F.lit(_CUSUM_H_MULT) * F.col("sum_t")
+    alarmed = scored.withColumn("is_alarm", is_alarm).withColumn(
+        "alarm_rank", F.sum(is_alarm.cast("long")).over(wrun)
+    )
+    return (
+        alarmed.select(
+            "event_type",
+            "d",
+            "n",
+            "cusum",
+            "is_alarm",
+            (F.col("is_alarm") & (F.col("alarm_rank") == 1)).alias(
+                "is_first_alarm"
+            ),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+# --------------------------------------------------------------------------
 # U5 — RATE-LIMIT sampler: keep at most ONE event per (user, 10-minute
 # tumbling window), chosen deterministically as the EARLIEST by
 # (ts, event_id) — the fixed-window ingestion throttle against bots and

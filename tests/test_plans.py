@@ -1174,3 +1174,34 @@ def test_asof_nearest_two_passes_one_partitioning(spark, specs):
     assert "Join" not in plan
     hash_ex = len(re.findall(r"hashpartitioning\(user_id", plan))
     assert hash_ex <= 1, plan
+
+
+def test_cusum_windows_stack_on_one_sort_per_type(spark, specs):
+    """XT8 plan: the row_number, both prefix windows, and the alarm-rank
+    window all share the (event_type, d) order, so Catalyst must stack
+    them without re-sorting per window; the fact table collapses to the
+    date-grain pre-agg before any window; the per-type training stats
+    come back via broadcast."""
+    import re
+
+    plan = formatted_plan(specs["xt8_cusum_changepoint"].builder(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # no global single-partition window: every window partitions by type
+    assert "Arguments: SinglePartition" not in plan
+    # the pre-agg sits below every window (node ids number bottom-up)
+    aggs = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
+    wins = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Window", plan)]
+    assert aggs and wins and min(aggs) < min(wins)
+    # same-keyed windows stack: the monitor-side chain (prefix sum,
+    # running min, alarm rank) reuses the numbering sort straight through
+    # the broadcast join — no Sort node may appear between the join and
+    # the topmost monitor window. Budget: numbering sort + training-branch
+    # group-limit sorts + output ORDER BY.
+    n_sorts = len(re.findall(r"\(\d+\) Sort", plan))
+    assert n_sorts <= 4, plan
+    tree = plan.split("\n\n")[0]
+    join_depth = tree.index("BroadcastHashJoin")
+    above_join = tree[:join_depth]
+    assert "Sort" not in above_join.split("Exchange")[-1], (
+        "monitor windows must stack sort-free above the join:\n" + tree
+    )

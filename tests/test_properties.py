@@ -2290,3 +2290,95 @@ def test_asof_nearest_same_microsecond_tie_is_past(spark):
     r3 = rows[80]
     assert r3["prev_id"] == 71, "equal-ts past duplicates: highest id"
     assert r3["next_id"] == 90, "equal-ts future duplicates: lowest id"
+
+
+def test_cusum_matches_clamped_recursion_and_alarms_on_shift(spark, tmp_path):
+    """XT8 model properties: (a) on real testdata the closed-form
+    prefix-minus-running-min statistic equals a pure-Python replay of the
+    clamped recursion S_i = max(0, S_{i-1} + g_i); (b) on a synthetic
+    series with a deliberate sustained 3x shift after the training
+    window, the alarm fires, fires FIRST on the first day the recursion
+    crosses the threshold, and never fires before the shift."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hhs_and_cms_data_pipeline_spark.operators.relational_ext import (
+        _CUSUM_H_MULT,
+        _CUSUM_TRAIN,
+    )
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources.tables import TABLES
+
+    spec = all_specs()["xt8_cusum_changepoint"]
+
+    # (a) closed form == clamped recursion on the standard testdata
+    sf = "/root/testdata/sf0.001"
+    out = spec.builder(spark, sf).collect()
+    from hhs_and_cms_data_pipeline_spark.operators.relational_ext import (
+        daily_event_counts,
+    )
+    daily = sorted(
+        ((r["event_type"], r["d"], r["n"])
+         for r in daily_event_counts(spark, sf).collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    model: dict[tuple, tuple] = {}
+    by_type: dict[str, list] = {}
+    for etype, d, n in daily:
+        by_type.setdefault(etype, []).append((d, n))
+    for etype, series in by_type.items():
+        train = series[:_CUSUM_TRAIN]
+        sum_t = sum(n for _, n in train)
+        c_t = len(train)
+        s = 0
+        n_alarms = 0
+        for d, n in series[_CUSUM_TRAIN:]:
+            g = 4 * c_t * n - 5 * sum_t
+            s = max(0, s + g)
+            alarm = s > _CUSUM_H_MULT * sum_t
+            n_alarms += int(alarm)
+            model[(etype, d)] = (n, s, alarm, alarm and n_alarms == 1)
+    assert len(out) == len(model) > 0
+    for r in out:
+        assert model[(r["event_type"], r["d"])] == (
+            r["n"], r["cusum"], r["is_alarm"], r["is_first_alarm"]
+        )
+
+    # (b) synthetic sustained shift: 10/day for 7 train days, then 30/day
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(14):
+        per_day = 10 if day < _CUSUM_TRAIN else 30
+        for k in range(per_day):
+            rows.append((eid, d0 + dt.timedelta(days=day, minutes=k), 1, "view", 1.0, "{}"))
+            eid += 1
+    d = tmp_path / "sf_shift"
+    d.mkdir()
+    import shutil
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    got = {r["d"]: r for r in spec.builder(spark, str(d)).collect()}
+    # g per shifted day = 4*7*30 - 5*70 = 490; threshold = 8*70 = 560
+    # -> S: 490, 980, ... alarm first on monitor day 2
+    days = sorted(got)
+    assert not got[days[0]]["is_alarm"]
+    assert got[days[1]]["is_alarm"] and got[days[1]]["is_first_alarm"]
+    assert all(got[dd]["is_alarm"] for dd in days[1:])
+    assert sum(got[dd]["is_first_alarm"] for dd in days) == 1
