@@ -2545,12 +2545,11 @@ def xt6_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSUM_TRAIN = 7       # baseline days per type
 _CUSUM_H_MULT = 8      # alarm threshold = 8 * sum_t (scaled units)
 
-
-@register(
-    "xt8_cusum_changepoint",
-    oracle=f"""
-    WITH daily AS ({SQL_DAILY_EVENT_COUNTS}),
-    numbered AS (
+# Oracle body downstream of the `daily` CTE — shared verbatim by XT8 and
+# its streaming twin (ST23), whose additively-maintained daily counts are
+# bit-identical to the from-scratch aggregation, so the two readouts
+# cannot differ.
+_SQL_CUSUM_FROM_DAILY = f"""numbered AS (
       SELECT event_type, d, n,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY event_type ORDER BY d) AS BIGINT) AS rn
