@@ -2583,7 +2583,12 @@ _SQL_CUSUM_FROM_DAILY = f"""numbered AS (
                ROWS UNBOUNDED PRECEDING) AS BIGINT) = 1 AS is_first_alarm
     FROM scored
     ORDER BY event_type, d
-    """,
+    """
+
+
+@register(
+    "xt8_cusum_changepoint",
+    oracle=f"WITH daily AS ({SQL_DAILY_EVENT_COUNTS}),\n    {_SQL_CUSUM_FROM_DAILY}",
     tags=("XT8",),
 )
 def xt8_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
