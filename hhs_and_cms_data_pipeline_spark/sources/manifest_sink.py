@@ -423,9 +423,15 @@ def manifest_stream_writer(
 
     spark = df.sparkSession
     register_manifest_sink(spark)
-    cp = options.pop("checkpointLocation", None) or options.pop(
-        "checkpointlocation", None
-    )
+    # Pop BOTH spellings unconditionally (a short-circuiting `or` would leave
+    # the lowercase variant in **options as a conflicting duplicate sink
+    # option when both are passed); only None means unset — an explicit
+    # empty string is a caller error surfaced by Spark, not a silent
+    # fall-through to the conf-derived path.
+    cp = options.pop("checkpointLocation", None)
+    cp_lower = options.pop("checkpointlocation", None)
+    if cp is None:
+        cp = cp_lower
     if cp is None:
         root = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
         if root:

@@ -53,6 +53,31 @@ def test_registry_serves_full_surface():
     )
 
 
+def test_broken_module_degrades_to_partial_surface(monkeypatch, capsys):
+    """One broken operator module must NOT take down the whole registry
+    (round-10 failure mode): the healthy modules' queries stay servable
+    and the breakage is recorded loudly in registry.IMPORT_ERRORS."""
+    from hhs_and_cms_data_pipeline_spark import registry
+
+    healthy = len(registry.all_specs())
+    monkeypatch.setattr(
+        registry,
+        "_OPERATOR_MODULES",
+        registry._OPERATOR_MODULES
+        + ("hhs_and_cms_data_pipeline_spark.operators.__does_not_exist__",),
+    )
+    specs = registry.all_specs()
+    assert len(specs) == healthy, "healthy modules' queries must survive"
+    assert list(registry.IMPORT_ERRORS) == [
+        "hhs_and_cms_data_pipeline_spark.operators.__does_not_exist__"
+    ]
+    assert "FAILED TO IMPORT" in capsys.readouterr().err
+    # A clean pass must clear the stale error record.
+    monkeypatch.undo()
+    registry.all_specs()
+    assert registry.IMPORT_ERRORS == {}
+
+
 def test_entry_module_exposes_driver_contract():
     import __spark_entry__ as entry_mod
 

@@ -710,6 +710,41 @@ def test_manifest_stream_writer_resolves_session_conf_checkpoint(spark, tmp_path
         spark.conf.unset("spark.sql.streaming.checkpointLocation")
 
 
+def test_manifest_stream_writer_pops_both_checkpoint_spellings(spark, tmp_path):
+    """Regression pin (ADVICE r10): passing BOTH `checkpointLocation` and
+    `checkpointlocation` used to short-circuit — the lowercase variant was
+    left in **options and forwarded as a duplicate, conflicting sink
+    option. Both spellings must be consumed, canonical case wins, and the
+    checkpoint must land under the canonical path only."""
+    import json
+    import os
+
+    from hhs_and_cms_data_pipeline_spark.sources.manifest_sink import (
+        MANIFEST_NAME,
+        manifest_stream_writer,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text('{"x": 1}\n')
+    sink = str(tmp_path / "sink")
+    cp_win = str(tmp_path / "cp_canonical")
+    cp_lose = str(tmp_path / "cp_lowercase")
+    df = spark.readStream.schema("x long").json(str(src))
+    q = (
+        manifest_stream_writer(
+            df, sink, checkpointLocation=cp_win, checkpointlocation=cp_lose
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert os.path.isdir(cp_win)
+    assert not os.path.exists(cp_lose)
+    manifest = json.load(open(os.path.join(sink, MANIFEST_NAME)))
+    assert manifest.get("query_id") == str(q.id)
+
+
 def test_stream_manifest_commit_idempotent_on_batch_id(tmp_path):
     """ST22 exactly-once hinge: after a driver restart Spark re-commits
     the last micro-batch; re-registering its parts would double-count
