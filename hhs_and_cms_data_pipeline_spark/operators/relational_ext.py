@@ -2586,17 +2586,12 @@ _SQL_CUSUM_FROM_DAILY = f"""numbered AS (
     """
 
 
-@register(
-    "xt8_cusum_changepoint",
-    oracle=f"WITH daily AS ({SQL_DAILY_EVENT_COUNTS}),\n    {_SQL_CUSUM_FROM_DAILY}",
-    tags=("XT8",),
-)
-def xt8_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XT8: one-sided CUSUM mean-shift detector per event type (block
-    comment above) — monitor-day statistic, alarm flag, and the first
-    alarm per type, all in exact integer arithmetic."""
-    ensure_session_conf(spark)
-    daily = daily_event_counts(spark, sf_dir)
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """CUSUM readout over a (event_type, d, n) daily-count relation — the
+    Spark twin of _SQL_CUSUM_FROM_DAILY, shared by XT8 (from-scratch
+    daily aggregation) and ST23 (daily counts maintained additively per
+    micro-batch). All-integer arithmetic, so any daily relation that is
+    row-identical produces a bit-identical readout."""
     wnum = Window.partitionBy("event_type").orderBy("d")
     wrun = wnum.rowsBetween(Window.unboundedPreceding, 0)
     # consumed twice (training stats + monitor rows): checkpoint the
@@ -2652,6 +2647,19 @@ def xt8_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+@register(
+    "xt8_cusum_changepoint",
+    oracle=f"WITH daily AS ({SQL_DAILY_EVENT_COUNTS}),\n    {_SQL_CUSUM_FROM_DAILY}",
+    tags=("XT8",),
+)
+def xt8_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XT8: one-sided CUSUM mean-shift detector per event type (block
+    comment above) — monitor-day statistic, alarm flag, and the first
+    alarm per type, all in exact integer arithmetic."""
+    ensure_session_conf(spark)
+    return cusum_from_daily(daily_event_counts(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

@@ -2274,3 +2274,129 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# ST23 — streaming CUSUM changepoint: XT8's detector over daily counts
+# maintained INCREMENTALLY per micro-batch. The daily (event_type, d, n)
+# pre-agg is a COUNT monoid, so the additive foreachBatch merge (ST14's
+# store shape: full outer join + coalesced addition + atomic republish +
+# stored last_batch_id for replay idempotence) reconstructs the exact
+# from-scratch daily relation no matter how arrival slices the stream —
+# and the CUSUM readout is all-integer arithmetic over that relation
+# (relational_ext.cusum_from_daily, shared verbatim with XT8), so the
+# streaming answer is BIT-IDENTICAL to the batch answer by construction.
+# The oracle is likewise shared: WITH daily AS (...) + _SQL_CUSUM_FROM_DAILY.
+# Scale: each batch touches batch-sized rows plus the store (types x days
+# rows — thousands at any corpus size), and the readout runs on the store,
+# never the facts; at 100 TB the stream maintains the tiny daily table and
+# the detector's cost is independent of history length.
+# --------------------------------------------------------------------------
+
+
+def make_daily_count_merger(target: str):
+    """ST23 foreachBatch body as a module-level factory (mirrors
+    make_rollup_merger; the RESUME test drives the production merge).
+    Replay-idempotent: the store records the last applied batch_id and a
+    redelivered batch is a no-op — an additive count merge alone is not."""
+    import os
+
+    from ..sinks import read_published, write_parquet_atomic
+
+    def _merge(batch_df, batch_id):
+        stored = None
+        if os.path.islink(target):
+            stored = read_published(batch_df.sparkSession, target)
+            last = stored.agg(F.max("last_batch_id")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already folded into the store
+        part = (
+            batch_df.filter(
+                F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+            )
+            .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        if stored is not None:
+            merged = (
+                stored.select("event_type", "d", F.col("n").alias("n_a"))
+                .join(
+                    part.select("event_type", "d", F.col("n").alias("n_b")),
+                    ["event_type", "d"],
+                    "full_outer",
+                )
+                .select(
+                    "event_type",
+                    "d",
+                    (
+                        F.coalesce(F.col("n_a"), F.lit(0))
+                        + F.coalesce(F.col("n_b"), F.lit(0))
+                    ).cast("long").alias("n"),
+                )
+            )
+        else:
+            merged = part
+        write_parquet_atomic(
+            merged.withColumn("last_batch_id", F.lit(int(batch_id))),
+            target,
+            gc_grace_seconds=3600.0,
+        )
+
+    return _merge
+
+
+def _cusum_oracle() -> str:
+    from .relational_ext import SQL_DAILY_EVENT_COUNTS, _SQL_CUSUM_FROM_DAILY
+
+    return (
+        f"WITH daily AS ({SQL_DAILY_EVENT_COUNTS}),\n    "
+        f"{_SQL_CUSUM_FROM_DAILY}"
+    )
+
+
+@register(
+    "stream_cusum_changepoint",
+    oracle=_cusum_oracle(),
+    tags=("ST23",),
+)
+def stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST23: drain the staged event files as chronological micro-batches
+    (availableNow) maintaining the daily-count store additively via
+    foreachBatch, then run XT8's CUSUM readout on the maintained store
+    (module comment: bit-identical to the batch detector)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks import clear_published_versions, read_published
+    from ..sources.tables import normalize_events_ts
+    from ..streaming.events import events_raw_schema
+    from ..streaming.stateful import stage_chronological_files
+    from .relational_ext import cusum_from_daily
+
+    ensure_session_conf(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"cusum_stage_{tag}")
+    target = os.path.join(tempfile.gettempdir(), f"cusum_daily_{tag}")
+    clear_published_versions(target)  # deterministic rerun
+    ckpt = tempfile.mkdtemp(prefix="cusum_ckpt_")
+    stage_chronological_files(spark, sf_dir, stage)
+    raw = normalize_events_ts(
+        spark.readStream.schema(events_raw_schema(spark, stage))
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    q = (
+        raw.writeStream.foreachBatch(make_daily_count_merger(target))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"cusum_daily_{tag}")
+        .start()
+    )
+    q.awaitTermination()
+    # single-use checkpoint (availableNow drain over a fixed stage)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    daily = read_published(spark, target).select("event_type", "d", "n")
+    return cusum_from_daily(daily)

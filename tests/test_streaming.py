@@ -1136,3 +1136,65 @@ def test_stream_ohlc_daily_matches_batch(spark, tmp_path):
         for r in rows
     )
     assert canon(out.collect()) == canon(batch.collect())
+
+
+def test_stream_cusum_matches_batch_bit_exact(spark, tmp_path):
+    """ST23 == XT8 by construction (shared all-integer readout over a
+    daily-count relation that the additive merge reconstructs exactly) —
+    assert it empirically: every column of every row identical."""
+    from hhs_and_cms_data_pipeline_spark.operators.relational_ext import (
+        xt8_cusum_changepoint,
+    )
+    from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
+        stream_cusum_changepoint,
+    )
+
+    batch = xt8_cusum_changepoint(spark, SF_SMOKE).collect()
+    stream = stream_cusum_changepoint(spark, SF_SMOKE).collect()
+    assert len(batch) > 0
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+
+
+def test_daily_count_merge_replay_guard_and_additive_identity(spark, tmp_path):
+    """ST23's merge is additive, hence NOT idempotent — the stored
+    last_batch_id guard is what makes foreachBatch's at-least-once
+    redelivery exactly-once. Replaying a batch must be a byte-level no-op
+    on the store; a later batch must still fold in; and any slicing of the
+    rows yields the from-scratch daily counts (COUNT is a monoid)."""
+    import datetime
+
+    from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
+        make_daily_count_merger,
+    )
+    from hhs_and_cms_data_pipeline_spark.sinks import read_published
+
+    target = str(tmp_path / "daily")
+    merge = make_daily_count_merger(target)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+    d0 = datetime.datetime(2024, 1, 1, 5, 0, 0)
+    d1 = datetime.datetime(2024, 1, 2, 7, 0, 0)
+    b0 = [(d0, "click"), (d0, "click"), (d1, "click"), (None, "click"), (d0, None)]
+    b1 = [(d0, "click"), (d1, "purchase")]
+
+    merge(mk(b0), 0)
+    merge(mk(b0), 0)  # redelivered after a crash: must be a no-op
+    got0 = {
+        (r["event_type"], str(r["d"])): r["n"]
+        for r in read_published(spark, target).collect()
+    }
+    assert got0 == {("click", "2024-01-01"): 2, ("click", "2024-01-02"): 1}
+
+    merge(mk(b1), 1)
+    merge(mk(b1), 1)  # and replay of the second batch likewise
+    got1 = {
+        (r["event_type"], str(r["d"])): r["n"]
+        for r in read_published(spark, target).collect()
+    }
+    assert got1 == {
+        ("click", "2024-01-01"): 3,
+        ("click", "2024-01-02"): 1,
+        ("purchase", "2024-01-02"): 1,
+    }
