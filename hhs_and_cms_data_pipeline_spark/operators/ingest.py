@@ -186,12 +186,24 @@ def upsert_new_keys(
 ) -> DataFrame:
     """K3/U3: ON CONFLICT DO NOTHING — rows whose key is absent from existing.
 
+    NULL-SAFE key equality (adversarial-gate finding, round 11): a plain
+    equi anti-join never matches a NULL key, so a NULL-keyed row would be
+    re-appended on EVERY re-load — the exact non-idempotence this helper
+    exists to prevent. eqNullSafe treats NULL as a key value, so re-loading
+    the same batch is a no-op for every row. (PostgreSQL sidesteps this by
+    forbidding NULL in primary keys; a lake table has no such constraint.)
+
     At scale: existing is read key-columns-only (column pruning) and the anti
     join uses a broadcast when the key set is small; for fact-sized targets,
-    partition-prune `existing` to the incoming date range first.
+    partition-prune `existing` to the incoming date range first. eqNullSafe
+    (<=>) is still a hash-join key in Spark, not a cartesian degradation.
     """
     if existing is None:
         return incoming
-    return incoming.join(
-        existing.select(*keys).dropDuplicates(keys), keys, "left_anti"
-    )
+    inc = incoming.alias("inc")
+    ex = existing.select(*keys).dropDuplicates(keys).alias("ex")
+    cond = None
+    for k in keys:
+        term = F.col(f"inc.{k}").eqNullSafe(F.col(f"ex.{k}"))
+        cond = term if cond is None else (cond & term)
+    return inc.join(ex, cond, "left_anti")

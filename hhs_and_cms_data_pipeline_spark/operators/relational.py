@@ -196,9 +196,13 @@ def j5_multicol_semi_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j6_positional_pairing",
     oracle="""
-    WITH c AS (SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) AS pos
+    WITH c AS (SELECT c_custkey,
+                      ROW_NUMBER() OVER (
+                        ORDER BY c_custkey NULLS LAST, c_name NULLS LAST) AS pos
                FROM customer WHERE c_custkey <= 200),
-         s AS (SELECT s_suppkey, ROW_NUMBER() OVER (ORDER BY s_suppkey) AS pos
+         s AS (SELECT s_suppkey,
+                      ROW_NUMBER() OVER (
+                        ORDER BY s_suppkey NULLS LAST, s_name NULLS LAST) AS pos
                FROM supplier)
     SELECT c.pos AS pos, c_custkey, s_suppkey
     FROM c JOIN s USING (pos)
@@ -210,8 +214,13 @@ def j6_positional_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic positional pairing via ROW_NUMBER + equi-join.
 
     The reference zip is order-fragile (SURVEY J6); this version pins the
-    order explicitly. Only ever applied to dim-sized frames — the global
-    row_number window is single-partition by design and documented as such.
+    order explicitly. NULLS LAST on both sort keys — Spark's ascending
+    default is NULLS FIRST while DuckDB's is NULLS LAST, so a NULL key
+    would silently shift EVERY pairing by one (adversarial-gate finding,
+    round 11); the name column breaks duplicate-key ties so the pairing
+    is a total order, not a hash-partition accident. Only ever applied to
+    dim-sized frames — the global row_number window is single-partition
+    by design and documented as such.
     """
     ensure_session_conf(spark)
     c = (
@@ -219,12 +228,28 @@ def j6_positional_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") <= 200)
         .select(
             "c_custkey",
-            F.row_number().over(Window.orderBy("c_custkey")).cast("long").alias("pos"),
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("c_custkey").asc_nulls_last(),
+                    F.col("c_name").asc_nulls_last(),
+                )
+            )
+            .cast("long")
+            .alias("pos"),
         )
     )
     s = table(spark, sf_dir, "supplier").select(
         "s_suppkey",
-        F.row_number().over(Window.orderBy("s_suppkey")).cast("long").alias("pos"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("s_suppkey").asc_nulls_last(),
+                F.col("s_name").asc_nulls_last(),
+            )
+        )
+        .cast("long")
+        .alias("pos"),
     )
     return c.join(s, "pos").select("pos", "c_custkey", "s_suppkey").orderBy("pos")
 

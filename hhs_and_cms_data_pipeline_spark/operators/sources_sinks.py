@@ -601,13 +601,21 @@ def s12_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = f"{path}.staging.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
+    # NULL staging contract: a None value OMITS its element (the XML
+    # reader maps a missing element to NULL; interpolating None would
+    # write the literal string "None"). Adversarial-gate finding, r11.
+    def _el(tag, v):
+        return "" if v is None else f"<{tag}>{sx.escape(str(v))}</{tag}>"
+
     n_files = 4
     for i in range(n_files):
         chunk = [r for j, r in enumerate(rows) if j % n_files == i]
         body = "".join(
-            f"<nation><n_nationkey>{r.n_nationkey}</n_nationkey>"
-            f"<n_name>{sx.escape(r.n_name)}</n_name>"
-            f"<n_regionkey>{r.n_regionkey}</n_regionkey></nation>"
+            "<nation>"
+            + _el("n_nationkey", r.n_nationkey)
+            + _el("n_name", r.n_name)
+            + _el("n_regionkey", r.n_regionkey)
+            + "</nation>"
             for r in chunk
         )
         with open(os.path.join(tmp, f"part-{i}.xml"), "w") as f:
@@ -624,6 +632,9 @@ def s12_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     xml = (
         spark.read.format("xml")
         .option("rowTag", "nation")
+        # default true would TRIM element text, collapsing a whitespace
+        # name to "" — lossy vs the original relation the oracle reads
+        .option("ignoreSurroundingSpaces", "false")
         .schema(schema)
         .load(path)
     )
@@ -1206,13 +1217,18 @@ def s9_text_lines_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_nation_csv(spark, sf_dir)
     lines = spark.read.text(_NATION_CSV)
     parts = F.split(F.col("value"), ",")
+    # Empty field => NULL, exactly as a CSV reader maps it (csv.writer
+    # emits both None and "" as an empty unquoted field, so the format
+    # itself collapses them — the hand parse must match, and the ANSI
+    # cast of "" would otherwise fail loudly instead of agreeing).
+    # Adversarial-gate finding, round 11.
     return (
         lines.filter(F.col("value") != "n_nationkey,n_name,n_regionkey")
         .filter(F.size(parts) == 3)  # comma-free fields by fixture contract
         .select(
-            parts.getItem(0).cast("long").alias("n_nationkey"),
-            parts.getItem(1).alias("n_name"),
-            parts.getItem(2).cast("long").alias("n_regionkey"),
+            F.nullif(parts.getItem(0), F.lit("")).cast("long").alias("n_nationkey"),
+            F.nullif(parts.getItem(1), F.lit("")).alias("n_name"),
+            F.nullif(parts.getItem(2), F.lit("")).cast("long").alias("n_regionkey"),
         )
         .orderBy("n_nationkey")
     )

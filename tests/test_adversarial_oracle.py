@@ -418,8 +418,16 @@ def test_extreme_magnitude_fails_loudly(spark, tmp_path):
 # exactly on the 0.05/0.07 BETWEEN edge, a pre-epoch order, orphan foreign
 # keys in both directions, a hot customer and a hot order (join skew),
 # empty-string and whitespace flags/segments (distinct from NULL), and
-# extreme money-grade (0.01-grid) amounts. Dimension tables stay the smoke
-# ones so FK targets (nation 0-24, part 0-199, supplier 0-9) are real.
+# extreme money-grade (0.01-grid) amounts.
+#
+# The dimension tables (part/supplier/nation/region — round 11, the last
+# table family) keep their smoke baselines VERBATIM (so FK targets nation
+# 0-24 / part 0-199 / supplier 0-9 stay real) and APPEND the same recipe:
+# NULL natural keys, duplicate natural keys with conflicting attributes,
+# orphan FKs in the dim->dim direction (supplier->nation, nation->region),
+# empty-string and whitespace names/brands/types, extreme money-grade
+# balances/prices, negative and zero sizes, and dim rows no fact ever
+# references (anti-join survivors).
 # ---------------------------------------------------------------------------
 
 _T0 = dt.datetime(1995, 1, 1)
@@ -619,12 +627,90 @@ def _adversarial_lineitem(order_keys: list, order_dates: list) -> dict[str, list
     return cols
 
 
+def _append_rows(src_path: str, dst_path: str, extra: dict[str, list]) -> None:
+    """Copy a smoke dim table and append adversarial rows, coercing each
+    appended column to the smoke file's exact arrow type so the parquet
+    schema (and hence both engines' reads) is unchanged."""
+    base = pq.read_table(src_path)
+    arrays = [
+        pa.array(extra[f.name], f.type) for f in base.schema
+    ]
+    pq.write_table(
+        pa.concat_tables([base, pa.table(arrays, schema=base.schema)]),
+        dst_path,
+    )
+
+
+def _adversarial_dims(src_sf: str, d) -> None:
+    # region: NULL key, duplicate key 1 (conflicting name), empty +
+    # whitespace names, a region no nation references (anti-join survivor)
+    _append_rows(
+        f"{src_sf}/region.parquet",
+        str(d / "region.parquet"),
+        {
+            "r_regionkey": [None, 1, 90, 91, 92],
+            "r_name": ["GHOST", "EUROPE-DUP", "", " ", "UNREFERENCED"],
+        },
+    )
+    # nation: NULL key, NULL name, NULL regionkey, duplicate key 3,
+    # orphan regionkey (no such region), empty/whitespace names, a nation
+    # no customer or supplier references
+    _append_rows(
+        f"{src_sf}/nation.parquet",
+        str(d / "nation.parquet"),
+        {
+            "n_nationkey": [None, 80, 81, 3, 82, 83, 84, 85],
+            "n_name": ["KEYLESS", None, "ORPHANREG", "CANADA-DUP", "", " ",
+                       "UNREFERENCED", "NULLREG"],
+            "n_regionkey": [0, 1, 77, 2, 3, 4, 0, None],
+        },
+    )
+    # supplier: NULLs in every column (incl. the natural key), duplicate
+    # suppkey 2 with conflicting attrs, orphan nationkey, empty/whitespace
+    # names, extreme money-grade balances, a supplier with no lineitems
+    _append_rows(
+        f"{src_sf}/supplier.parquet",
+        str(d / "supplier.parquet"),
+        {
+            "s_suppkey": [None, 70, 71, 72, 2, 73, 74, 75, 76, 77],
+            "s_name": ["Supplier#keyless", None, "Supplier#71",
+                       "Supplier#72", "Supplier#dup2", "", " ",
+                       "Supplier#75", "Supplier#76", "Supplier#nolines"],
+            "s_nationkey": [1, 2, None, 99, 3, 4, 5, 6, 7, 8],
+            "s_acctbal": [1.0, 2.0, 3.0, 4.0, 5.5, 6.0, 7.0, 1e12, -1e12, None],
+        },
+    )
+    # part: NULLs in every column, duplicate partkey 10 with conflicting
+    # attrs, empty/whitespace brand+type+name, extreme retailprice,
+    # negative and zero size, a part no lineitem references
+    _append_rows(
+        f"{src_sf}/part.parquet",
+        str(d / "part.parquet"),
+        {
+            "p_partkey": [None, 500, 501, 502, 503, 504, 10, 505, 506, 507, 508],
+            "p_name": ["keyless part", None, "part 501", "part 502",
+                       "part 503", "part 504", "dup of ten", "", " ",
+                       "extreme part", "unreferenced part"],
+            "p_brand": ["Brand#1", "Brand#2", None, "", " ", "Brand#3",
+                        "Brand#9", "Brand#4", "Brand#5", "Brand#6", "Brand#7"],
+            "p_type": ["STANDARD BRASS", "ECONOMY COPPER", "PROMO STEEL",
+                       None, "", " ", "LARGE TIN", "MEDIUM NICKEL",
+                       "SMALL BRASS", "PROMO BRASS", "STANDARD TIN"],
+            "p_size": [1, 2, 3, 4, None, -5, 0, 6, 7, 8, 9],
+            "p_retailprice": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0,
+                              None, 0.0, 1e12, -1e12],
+        },
+    )
+
+
 @pytest.fixture(scope="module")
 def adv_tpch_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("adversarial_tpch_sf")
     for t in TABLES:
-        if t not in ("orders", "lineitem", "customer"):
+        if t not in ("orders", "lineitem", "customer",
+                     "part", "supplier", "nation", "region"):
             shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    _adversarial_dims(SF_SMOKE, d)
     cust = _adversarial_customer()
     pq.write_table(
         pa.table(

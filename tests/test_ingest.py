@@ -158,6 +158,29 @@ def test_idempotent_reload(spark, hhs_csv, tmp_path):
     assert any(d.startswith("collection_week=") for d in os.listdir(path))
 
 
+def test_idempotent_reload_null_safe_keys(spark, tmp_path):
+    """Regression pin (adversarial-gate finding, r11): a NULL-keyed row
+    used to be re-appended on EVERY re-load because the plain equi
+    anti-join never matches NULL — the exact non-idempotence K1/K3 exist
+    to prevent. The upsert key equality is null-safe (<=>), so a re-load
+    is a no-op for NULL-keyed rows too, including multi-column keys with
+    only one NULL component."""
+    from hhs_and_cms_data_pipeline_spark.sinks import append_new_keys
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (None, "b", 2.0), (2, None, 3.0), (None, None, 4.0)],
+        "k1 int, k2 string, v double",
+    )
+    path = str(tmp_path / "tbl")
+    n1 = append_new_keys(spark, df, path, ["k1", "k2"])
+    n2 = append_new_keys(spark, df, path, ["k1", "k2"])
+    assert (n1, n2) == (4, 0)
+    assert spark.read.parquet(path).count() == 4
+    # a genuinely new row (distinct only in its NULL pattern) still appends
+    extra = spark.createDataFrame([(2, "b", 5.0)], "k1 int, k2 string, v double")
+    assert append_new_keys(spark, extra, path, ["k1", "k2"]) == 1
+
+
 def test_atomic_write(spark, tmp_path):
     from hhs_and_cms_data_pipeline_spark.sinks import write_parquet_atomic
 
