@@ -593,6 +593,17 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     147.8M wedge rows (3.8%) land on adjacent pairs, and probing 148M
 #     rows against the broadcast edge set measured 18.8s — costs more
 #     than the volume it saves.
+#   - Bloom-of-edges endpoint probe before the exchange (r11, the one
+#     lever the r10 sweep left open): re-measured the closure fraction
+#     at sf0.1 — 5,653,464 of 147,816,257 wedge rows (3.82%) are
+#     existing edges, so ANY pre-exchange edge filter tops out at a
+#     3.8% volume cut while paying a per-row probe on all 148M rows.
+#     A Bloom is strictly dominated here: the exact packed-edge set is
+#     1.196M int64s (~10MB) and already broadcastable, and the exact
+#     broadcast probe above was ALREADY a net loss (18.8s vs 13-15s);
+#     a Bloom probe has the same per-row cost shape with false
+#     positives on top. Measured to rest — the filter's ceiling, not
+#     its implementation, is what kills it.
 #   - Degree prefilter (cn>=3 needs deg>=3 both ends): 0 of 20k nodes
 #     have deg<3 on this graph. Vacuous.
 #   - collect_list-by-u array exchange (148M elements in 20k array rows,
