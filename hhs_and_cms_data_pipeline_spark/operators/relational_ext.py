@@ -3042,213 +3042,3 @@ def asof_nearest_frame(ev: DataFrame) -> DataFrame:
             nearest_dt.alias("nearest_dt_us"),
         )
     )
-
-
-# --------------------------------------------------------------------------
-# XA22 — ORDERED FUNNEL conversion: view -> click -> purchase, where each
-# step's timestamp must STRICTLY follow the user's first occurrence of
-# the previous step (the product-analytics funnel; Amplitude/Mixpanel
-# call this "in order" completion on first touch). First-touch chaining
-# makes the funnel deterministic: step k's anchor is MIN(ts) among
-# qualifying events, so no tie-break policy is needed beyond strict
-# inequality between steps (a click at exactly the first view's instant
-# does NOT convert — simultaneous events cannot be causally ordered).
-# Scale shape: each step is one filtered fact scan pre-aggregated to
-# user grain map-side, then an equi hash-join on user_id against the
-# previous step's user-sized anchor frame — never fact x fact. The three
-# step counts are 1-row aggregates cross-joined (the repo's standing
-# broadcast-of-scalar pattern) and exploded into a 3-row report, so the
-# conversion divisions are single IEEE ops over identical integers on
-# both engines.
-# --------------------------------------------------------------------------
-
-_FUNNEL_STEPS = ("view", "click", "purchase")
-
-
-@register(
-    "xa22_funnel_conversion",
-    oracle=f"""
-    WITH s1 AS (
-      SELECT user_id, MIN(ts) AS t FROM events
-      WHERE event_type = '{_FUNNEL_STEPS[0]}'
-        AND ts IS NOT NULL AND user_id IS NOT NULL
-      GROUP BY 1),
-    s2 AS (
-      SELECT e.user_id, MIN(e.ts) AS t
-      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
-      WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
-      GROUP BY 1),
-    s3 AS (
-      SELECT e.user_id, MIN(e.ts) AS t
-      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
-      WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
-      GROUP BY 1),
-    n AS (
-      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3)
-    SELECT CAST(1 AS BIGINT) AS step_idx, '{_FUNNEL_STEPS[0]}' AS step,
-           n1 AS n_users,
-           CAST(NULL AS DOUBLE) AS conv_from_prev,
-           CAST(1.0 AS DOUBLE) AS conv_from_first
-    FROM n
-    UNION ALL
-    SELECT 2, '{_FUNNEL_STEPS[1]}', n2,
-           CAST(n2 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE),
-           CAST(n2 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE)
-    FROM n
-    UNION ALL
-    SELECT 3, '{_FUNNEL_STEPS[2]}', n3,
-           CAST(n3 AS DOUBLE) / CAST(NULLIF(n2, 0) AS DOUBLE),
-           CAST(n3 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE)
-    FROM n
-    ORDER BY step_idx
-    """,
-    tags=("XA22",),
-)
-def xa22_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XA22: first-touch ordered funnel over view->click->purchase (block
-    comment above) — per-step reached-user counts plus step-over-step and
-    end-to-end conversion rates."""
-    ensure_session_conf(spark)
-    ev = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
-        .select("user_id", "event_type", "ts")
-    )
-
-    def first_touch(etype: str, prev: DataFrame | None) -> DataFrame:
-        step = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
-        if prev is not None:
-            p = prev.select("user_id", F.col("t").alias("t_prev"))
-            step = (
-                step.join(p, "user_id")
-                .filter(F.col("ts") > F.col("t_prev"))
-                .select("user_id", "ts")
-            )
-        return step.groupBy("user_id").agg(F.min("ts").alias("t"))
-
-    s1 = first_touch(_FUNNEL_STEPS[0], None)
-    s2 = first_touch(_FUNNEL_STEPS[1], s1)
-    s3 = first_touch(_FUNNEL_STEPS[2], s2)
-    counts = (
-        s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).cast("long").alias("n2")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).cast("long").alias("n3")))
-        # read three times (one per report row): pin the 1-row frame or
-        # the whole step pipeline would re-execute per UNION branch
-        .localCheckpoint(eager=False)
-    )
-    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
-    rate = lambda num, den: dbl(num) / F.nullif(dbl(den), F.lit(0.0))  # noqa: E731
-    rows = [
-        counts.select(
-            F.lit(1).cast("long").alias("step_idx"),
-            F.lit(_FUNNEL_STEPS[0]).alias("step"),
-            F.col("n1").alias("n_users"),
-            F.lit(None).cast("double").alias("conv_from_prev"),
-            F.lit(1.0).alias("conv_from_first"),
-        ),
-        counts.select(
-            F.lit(2).cast("long").alias("step_idx"),
-            F.lit(_FUNNEL_STEPS[1]).alias("step"),
-            F.col("n2").alias("n_users"),
-            rate("n2", "n1").alias("conv_from_prev"),
-            rate("n2", "n1").alias("conv_from_first"),
-        ),
-        counts.select(
-            F.lit(3).cast("long").alias("step_idx"),
-            F.lit(_FUNNEL_STEPS[2]).alias("step"),
-            F.col("n3").alias("n_users"),
-            rate("n3", "n2").alias("conv_from_prev"),
-            rate("n3", "n1").alias("conv_from_first"),
-        ),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("step_idx")
-
-
-# --------------------------------------------------------------------------
-# XA23 — RETENTION COHORT matrix: users cohorted by the ISO week of their
-# FIRST event; each later active week becomes a (cohort_week, week_offset)
-# cell with the count of still-active users and the retention share of
-# the cohort. Week offsets are exact integer arithmetic: date_trunc'd
-# weeks are aligned Mondays in a UTC session, so the microsecond
-# difference is an exact multiple of 604,800,000,000 and the division is
-# lossless on both engines (no date_diff boundary-count semantics — the
-# XA9/GX3 divergence class). Scale shape: cohorting is one groupBy(user)
-# min; activity dedup is one (user, week) distinct co-partitioned with
-# the cohort join on user_id; the final cell aggregation is
-# cohort-weeks x offsets sized; cohort sizes broadcast back onto cells.
-# --------------------------------------------------------------------------
-
-_WEEK_US = 7 * 86_400 * 1_000_000
-
-
-@register(
-    "xa23_retention_cohorts",
-    oracle=f"""
-    WITH ev AS (
-      SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
-      FROM events
-      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-    cohort AS (SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY 1),
-    sizes AS (
-      SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
-      FROM cohort GROUP BY 1),
-    active AS (
-      SELECT DISTINCT e.user_id, c.cw, e.wk
-      FROM ev e JOIN cohort c USING (user_id)),
-    cells AS (
-      SELECT cw,
-             CAST((epoch_us(wk) - epoch_us(cw)) / {_WEEK_US} AS BIGINT)
-               AS week_offset,
-             CAST(COUNT(*) AS BIGINT) AS n_active
-      FROM active GROUP BY 1, 2)
-    SELECT CAST(c.cw AS TIMESTAMP) AS cohort_week,
-           c.week_offset, c.n_active, s.cohort_size,
-           CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
-             AS retention
-    FROM cells c JOIN sizes s USING (cw)
-    ORDER BY cohort_week, week_offset
-    """,
-    tags=("XA23",),
-)
-def xa23_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XA23: weekly retention cohort matrix (block comment above) —
-    first-event-week cohorts, per-offset active-user counts, retention
-    share of each cohort."""
-    ensure_session_conf(spark)
-    ev = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
-        .select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
-    )
-    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cw"))
-    sizes = cohort.groupBy("cw").agg(
-        F.count(F.lit(1)).cast("long").alias("cohort_size")
-    )
-    active = ev.join(cohort, "user_id").select("user_id", "cw", "wk").distinct()
-    cells = (
-        active.groupBy(
-            "cw",
-            ((F.unix_micros("wk") - F.unix_micros("cw")) / F.lit(_WEEK_US))
-            .cast("long")
-            .alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
-    )
-    return (
-        cells.join(F.broadcast(sizes), "cw")
-        .select(
-            F.col("cw").alias("cohort_week"),
-            "week_offset",
-            "n_active",
-            "cohort_size",
-            (F.col("n_active").cast("double") / F.col("cohort_size").cast("double"))
-            .alias("retention"),
-        )
-        .orderBy("cohort_week", "week_offset")
-    )
