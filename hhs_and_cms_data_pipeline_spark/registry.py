@@ -108,16 +108,26 @@ _DRIVER_SAMPLED_THROUGH_R9: frozenset[str] = frozenset(
 import functools
 
 
-@functools.lru_cache(maxsize=8)
 def _driver_sampled_names(root: str | None = None) -> frozenset[str]:
     """Union of every query name a CORRECTNESS_r*.json artifact records —
     the r1-r9 frozen baseline plus whatever later rounds have sampled.
     Reading the artifacts keeps the never-sampled-first rotation advancing
     each round with no manual bookkeeping; any read problem degrades to
     the frozen baseline (ordering is best-effort, never correctness).
-    Cached per process — artifacts are written between rounds, never
-    mid-process, so one scan per interpreter is exact, not approximate.
-    ``root`` overrides the repo-root artifact directory (tests)."""
+    The production repo-root scan (root=None) is cached per process —
+    artifacts are written between rounds, never mid-process, so one scan
+    per interpreter is exact; an explicit ``root`` (tests) always rescans."""
+    if root is None:
+        return _repo_sampled_names_cached()
+    return _scan_sampled_names(root)
+
+
+@functools.lru_cache(maxsize=1)
+def _repo_sampled_names_cached() -> frozenset[str]:
+    return _scan_sampled_names(None)
+
+
+def _scan_sampled_names(root: str | None) -> frozenset[str]:
     import glob as _glob
     import json as _json
     import os as _os
