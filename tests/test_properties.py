@@ -2382,3 +2382,57 @@ def test_cusum_matches_clamped_recursion_and_alarms_on_shift(spark, tmp_path):
     assert got[days[1]]["is_alarm"] and got[days[1]]["is_first_alarm"]
     assert all(got[dd]["is_alarm"] for dd in days[1:])
     assert sum(got[dd]["is_first_alarm"] for dd in days) == 1
+
+
+@given(
+    cuts=st.lists(st.integers(1, 29), min_size=0, max_size=3, unique=True),
+    replay_at=st.one_of(st.none(), st.integers(0, 3)),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_daily_count_merge_slicing_invariant(spark, tmp_path_factory, cuts,
+                                             replay_at):
+    """ST23's defining property: ANY slicing of the event stream into
+    micro-batches — including a redelivered batch at any position — must
+    reconstruct the exact from-scratch daily (event_type, d, n) relation,
+    because COUNT is a commutative monoid and the stored last_batch_id
+    makes replays no-ops. Hypothesis picks the cut points and the replay
+    position; the model is the whole-table aggregation."""
+    import datetime
+
+    from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
+        make_daily_count_merger,
+    )
+    from hhs_and_cms_data_pipeline_spark.sinks import read_published
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (
+            None if i % 13 == 7 else base + datetime.timedelta(hours=5 * i),
+            None if i % 11 == 3 else ["view", "click", "purchase"][i % 3],
+        )
+        for i in range(30)
+    ]
+    bounds = [0, *sorted(cuts), 30]
+    slices = [
+        rows[lo:hi] for lo, hi in zip(bounds, bounds[1:]) if lo < hi
+    ]
+    target = str(tmp_path_factory.mktemp("cusum_prop") / "daily")
+    merge = make_daily_count_merger(target)
+    mk = lambda rs: spark.createDataFrame(  # noqa: E731
+        rs, "ts timestamp, event_type string"
+    )
+    for bid, chunk in enumerate(slices):
+        merge(mk(chunk), bid)
+        if replay_at == bid:  # crash-redelivery of this batch
+            merge(mk(chunk), bid)
+    got = sorted(
+        (r["event_type"], str(r["d"]), r["n"])
+        for r in read_published(spark, target).collect()
+    )
+    model: dict[tuple, int] = {}
+    for ts, et in rows:
+        if ts is not None and et is not None:
+            k = (et, str(ts.date()))
+            model[k] = model.get(k, 0) + 1
+    assert got == sorted((et, d, n) for (et, d), n in model.items())
