@@ -58,6 +58,7 @@ def main() -> None:
         "sk_bloom_filter",
         "stream_drift_monitor",
         "sim_ivf_incremental_add",
+        "retrieval_hard_negatives",
         "sk_hll_rollup",
         "stream_cms_heavy_hitters",
         "graph_triangle_counts",

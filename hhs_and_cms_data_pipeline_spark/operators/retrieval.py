@@ -40,6 +40,7 @@ from ..functions.exact import dsum, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
+from .dedup import _SQL_JACCARD_CORE
 from .text import SQL_TOKS, tokens
 
 # 1-based positional token relation — COMPOSED from text.py's SQL_TOKS (one
@@ -501,3 +502,174 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("min_gap"), F.asc("doc_id"))
         .limit(_PROX_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# RET6 — HARD-NEGATIVE MINING for retrieval training (the DPR/contrastive
+# data-prep step): for each PROBE document, rank the corpus by doc-as-query
+# BM25 (the probe's distinct token set is the query, binary query weights;
+# identical rational-idf constants to RET3 so every per-term score is an
+# exact integer ratio), EXCLUDE positives — candidates whose word-bigram
+# jaccard with the probe reaches the near-dup bar (dedup.py's exact
+# rare-shingle pair machinery, reused verbatim) — and keep the top-k
+# remaining: lexically close, semantically distinct training negatives.
+#
+# Scale shape: the probe set is a deterministic hash slice of doc_ids
+# (batch the probes at 100 TB — fan-out is |probe terms| x df(w), the
+# inverted-index join, NOT probes x corpus); df/idf live in a
+# vocabulary-sized dim that broadcasts; the candidate tf relation
+# shuffles once on the term key; the positive-exclusion anti-join reuses
+# the shingle index with its stop-shingle skew cap. On a Zipfian corpus
+# the standard df cap prunes stop-word terms from the probe query; this
+# 31-word synthetic vocab is uniformly hot (df 75-80% of N), so the cap
+# is deliberately NOT applied here — it would delete the whole query.
+# --------------------------------------------------------------------------
+
+_HN_PROBE_MOD = 97  # probe slice: doc_id % 97 == 0 (~1% of the corpus)
+_HN_TOP = 5
+_HN_POS_TAU = 0.25  # jaccard at/above this = positive, excluded
+
+
+@register(
+    "retrieval_hard_negatives",
+    oracle=f"""
+    WITH toks AS ({SQL_POS_TOKS}),
+    dterm AS (SELECT DISTINCT doc_id, w FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS N,
+             CAST(COUNT(*) AS BIGINT) AS T
+      FROM toks),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    dfreq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dterm GROUP BY 1),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2),
+    probes AS (
+      SELECT doc_id AS probe_id, w FROM dterm
+      WHERE doc_id % {_HN_PROBE_MOD} = 0),
+    scored AS (
+      SELECT p.probe_id, tf.doc_id AS neg_id, {_sql_bm25_score()} AS s
+      FROM probes p
+      JOIN tf ON p.w = tf.w AND tf.doc_id <> p.probe_id
+      JOIN dfreq ON dfreq.w = p.w
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats),
+    agg AS (
+      SELECT probe_id, neg_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+             {sql_dsum("s", scale=18)} AS score
+      FROM scored GROUP BY 1, 2),
+    {_SQL_JACCARD_CORE},
+    positives AS (
+      SELECT doc_a AS probe_id, doc_b AS neg_id FROM jac
+      WHERE jaccard >= {_HN_POS_TAU}
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac WHERE jaccard >= {_HN_POS_TAU}),
+    negs AS (
+      SELECT a.* FROM agg a
+      ANTI JOIN positives p USING (probe_id, neg_id)),
+    ranked AS (
+      SELECT probe_id, neg_id, n_shared_terms, score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY score DESC, neg_id) AS BIGINT) AS rank
+      FROM negs)
+    SELECT probe_id, neg_id, n_shared_terms, score, rank
+    FROM ranked WHERE rank <= {_HN_TOP}
+    ORDER BY probe_id, rank
+    """,
+    tags=("RET6",),
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RET6: top-{top} BM25 hard negatives per probe doc (block comment
+    above) — doc-as-query scoring, near-dup positives excluded at word-
+    bigram jaccard >= {tau}."""
+    from .dedup import _STOP_SHINGLE_DF, exact_jaccard_of_pairs
+    from .text import word_bigram_arrays
+
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = pos_tokens(docs)
+    # three consumers of the token stream (dl, df, tf): pin it once
+    toks = toks.localCheckpoint(eager=False)
+    dterm = toks.select("doc_id", "w").distinct()
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        F.sum("dl").cast("long").alias("T"),
+    )
+    dfreq = dterm.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    probes = dterm.filter(F.col("doc_id") % _HN_PROBE_MOD == 0).select(
+        F.col("doc_id").alias("probe_id"), "w"
+    )
+    idf = (2 * F.col("N") - 2 * F.col("df") + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    tfn = (22 * F.col("tf") * F.col("T")).cast("double") / (
+        10 * F.col("tf") * F.col("T")
+        + 3 * F.col("T")
+        + 9 * F.col("dl") * F.col("N")
+    ).cast("double")
+    scored = (
+        probes.join(tf, "w")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("probe_id", F.col("doc_id").alias("neg_id"), (idf * tfn).alias("s"))
+    )
+    agg = scored.groupBy("probe_id", "neg_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        dsum("s", "score", scale=18),
+    )
+    # Positive exclusion, PROBE-RESTRICTED: the generic all-pairs jaccard
+    # scan (dedup._jaccard_pairs) costs the whole corpus-pair relation;
+    # only pairs with a probe on one side can ever exclude anything here,
+    # so the candidate self-join keeps the probe slice on the build side —
+    # measured 7.7s -> sub-second at sf0.1 for the identical exclusion
+    # set (the oracle keeps the symmetric all-pairs form and filters;
+    # both reduce to the same probe-involving pairs).
+    arrays = word_bigram_arrays(docs)
+    big = arrays.select("doc_id", F.explode("bgs").alias("bg")).localCheckpoint(
+        eager=False
+    )
+    rare = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _STOP_SHINGLE_DF)
+        .select("bg")
+    )
+    rare_big = big.join(rare, "bg", "semi")
+    probe_big = rare_big.filter(F.col("doc_id") % _HN_PROBE_MOD == 0)
+    cand = (
+        probe_big.alias("a")
+        .join(
+            rare_big.alias("b"),
+            (F.col("a.bg") == F.col("b.bg"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    positives = (
+        exact_jaccard_of_pairs(cand, arrays)
+        .filter(F.col("jaccard") >= _HN_POS_TAU)
+        .select(F.col("doc_a").alias("probe_id"), F.col("doc_b").alias("neg_id"))
+    )
+    negs = agg.join(positives, ["probe_id", "neg_id"], "anti")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neg_id"))
+    return (
+        negs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HN_TOP)
+        .select("probe_id", "neg_id", "n_shared_terms", "score", "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
+retrieval_hard_negatives.__doc__ = (retrieval_hard_negatives.__doc__ or "").format(
+    top=_HN_TOP, tau=_HN_POS_TAU
+)
