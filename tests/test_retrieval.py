@@ -256,3 +256,56 @@ def test_posting_pack_overflow_fails_loudly(spark):
     ).select(packed_posting().alias("p"))
     with pytest.raises(SparkRuntimeException, match="pack base"):
         bad.collect()
+
+
+def test_hard_negatives_excludes_neardups_keeps_scrambled(spark, tmp_path):
+    """RET6's defining contract, on a corpus built to split the two
+    similarity notions apart: a bigram-level near-dup of the probe (one
+    token changed, word order kept) must be EXCLUDED as a positive, while
+    a token-identical but order-scrambled doc (shared bigrams ~0) is the
+    archetypal hard negative and must rank FIRST; a doc sharing nothing
+    never enters the candidate set."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from hhs_and_cms_data_pipeline_spark.sources.tables import TABLES
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        0: base,                                      # the probe (0 % 97 == 0)
+        1: base.replace("kappa", "mu"),               # near-dup: excluded
+        2: " ".join(reversed(base.split())),          # scrambled: hard negative
+        3: "alpha beta ux uy uz p q r s t",           # weak overlap: kept, lower
+        4: "foo bar baz qux quux corge grault w x y"  # disjoint: never a candidate
+    }
+    d = tmp_path / "sf_hn"
+    d.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+                "lang": pa.array(["en"] * 5, pa.string()),
+                "source": pa.array(["s"] * 5, pa.string()),
+                "n_chars": pa.array([len(v) for v in texts.values()], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    rows = all_specs()["retrieval_hard_negatives"].builder(spark, str(d)).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    negs = [r["neg_id"] for r in by_probe.get(0, [])]
+    assert 1 not in negs, "bigram near-dup must be excluded as a positive"
+    assert 4 not in negs, "term-disjoint doc must never become a candidate"
+    assert negs[0] == 2, f"scrambled twin must rank first, got {negs}"
+    assert 3 in negs
+    shared = {r["neg_id"]: r["n_shared_terms"] for r in by_probe[0]}
+    assert shared[2] == 10 and shared[3] == 2
