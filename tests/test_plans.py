@@ -1205,3 +1205,21 @@ def test_cusum_windows_stack_on_one_sort_per_type(spark, specs):
     assert "Sort" not in above_join.split("Exchange")[-1], (
         "monitor windows must stack sort-free above the join:\n" + tree
     )
+
+
+def test_hard_negatives_plan_no_cartesian_anti_exclusion(spark, specs):
+    """RET6 plan: the probe-candidate pairing is inverted-index hash
+    joins — never a CartesianProduct of data (the only nested-loop joins
+    are the 1-row (N, T) stats scalars, each above an aggregate); the
+    positive exclusion compiles to ONE anti join."""
+    import re
+
+    plan = formatted_plan(
+        specs["retrieval_hard_negatives"].builder(spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"Join LeftAnti", plan)) == 1, plan
+    tree = plan.split("\n\n")[0]
+    for m in re.finditer(r"BroadcastNestedLoopJoin", tree):
+        above = tree[: m.start()]
+        assert "HashAggregate" in above, plan
