@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, sql_davg
+from ..functions.exact import davg, sql_davg, sql_floordiv
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
@@ -1686,4 +1686,144 @@ def semantic_decontaminate(
             .alias("status"),
         )
         .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# C21 — ISOTONIC CALIBRATION of the quality score (pool-adjacent-violators
+# via the minimax identity): bin documents by their exact-integer TX8
+# quality score, measure each bin's positive rate against a deterministic
+# binary label, and fit the best MONOTONE (non-decreasing) rate curve —
+# the calibration step between "classifier emits a score" and "pipeline
+# thresholds on a probability" (Zadrozny & Elkan 2002; the L2 isotonic
+# fit). No sequential PAVA loop runs anywhere: the fit uses the closed
+# minimax form  iso_k = max_{i<=k} min_{j>=k} (P_j - P_{i-1})/(W_j -
+# W_{i-1})  over prefix sums (Robertson/Wright/Dykstra, Ch. 1), which is
+# three dim-sized joins.
+#
+# Scale shape: scoring + binning are MAP-ONLY (the bin is an exact
+# integer floordiv of the int64 score — a global-ntile quantile binning
+# would single-partition-sort the corpus, the classic 100 TB killer);
+# ONE fact-sized keyed aggregation reduces to bin grain (~tens of rows at
+# any corpus size, since the score is a bounded random walk); every
+# window and join after that is bin-grain. The minimax enumeration is
+# O(B^2) rows for B bins — hundreds, not millions. Every numerator and
+# denominator is an exact BIGINT; the single division per (i, j) pair is
+# one IEEE op over identical integers on both engines, and MIN/MAX over
+# those doubles are bit-stable.
+# --------------------------------------------------------------------------
+
+_ISO_BIN_WIDTH = 50_000  # score units per bin (score sigma ~154k at 66 tokens)
+
+
+@register(
+    "curation_isotonic_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {SQL_QC_RAW} AS score,
+             CAST(CAST('0x' || substr(md5(text), 1, 2) AS UBIGINT) % 2
+                  AS BIGINT) AS label
+      FROM documents),
+    bins AS (
+      SELECT {sql_floordiv("score", _ISO_BIN_WIDTH)} AS bin,
+             CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY 1),
+    cum AS (
+      SELECT bin, w, pos,
+             CAST(SUM(w) OVER (ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(pos) OVER (ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+      FROM bins),
+    r AS (
+      SELECT i.bin AS i, j.bin AS j,
+             CAST(j.cp - (i.cp - i.pos) AS DOUBLE)
+               / CAST(j.cw - (i.cw - i.w) AS DOUBLE) AS ratio
+      FROM cum i JOIN cum j ON i.bin <= j.bin),
+    mins AS (
+      SELECT r.i, k.bin AS k, MIN(ratio) AS m
+      FROM r JOIN cum k ON r.i <= k.bin AND k.bin <= r.j
+      GROUP BY 1, 2),
+    iso AS (SELECT k AS bin, MAX(m) AS iso_rate FROM mins GROUP BY 1)
+    SELECT b.bin, b.w AS n_docs, b.pos AS n_pos,
+           CAST(b.pos AS DOUBLE) / CAST(b.w AS DOUBLE) AS pos_rate,
+           iso.iso_rate
+    FROM bins b JOIN iso USING (bin)
+    ORDER BY bin
+    """,
+    tags=("C21",),
+)
+def curation_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21: monotone calibration curve for the TX8 quality score (block
+    comment above) — per score bin the doc count, raw positive rate, and
+    the isotonic (non-decreasing) fitted rate."""
+    from ..functions.exact import floordiv
+    from .text import quality_raw_score
+
+    ensure_session_conf(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    label = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10).cast("long")
+        % 2
+    )
+    scored = docs.select(
+        quality_raw_score().alias("score"), label.alias("label")
+    )
+    bins = (
+        scored.groupBy(floordiv(F.col("score"), _ISO_BIN_WIDTH).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+        # bin-grain relation, consumed four times below (cum window, the
+        # i/j/k sides, and the output join): pin it
+        .localCheckpoint(eager=False)
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "w",
+        "pos",
+        F.sum("w").over(wcum).cast("long").alias("cw"),
+        F.sum("pos").over(wcum).cast("long").alias("cp"),
+    )
+    ci = cum.select(
+        F.col("bin").alias("i"),
+        (F.col("cp") - F.col("pos")).alias("p_lo"),
+        (F.col("cw") - F.col("w")).alias("w_lo"),
+    )
+    cj = cum.select(
+        F.col("bin").alias("j"),
+        F.col("cp").alias("p_hi"),
+        F.col("cw").alias("w_hi"),
+    )
+    r = ci.join(cj, F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            (F.col("p_hi") - F.col("p_lo")).cast("double")
+            / (F.col("w_hi") - F.col("w_lo")).cast("double")
+        ).alias("ratio"),
+    )
+    ck = cum.select(F.col("bin").alias("k"))
+    mins = (
+        r.join(ck, (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j")))
+        .groupBy("i", "k")
+        .agg(F.min("ratio").alias("m"))
+    )
+    iso = mins.groupBy("k").agg(F.max("m").alias("iso_rate"))
+    return (
+        bins.join(iso, bins.bin == iso.k)
+        .select(
+            "bin",
+            F.col("w").alias("n_docs"),
+            F.col("pos").alias("n_pos"),
+            (F.col("pos").cast("double") / F.col("w").cast("double")).alias(
+                "pos_rate"
+            ),
+            "iso_rate",
+        )
+        .orderBy("bin")
     )

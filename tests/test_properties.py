@@ -2436,3 +2436,44 @@ def test_daily_count_merge_slicing_invariant(spark, tmp_path_factory, cuts,
             k = (et, str(ts.date()))
             model[k] = model.get(k, 0) + 1
     assert got == sorted((et, d, n) for (et, d), n in model.items())
+
+
+def test_isotonic_calibration_matches_reference_pava(spark):
+    """C21's minimax closed form must equal the classic sequential
+    pool-adjacent-violators fit (weighted L2 isotonic regression), and
+    the fitted curve must be non-decreasing. The reference PAVA runs on
+    the operator's OWN bin relation so the two differ only in algorithm."""
+    from hhs_and_cms_data_pipeline_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        all_specs()["curation_isotonic_calibration"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    )
+    assert len(rows) > 3, "expect a multi-bin curve on the smoke corpus"
+    iso = [r["iso_rate"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:])), iso
+    # reference: sequential weighted PAVA over (pos/w, w) in bin order
+    blocks = []  # [sum_pos, sum_w]
+    for r in rows:
+        blocks.append([r["n_pos"], r["n_docs"]])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            p, w = blocks.pop()
+            blocks[-1][0] += p
+            blocks[-1][1] += w
+    # expand block means back to bins
+    want = []
+    i = 0
+    for p, w in blocks:
+        # consume bins until this block's weight is exhausted
+        acc = 0
+        while acc < w:
+            acc += rows[i]["n_docs"]
+            want.append(p / w)
+            i += 1
+    assert len(want) == len(iso)
+    for a, b in zip(iso, want):
+        assert abs(a - b) < 1e-12, (iso, want)
