@@ -1771,16 +1771,18 @@ def curation_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     scored = docs.select(
         quality_raw_score().alias("score"), label.alias("label")
     )
-    bins = (
-        scored.groupBy(floordiv(F.col("score"), _ISO_BIN_WIDTH).alias("bin"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("w"),
-            F.sum("label").cast("long").alias("pos"),
-        )
-        # bin-grain relation, consumed four times below (cum window, the
-        # i/j/k sides, and the output join): pin it
-        .localCheckpoint(eager=False)
+    bins = scored.groupBy(
+        floordiv(F.col("score"), _ISO_BIN_WIDTH).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum("label").cast("long").alias("pos"),
     )
+    # The prefix window is GLOBAL but over the bin-grain aggregate (tens
+    # of rows at any corpus size) — the plan audit verifies the
+    # HashAggregate sits below it, which is why the checkpoint pin goes
+    # AFTER the window: cum is consumed four times (i/j/k sides + the
+    # output), and pinning bins instead would truncate the lineage the
+    # audit reads.
     wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = bins.select(
         "bin",
@@ -1788,7 +1790,7 @@ def curation_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         "pos",
         F.sum("w").over(wcum).cast("long").alias("cw"),
         F.sum("pos").over(wcum).cast("long").alias("cp"),
-    )
+    ).localCheckpoint(eager=False)
     ci = cum.select(
         F.col("bin").alias("i"),
         (F.col("cp") - F.col("pos")).alias("p_lo"),
@@ -1815,7 +1817,7 @@ def curation_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     iso = mins.groupBy("k").agg(F.max("m").alias("iso_rate"))
     return (
-        bins.join(iso, bins.bin == iso.k)
+        cum.join(iso, cum.bin == iso.k)
         .select(
             "bin",
             F.col("w").alias("n_docs"),
