@@ -1707,10 +1707,13 @@ def semantic_decontaminate(
 # ONE fact-sized keyed aggregation reduces to bin grain (~tens of rows at
 # any corpus size, since the score is a bounded random walk); every
 # window and join after that is bin-grain. The minimax enumeration is
-# O(B^2) rows for B bins — hundreds, not millions. Every numerator and
-# denominator is an exact BIGINT; the single division per (i, j) pair is
-# one IEEE op over identical integers on both engines, and MIN/MAX over
-# those doubles are bit-stable.
+# O(B^2) (i, j) pairs, and the mins stage joins those pairs against cum k
+# on a range predicate (a BroadcastNestedLoopJoin), so the INTERMEDIATE is
+# O(B^3) rows for B bins — still thousands, not millions, at tens of bins,
+# but a bin-width reduction pays cubically, not quadratically. Every
+# numerator and denominator is an exact BIGINT; the single division per
+# (i, j) pair is one IEEE op over identical integers on both engines, and
+# MIN/MAX over those doubles are bit-stable.
 # --------------------------------------------------------------------------
 
 _ISO_BIN_WIDTH = 50_000  # score units per bin (score sigma ~154k at 66 tokens)
@@ -1732,9 +1735,9 @@ _ISO_BIN_WIDTH = 50_000  # score units per bin (score sigma ~154k at 66 tokens)
       FROM scored GROUP BY 1),
     cum AS (
       SELECT bin, w, pos,
-             CAST(SUM(w) OVER (ORDER BY bin
+             CAST(SUM(w) OVER (ORDER BY bin NULLS LAST
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
-             CAST(SUM(pos) OVER (ORDER BY bin
+             CAST(SUM(pos) OVER (ORDER BY bin NULLS LAST
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
       FROM bins),
     r AS (
@@ -1783,7 +1786,13 @@ def curation_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     # AFTER the window: cum is consumed four times (i/j/k sides + the
     # output), and pinning bins instead would truncate the lineage the
     # audit reads.
-    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # NULLS LAST pinned on BOTH sides: Spark defaults ASC to NULLS FIRST,
+    # DuckDB to NULLS LAST, so a NULL bin (NULL score) would silently skew
+    # every prefix sum — the j6 divergence class. The fixture contract
+    # excludes NULL text today; the pin makes that not matter.
+    wcum = Window.orderBy(F.col("bin").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     cum = bins.select(
         "bin",
         "w",

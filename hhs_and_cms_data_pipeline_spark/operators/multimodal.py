@@ -1024,7 +1024,7 @@ def keyframe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT doc_id,
            CAST(nf AS BIGINT) AS n_frames,
            CAST(len(kfs) AS BIGINT) AS n_keyframes,
-           kfs AS keyframes
+           array_to_string(kfs, ',') AS keyframes
     FROM kf
     ORDER BY doc_id
     """,
@@ -1048,8 +1048,22 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") > 0)  # zero-byte = malformed, quarantined
         .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     )
-    return payloads.mapInPandas(keyframe_batches, KEYFRAME_SCHEMA).orderBy(
-        "doc_id"
+    # keyframes serialized to a comma-joined STRING: the driver's pandas
+    # canonicalizer cannot hash ARRAY cells (CORRECTNESS_r11), so registered
+    # queries never emit complex-typed output columns (guarded by
+    # tests/test_registry_contract.py). The worker keeps its typed array —
+    # downstream frame extraction wants positions, not strings.
+    return (
+        payloads.mapInPandas(keyframe_batches, KEYFRAME_SCHEMA)
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_keyframes",
+            F.array_join(F.col("keyframes").cast("array<string>"), ",").alias(
+                "keyframes"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 

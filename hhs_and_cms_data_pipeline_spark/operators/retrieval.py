@@ -104,8 +104,9 @@ def packed_posting():
       SELECT w,
              COUNT(DISTINCT doc_id) AS df,
              COUNT(*) AS cf,
-             (list_sort(list(doc_id * {_POSTING_PACK} + pos)))[1:{_POSTINGS_HEAD}]
-               AS postings_head
+             array_to_string(
+               (list_sort(list(doc_id * {_POSTING_PACK} + pos)))[1:{_POSTINGS_HEAD}],
+               ',') AS postings_head
       FROM toks GROUP BY 1)
     SELECT w AS term, df, cf, postings_head
     FROM post
@@ -118,7 +119,11 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RET1: positional-postings index build (module docstring) — per term
     the document frequency, collection frequency, and first
     {head} packed (doc_id*{pack}+pos) postings; top-{top} terms by
-    collection frequency.
+    collection frequency. The postings head is serialized to a
+    comma-joined STRING on both engines: the driver's pandas
+    canonicalizer cannot hash ARRAY cells (CORRECTNESS_r11), so
+    registered queries never emit complex-typed output columns
+    (enforced by tests/test_registry_contract.py).
 
     Scale shape: one map-only posexplode, a per-term rank window that
     marks the first {head} postings, then ONE term-keyed aggregation —
@@ -140,10 +145,13 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("df"),
             F.count(F.lit(1)).alias("cf"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("rn") <= _POSTINGS_HEAD, F.col("p"))
-                )
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") <= _POSTINGS_HEAD, F.col("p"))
+                    )
+                ).cast("array<string>"),
+                ",",
             ).alias("postings_head"),
         )
         .select(F.col("w").alias("term"), "df", "cf", "postings_head")

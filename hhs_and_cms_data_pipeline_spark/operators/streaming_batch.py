@@ -1058,7 +1058,61 @@ def cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def make_rollup_merger(target: str):
+def _stored_for_merge(batch_df, target: str, batch_id: int, run_id):
+    """Open the published store (or None) and decide whether this batch is
+    a replay, for the ADDITIVE foreachBatch mergers (ST14/ST17/ST19/ST23).
+
+    foreachBatch batch ids are monotone only PER CHECKPOINT, so the raw
+    ``batch_id <= stored max`` compare is meaningful only when the store
+    was written by the SAME streaming run. The store therefore records the
+    writer's ``run_id`` (the checkpoint location is the natural identity);
+    a store stamped by a DIFFERENT run aborts loudly — additively merging
+    a fresh stream (ids restart at 0) into a foreign run's state either
+    double-counts every event or silently drops the first batches as
+    'replays', and both are corruption the merge cannot repair.
+    ``run_id=None`` (ad-hoc factory use) skips the identity check it
+    cannot make and keeps the per-run batch_id guard.
+
+    Returns ``(stored_df_or_None, is_replay)``.
+    """
+    import os
+
+    from ..sinks import read_published
+
+    if not os.path.islink(target):
+        return None, False
+    stored = read_published(batch_df.sparkSession, target)
+    aggs = [F.max("last_batch_id").alias("last")]
+    has_rid = "run_id" in stored.columns
+    if has_rid:
+        # constant column — max() is just "the" value without a distinct
+        aggs.append(F.max("run_id").alias("rid"))
+    row = stored.agg(*aggs).collect()[0]
+    stored_rid = row["rid"] if has_rid else None
+    if (
+        run_id is not None
+        and stored_rid is not None
+        and stored_rid != run_id
+    ):
+        raise ValueError(
+            f"additive merge store {target!r} was written by streaming run "
+            f"{stored_rid!r} but this batch belongs to run {run_id!r}; "
+            "batch ids are not comparable across checkpoints — clear the "
+            "published store or resume from the original checkpoint"
+        )
+    last = row["last"]
+    return stored, last is not None and batch_id <= last
+
+
+def _stamp_merge(df, batch_id: int, run_id):
+    """Stamp the store columns every additive merger publishes: the last
+    applied batch id plus the writing run's identity (both constant)."""
+    return df.withColumn("last_batch_id", F.lit(int(batch_id))).withColumn(
+        "run_id", F.lit(run_id).cast("string")
+    )
+
+
+def make_rollup_merger(target: str, run_id: str | None = None):
     """The ST14 foreachBatch body as a module-level factory so the
     checkpoint-RESUME test can drive the exact production merge (not a
     test copy). EXACTLY-ONCE under replay: foreachBatch is at-least-once,
@@ -1066,18 +1120,15 @@ def make_rollup_merger(target: str):
     and the checkpoint commit re-delivers the same batch_id, and blindly
     re-adding it would double-count permanently. The store therefore
     records the last applied batch_id (a constant column, rows are
-    group-count-sized) and a replayed batch becomes a no-op."""
-    import os
-
-    from ..sinks import read_published, write_parquet_atomic
+    group-count-sized) and a replayed batch becomes a no-op; the stored
+    run identity makes the batch_id compare per-checkpoint-safe
+    (_stored_for_merge)."""
+    from ..sinks import write_parquet_atomic
 
     def _merge(batch_df, batch_id):
-        stored = None
-        if os.path.islink(target):
-            stored = read_published(batch_df.sparkSession, target)
-            last = stored.agg(F.max("last_batch_id")).collect()[0][0]
-            if last is not None and batch_id <= last:
-                return  # replayed batch: already folded into the store
+        stored, replay = _stored_for_merge(batch_df, target, batch_id, run_id)
+        if replay:
+            return  # replayed batch: already folded into the store
         part = (
             batch_df.filter(
                 F.col("value").isNotNull()
@@ -1125,7 +1176,7 @@ def make_rollup_merger(target: str):
         else:
             merged = part
         write_parquet_atomic(
-            merged.withColumn("last_batch_id", F.lit(int(batch_id))),
+            _stamp_merge(merged, batch_id, run_id),
             target,
             gc_grace_seconds=3600.0,
         )
@@ -1184,7 +1235,7 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(stage)
     )
 
-    _merge = make_rollup_merger(target)  # the ST14 merge body (factory above)
+    _merge = make_rollup_merger(target, run_id=ckpt)  # ST14 merge body (factory above)
 
     q = (
         raw.writeStream.foreachBatch(_merge)
@@ -1689,22 +1740,18 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def make_drift_merger(target: str):
+def make_drift_merger(target: str, run_id: str | None = None):
     """The ST17 foreachBatch body as a module-level factory (same contract
     as make_rollup_merger, so tests can drive the exact production merge).
-    Additive count merge with the stored-last_batch_id replay guard."""
-    import os
-
-    from ..sinks import read_published, write_parquet_atomic
+    Additive count merge with the run-identity-aware replay guard
+    (_stored_for_merge)."""
+    from ..sinks import write_parquet_atomic
     from .ingest_queries import drift_is_ref_col
 
     def _merge(batch_df, batch_id):
-        stored = None
-        if os.path.islink(target):
-            stored = read_published(batch_df.sparkSession, target)
-            last = stored.agg(F.max("last_batch_id")).collect()[0][0]
-            if last is not None and batch_id <= last:
-                return  # replayed batch: already folded into the store
+        stored, replay = _stored_for_merge(batch_df, target, batch_id, run_id)
+        if replay:
+            return  # replayed batch: already folded into the store
         part = (
             batch_df.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
             .select("event_type", drift_is_ref_col().alias("is_ref"))
@@ -1745,7 +1792,7 @@ def make_drift_merger(target: str):
         else:
             merged = part
         write_parquet_atomic(
-            merged.withColumn("last_batch_id", F.lit(int(batch_id))),
+            _stamp_merge(merged, batch_id, run_id),
             target,
             gc_grace_seconds=3600.0,
         )
@@ -1819,7 +1866,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         normalize_events_ts(raw)
-        .writeStream.foreachBatch(make_drift_merger(target))
+        .writeStream.foreachBatch(make_drift_merger(target, run_id=ckpt))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .queryName(f"drift_monitor_{tag}")
@@ -1849,22 +1896,18 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def make_cms_merger(target: str):
+def make_cms_merger(target: str, run_id: str | None = None):
     """The ST18 foreachBatch body as a module-level factory (same contract
     as make_drift_merger, so tests drive the exact production merge).
-    Additive cell merge with the stored-last_batch_id replay guard."""
-    import os
-
-    from ..sinks import read_published, write_parquet_atomic
+    Additive cell merge with the run-identity-aware replay guard
+    (_stored_for_merge)."""
+    from ..sinks import write_parquet_atomic
     from .sketch import cms_batch_cells
 
     def _merge(batch_df, batch_id):
-        stored = None
-        if os.path.islink(target):
-            stored = read_published(batch_df.sparkSession, target)
-            last = stored.agg(F.max("last_batch_id")).collect()[0][0]
-            if last is not None and batch_id <= last:
-                return  # replayed batch: already folded into the store
+        stored, replay = _stored_for_merge(batch_df, target, batch_id, run_id)
+        if replay:
+            return  # replayed batch: already folded into the store
         part = cms_batch_cells(batch_df)
         if stored is not None:
             merged = (
@@ -1886,7 +1929,7 @@ def make_cms_merger(target: str):
         else:
             merged = part
         write_parquet_atomic(
-            merged.withColumn("last_batch_id", F.lit(int(batch_id))),
+            _stamp_merge(merged, batch_id, run_id),
             target,
             gc_grace_seconds=3600.0,
         )
@@ -1938,7 +1981,7 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(stage)
     )
     q = (
-        raw.writeStream.foreachBatch(make_cms_merger(target))
+        raw.writeStream.foreachBatch(make_cms_merger(target, run_id=ckpt))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .queryName(f"cms_cells_{tag}")
@@ -2294,22 +2337,20 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def make_daily_count_merger(target: str):
+def make_daily_count_merger(target: str, run_id: str | None = None):
     """ST23 foreachBatch body as a module-level factory (mirrors
     make_rollup_merger; the RESUME test drives the production merge).
-    Replay-idempotent: the store records the last applied batch_id and a
-    redelivered batch is a no-op — an additive count merge alone is not."""
-    import os
-
-    from ..sinks import read_published, write_parquet_atomic
+    Replay-idempotent: the store records the last applied batch_id and the
+    writing run's identity, so a redelivered batch is a no-op — an
+    additive count merge alone is not — and a fresh checkpoint pointed at
+    a surviving store fails loudly instead of dropping its first batches
+    as 'replays' (_stored_for_merge)."""
+    from ..sinks import write_parquet_atomic
 
     def _merge(batch_df, batch_id):
-        stored = None
-        if os.path.islink(target):
-            stored = read_published(batch_df.sparkSession, target)
-            last = stored.agg(F.max("last_batch_id")).collect()[0][0]
-            if last is not None and batch_id <= last:
-                return  # replayed batch: already folded into the store
+        stored, replay = _stored_for_merge(batch_df, target, batch_id, run_id)
+        if replay:
+            return  # replayed batch: already folded into the store
         part = (
             batch_df.filter(
                 F.col("ts").isNotNull() & F.col("event_type").isNotNull()
@@ -2337,7 +2378,7 @@ def make_daily_count_merger(target: str):
         else:
             merged = part
         write_parquet_atomic(
-            merged.withColumn("last_batch_id", F.lit(int(batch_id))),
+            _stamp_merge(merged, batch_id, run_id),
             target,
             gc_grace_seconds=3600.0,
         )
@@ -2389,7 +2430,7 @@ def stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(stage)
     )
     q = (
-        raw.writeStream.foreachBatch(make_daily_count_merger(target))
+        raw.writeStream.foreachBatch(make_daily_count_merger(target, run_id=ckpt))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .queryName(f"cusum_daily_{tag}")

@@ -170,6 +170,24 @@ def all_specs() -> dict[str, QuerySpec]:
                 f"[registry] OPERATOR MODULE FAILED TO IMPORT: {mod}: {err}",
                 file=_sys.stderr,
             )
+        # Decorators run top-to-bottom, so a module that dies halfway
+        # through import has already registered its early queries — against
+        # module state that never finished initializing. Serving those is
+        # worse than dropping them: prune every entry whose builder belongs
+        # to a failed module before serving the partial surface.
+        pruned = [
+            n
+            for n, s in _REGISTRY.items()
+            if getattr(s.builder, "__module__", None) in IMPORT_ERRORS
+        ]
+        for n in pruned:
+            del _REGISTRY[n]
+        if pruned:
+            print(
+                f"[registry] pruned {len(pruned)} half-imported queries: "
+                f"{sorted(pruned)}",
+                file=_sys.stderr,
+            )
         if not _REGISTRY:
             raise ImportError(
                 f"no operator module imported cleanly: {IMPORT_ERRORS}"

@@ -66,8 +66,46 @@ def assert_no_hugeint(con, oracle: str) -> None:
     assert not bad, f"oracle emits HUGEINT columns (cast to BIGINT): {bad}"
 
 
+def assert_driver_hashable(spark_df, con=None, oracle: str | None = None) -> None:
+    """Reject complex-typed (array/map/struct) output columns on BOTH sides.
+
+    The driver's canonicalizer sorts the result frame with pandas
+    ``sort_values``, which raises ``TypeError: unhashable type:
+    'numpy.ndarray'`` on any array cell (CORRECTNESS_r11:
+    text_inverted_index, mm_keyframe_select). This module's _canon
+    historically tolerated lists, so the local replica passed what the
+    driver failed — the replica must reject everything the driver's pandas
+    canon would choke on. Serialize arrays with
+    array_join/array_to_string, or explode to scalar rows.
+    """
+    from pyspark.sql import types as _T
+
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (_T.ArrayType, _T.MapType, _T.StructType))
+    ]
+    assert not bad, (
+        f"driver-unhashable complex-typed Spark output columns: {bad} "
+        "(serialize with F.array_join / to_json, or explode to scalar rows)"
+    )
+    if con is not None and oracle is not None:
+        desc = con.execute(f"DESCRIBE (\n{oracle}\n)").fetchall()
+        bad_d = [
+            (r[0], r[1])
+            for r in desc
+            if "[]" in str(r[1])
+            or str(r[1]).upper().startswith(("STRUCT", "MAP(", "UNION"))
+        ]
+        assert not bad_d, (
+            f"driver-unhashable complex-typed oracle output columns: {bad_d} "
+            "(serialize with array_to_string / to_json)"
+        )
+
+
 def compare_spark_duckdb(spark_df, con, oracle: str) -> None:
     assert_no_hugeint(con, oracle)
+    assert_driver_hashable(spark_df, con, oracle)
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(oracle)

@@ -78,6 +78,41 @@ def test_broken_module_degrades_to_partial_surface(monkeypatch, capsys):
     assert registry.IMPORT_ERRORS == {}
 
 
+def test_half_imported_module_queries_are_pruned(monkeypatch, capsys):
+    """Decorators run top-to-bottom, so a module that dies mid-import has
+    already registered its early queries against half-initialized module
+    state. all_specs() must prune those, not serve them (ADVICE r11)."""
+    from hhs_and_cms_data_pipeline_spark import registry
+
+    broken = "hhs_and_cms_data_pipeline_spark.operators.__half_broken__"
+
+    def orphan_builder(spark, sf_dir):  # pragma: no cover — never served
+        raise RuntimeError("must have been pruned")
+
+    orphan_builder.__module__ = broken
+    healthy = dict(registry.all_specs())
+    monkeypatch.setattr(
+        registry,
+        "_OPERATOR_MODULES",
+        registry._OPERATOR_MODULES + (broken,),
+    )
+    monkeypatch.setitem(
+        registry._REGISTRY,
+        "__orphan_query__",
+        registry.QuerySpec("__orphan_query__", orphan_builder, None),
+    )
+    specs = registry.all_specs()
+    assert "__orphan_query__" not in specs, (
+        "a half-imported module's early registrations must be pruned"
+    )
+    assert set(specs) == set(healthy)
+    err = capsys.readouterr().err
+    assert "pruned 1 half-imported queries" in err
+    monkeypatch.undo()
+    registry.all_specs()
+    assert registry.IMPORT_ERRORS == {}
+
+
 def test_entry_module_exposes_driver_contract():
     import __spark_entry__ as entry_mod
 

@@ -69,9 +69,12 @@ def test_inverted_index_posting_pack_roundtrips(spark):
     rows = all_specs()["text_inverted_index"].builder(spark, SF_SMOKE).collect()
     assert rows, "index build empty at smoke SF"
     for r in rows:
-        assert 1 <= len(r.postings_head) <= 5
-        assert list(r.postings_head) == sorted(r.postings_head)
-        for p in r.postings_head:
+        # postings_head is a comma-joined string (driver-hashable output
+        # contract — no ARRAY columns); parse it back for the pack check.
+        head = [int(x) for x in r.postings_head.split(",")]
+        assert 1 <= len(head) <= 5
+        assert head == sorted(head)
+        for p in head:
             doc, pos = divmod(p, _POSTING_PACK)
             assert doc >= 0 and 1 <= pos < _POSTING_PACK
         assert r.df <= r.cf

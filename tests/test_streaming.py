@@ -669,6 +669,39 @@ def test_incremental_rollup_resumes_from_checkpoint(spark, tmp_path):
     assert got == want
 
 
+def test_additive_merge_rejects_foreign_run_store(spark, tmp_path):
+    """foreachBatch batch ids are monotone only per checkpoint: a fresh
+    checkpoint (ids restart at 0) pointed at a surviving additive store
+    must fail LOUDLY, not silently skip its first batches as 'replays'
+    (ADVICE r11). Same-run replays stay no-ops; run_id=None (ad-hoc use)
+    keeps the legacy per-run guard."""
+    import pytest
+
+    from hhs_and_cms_data_pipeline_spark.operators.streaming_batch import (
+        make_rollup_merger,
+    )
+    from hhs_and_cms_data_pipeline_spark.sinks import read_published
+
+    target = str(tmp_path / "rollup")
+    batch = spark.createDataFrame(
+        [(1, "click", 1.0)], "user_id long, event_type string, value double"
+    )
+    merge_a = make_rollup_merger(target, run_id="ckpt-A")
+    merge_a(batch, 0)
+    merge_a(batch, 0)  # same-run redelivery: no-op
+    rows = read_published(spark, target).collect()
+    assert [(r["user_id"], r["n"]) for r in rows] == [(1, 1)], (
+        "replay must not double-count"
+    )
+    with pytest.raises(ValueError, match="checkpoint"):
+        make_rollup_merger(target, run_id="ckpt-B")(batch, 0)
+    # still exactly one fold — the foreign batch never merged
+    assert read_published(spark, target).collect()[0]["n"] == 1
+    # run_id=None skips the identity check it cannot make, keeps batch guard
+    make_rollup_merger(target)(batch, 1)
+    assert read_published(spark, target).collect()[0]["n"] == 2
+
+
 def test_hll_merge_is_replay_idempotent(spark, tmp_path):
     """ST16's algebraic replay safety, demonstrated directly: foreachBatch
     is at-least-once, and unlike ST14's additive merge (which needs the
