@@ -172,6 +172,11 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass  # bench output on stdout is still the contract
+    # Truncation-proof trailer: the driver's stdout capture keeps the TAIL,
+    # and the big JSON line has been cut mid-line before (BENCH_r09/r11 lost
+    # the `value` field). A short final line AFTER the JSON guarantees any
+    # tail capture contains the one number that matters.
+    print(f"HEADLINE_SECONDS {total}")
     spark.stop()
 
 

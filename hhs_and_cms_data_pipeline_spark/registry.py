@@ -195,6 +195,80 @@ def all_specs() -> dict[str, QuerySpec]:
     # Intersect with registered names: artifact keys that are not (or are no
     # longer) registry names must not influence ordering.
     seen_names = _driver_sampled_names() & set(_REGISTRY)
-    fresh = {n: s for n, s in _REGISTRY.items() if n not in seen_names}
-    seen = {n: s for n, s in _REGISTRY.items() if n in seen_names}
-    return {**fresh, **seen}
+    modified = _modified_since_sampled(seen_names)
+    pinned = [n for n in _PINNED_FRESH if n in _REGISTRY and n not in seen_names]
+    fresh = [
+        n for n in _REGISTRY
+        if n not in seen_names and n not in pinned
+    ]
+    order = (
+        pinned
+        + sorted(modified)
+        + fresh
+        + [n for n in _REGISTRY if n in seen_names and n not in modified]
+    )
+    return {n: _REGISTRY[n] for n in order}
+
+
+# Never-driver-sampled SURVEY §2 scan/sink rows, hand-promoted to the head
+# of the rotation (VERDICT r11 ask #5): after 11 rounds these still have
+# local-only evidence, so they go first until a CORRECTNESS artifact
+# records them (at which point they fall out of the fresh set entirely).
+_PINNED_FRESH = (
+    "s1_csv_scan_schema",
+    "s2_csv_scan_strings",
+    "s4_json_scan",
+    "s4_geojson_scan",
+    "k1_partitioned_append",
+    "k2_atomic_publish",
+)
+
+
+def spec_fingerprint(spec: QuerySpec) -> str:
+    """md5 over the builder's source text + the oracle SQL — the identity
+    the modified-query promotion compares. Captures edits to the query
+    itself; edits to shared helpers are covered by the local oracle-diff
+    suite, which reruns everything on every change."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.builder)
+    except (OSError, TypeError):  # builtins / dynamically-defined builders
+        src = repr(spec.builder)
+    return hashlib.md5(
+        (src + "\x00" + (spec.oracle or "")).encode()
+    ).hexdigest()
+
+
+def _modified_since_sampled(
+    seen_names: set[str] | frozenset[str], path: str | None = None
+) -> set[str]:
+    """Sampled queries whose fingerprint no longer matches the committed
+    QUERY_HASHES.json snapshot (regenerated via scripts/gen_query_hashes.py
+    whenever the surface is re-verified). The rotation sorts already-sampled
+    names last, so without this a query edited AFTER its green sample would
+    never re-verify against the driver — a regression could hide behind the
+    rotation (VERDICT r11 ask #4). Promoted names re-enter the fresh prefix
+    until a new artifact samples them. Missing/unreadable snapshot → empty
+    set (ordering is best-effort, never correctness)."""
+    import json as _json
+    import os as _os
+
+    if path is None:
+        path = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "QUERY_HASHES.json",
+        )
+    try:
+        with open(path) as fh:
+            baseline = _json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    if not isinstance(baseline, dict):
+        return set()
+    return {
+        n
+        for n in seen_names
+        if n in baseline and baseline[n] != spec_fingerprint(_REGISTRY[n])
+    }

@@ -293,11 +293,64 @@ def test_driver_sample_rotation_self_advances(tmp_path):
     (tmp_path / "CORRECTNESS_r11.json").write_text("{ not json")
     assert _driver_sampled_names(str(tmp_path)) == got
 
-    # the live ordering puts every never-sampled name before any sampled one
+    # the live ordering puts every never-sampled or modified-since-sampled
+    # name before any unmodified sampled one
+    from hhs_and_cms_data_pipeline_spark.registry import _modified_since_sampled
+
     live = _driver_sampled_names()
-    seen_flags = [n in live for n in names]
+    modified = _modified_since_sampled(live & set(names))
+    seen_flags = [n in live and n not in modified for n in names]
     assert seen_flags == sorted(seen_flags), (
-        "sampled names must all sort after never-sampled names"
+        "unmodified sampled names must all sort after fresh/modified names"
     )
     # names themselves are the frozen contract; rotation must not lose any
     assert set(names) == set(all_specs())
+
+
+def test_modified_sampled_query_resurfaces_in_fresh_prefix(tmp_path):
+    """A query edited AFTER its green driver sample must re-enter the
+    fresh prefix: the rotation sorts sampled names last, so without the
+    QUERY_HASHES.json fingerprint compare a regression in an old query
+    could hide behind the rotation forever (VERDICT r11 ask #4)."""
+    import json
+
+    from hhs_and_cms_data_pipeline_spark import registry
+
+    specs = registry.all_specs()
+    sampled = registry._driver_sampled_names() & set(specs)
+    victim = sorted(sampled)[0]
+    hashes = {n: registry.spec_fingerprint(specs[n]) for n in sampled}
+    path = tmp_path / "QUERY_HASHES.json"
+
+    # accurate snapshot: nothing is modified
+    path.write_text(json.dumps(hashes))
+    assert registry._modified_since_sampled(sampled, str(path)) == set()
+
+    # stale fingerprint for one sampled query: it (and only it) resurfaces
+    hashes[victim] = "0" * 32
+    path.write_text(json.dumps(hashes))
+    assert registry._modified_since_sampled(sampled, str(path)) == {victim}
+
+    # a name the snapshot never recorded is NOT treated as modified (its
+    # driver sample postdates every snapshot regeneration)
+    del hashes[victim]
+    path.write_text(json.dumps(hashes))
+    assert registry._modified_since_sampled(sampled, str(path)) == set()
+
+    # missing / corrupt snapshot degrades to no promotion, never an error
+    assert registry._modified_since_sampled(sampled, str(tmp_path / "nope")) == set()
+    path.write_text("{ not json")
+    assert registry._modified_since_sampled(sampled, str(path)) == set()
+
+
+def test_pinned_fresh_rows_lead_the_rotation():
+    """The never-driver-sampled SURVEY §2 scan/sink rows are hand-promoted
+    to the head of the sample prefix until an artifact records them
+    (VERDICT r11 ask #5)."""
+    from hhs_and_cms_data_pipeline_spark import registry
+
+    order = list(registry.all_specs())
+    sampled = registry._driver_sampled_names()
+    expect_lead = [n for n in registry._PINNED_FRESH if n not in sampled]
+    assert order[: len(expect_lead)] == expect_lead
+
