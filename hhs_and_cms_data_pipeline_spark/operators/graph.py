@@ -997,3 +997,84 @@ def graph_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ra_scaled"), F.asc("u"), F.asc("v"))
         .limit(_LP_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# GRAPH9 — weakly-connected-component SIZE DISTRIBUTION over the
+# co-occurrence graph: for each component size, how many components have it
+# and how many nodes they hold. This is the standard corpus-dedup
+# diagnostic (a near-dup pair graph whose largest component swallows the
+# corpus means the similarity threshold is too loose; a distribution of
+# tiny components means it is safe to pick one survivor per component) —
+# here exposed at registry level over the graph family's shared edge
+# artifact, with every part that appears in lineitem as a node (parts in
+# single-line orders have no edges and surface as size-1 components).
+#
+# Spark shape: REUSES dedup's alternating large-star/small-star contraction
+# (alternating_star_components, Kiveris et al. SoCC'14 — O(log n) rounds
+# independent of component diameter, every step groupBy.min + join over the
+# EDGE relation only), then two tiny keyed aggregations: component sizes
+# (component-count rows) and the size histogram (distinct-size rows). At
+# 100 TB the contraction loop touches only the edge artifact and the node
+# frame once each; the readout is microscopic. The oracle states the same
+# fixpoint declaratively (DuckDB recursive min-reachable-id CTE).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_wcc_sizes",
+    oracle="""
+    WITH RECURSIVE
+    li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+    edges AS (
+      SELECT u AS src, v AS dst FROM e0
+      UNION ALL
+      SELECT v AS src, u AS dst FROM e0),
+    nodes AS (SELECT DISTINCT p AS n FROM li),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+    comp AS (SELECT n, MIN(r) AS root FROM reach GROUP BY 1),
+    sizes AS (
+      SELECT root, CAST(COUNT(*) AS BIGINT) AS component_size
+      FROM comp GROUP BY 1)
+    SELECT component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(component_size) AS BIGINT) AS n_nodes
+    FROM sizes
+    GROUP BY 1
+    ORDER BY component_size DESC
+    """,
+    tags=("GRAPH9",),
+)
+def graph_wcc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH9: weakly-connected-component size distribution (block comment
+    above) — (component_size, n_components, n_nodes), largest first."""
+    from .dedup import alternating_star_components
+
+    ensure_session_conf(spark)
+    und = cooccurrence_edges_cached(spark, sf_dir)
+    nodes = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("doc_id"))
+        .distinct()
+    )
+    pairs = und.select(
+        F.col("u").alias("doc_a"), F.col("v").alias("doc_b")
+    )
+    labels = alternating_star_components(nodes, pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return (
+        sizes.groupBy("component_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.sum("component_size").cast("long").alias("n_nodes"),
+        )
+        .orderBy(F.desc("component_size"))
+    )

@@ -276,6 +276,31 @@ def test_star_components_random_graph_matches_model(spark):
     assert got == want
 
 
+def test_wcc_sizes_distribution_invariants(spark):
+    """GRAPH9's histogram must be a partition of the node universe: every
+    lineitem part appears in exactly one component, each histogram row's
+    n_nodes is size * count, and no component exceeds the universe."""
+    from hhs_and_cms_data_pipeline_spark.operators.graph import graph_wcc_sizes
+    from hhs_and_cms_data_pipeline_spark.sources import table
+    from tests.conftest import SF_SMOKE
+
+    rows = graph_wcc_sizes(spark, SF_SMOKE).collect()
+    assert rows, "empty distribution"
+    n_parts = (
+        table(spark, SF_SMOKE, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_nodes"] for r in rows) == n_parts
+    for r in rows:
+        assert r["n_nodes"] == r["component_size"] * r["n_components"]
+        assert 1 <= r["component_size"] <= n_parts
+    # sorted largest-first
+    sizes = [r["component_size"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+
+
 def test_chunk_windows_cover_every_word(spark):
     """C11 invariant: the chunk windows tile each document — starts advance
     by exactly the stride, the first starts at 0, and the last window
