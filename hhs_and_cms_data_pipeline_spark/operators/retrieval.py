@@ -40,7 +40,7 @@ from ..functions.exact import dsum, sql_dsum
 from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import spread, table
-from .dedup import _SQL_JACCARD_CORE
+from .dedup import _SQL_JACCARD_CORE, SQL_EMB_NORMS, sql_emb_dot
 from .text import SQL_TOKS, tokens
 
 # 1-based positional token relation — COMPOSED from text.py's SQL_TOKS (one
@@ -680,4 +680,187 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 retrieval_hard_negatives.__doc__ = (retrieval_hard_negatives.__doc__ or "").format(
     top=_HN_TOP, tau=_HN_POS_TAU
+)
+
+
+# --------------------------------------------------------------------------
+# RET7 — HYBRID RETRIEVAL with reciprocal-rank fusion (Cormack, Clarke &
+# Buettcher, SIGIR'09): the standard production shape for "find documents
+# like this one" — a LEXICAL ranking (doc-as-query rational-idf BM25 over
+# the probe document's token set, RET3/RET6's exact-integer scoring) and a
+# VECTOR ranking (cosine against the probe's embedding, SIM1's bit-stable
+# fold) are each cut to a top-K pool, and the pools fuse by
+# rrf(d) = sum over rankings of 1/(RRF_K + rank_d). Neither signal alone:
+# BM25 misses paraphrases, cosine misses rare exact terms; RRF needs no
+# score calibration because only RANKS cross the fusion boundary.
+#
+# Scale shape: the lexical side is the probe-restricted posting join (the
+# probe's terms fan out to df(w)-sized posting lists, never probes x
+# corpus); the vector side is a map-only broadcast-probe scan; both pools
+# are TakeOrderedAndProject top-K, so the only global windows run above
+# K-row frames (the unreduced-global-window audit sees the limit below
+# them). The fusion is a K-vs-K full outer join. At 100 TB with a probe
+# BATCH, both sides partition by probe exactly like RET6; ranks stay
+# per-probe window functions over top-K pools.
+#
+# Determinism: BM25 scores are exact integer ratios decimal-summed
+# (module docstring), cosine is the sequential double fold verified
+# bit-identical on all pairs (dedup.py) — so both RANKINGS match the
+# oracle exactly, and rrf_score is one IEEE division per ranking plus one
+# two-term sum, bit-stable by construction.
+# --------------------------------------------------------------------------
+
+_HY_PROBE = 0  # probe doc: doc_id / vec_id 0 (the similarity module's query)
+_HY_K = 20  # per-ranking pool depth
+_RRF_K = 60  # the standard RRF dampening constant
+_HY_TOP = 10
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS ({SQL_POS_TOKS}),
+    dterm AS (SELECT DISTINCT doc_id, w FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS N,
+             CAST(COUNT(*) AS BIGINT) AS T
+      FROM toks),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    dfreq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dterm GROUP BY 1),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2),
+    qterms AS (SELECT w FROM dterm WHERE doc_id = {_HY_PROBE}),
+    scored AS (
+      SELECT tf.doc_id, {_sql_bm25_score()} AS s
+      FROM qterms q
+      JOIN tf ON tf.w = q.w AND tf.doc_id <> {_HY_PROBE}
+      JOIN dfreq ON dfreq.w = q.w
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats),
+    lex AS (
+      SELECT doc_id, {sql_dsum("s", scale=18)} AS score FROM scored GROUP BY 1),
+    lex_rank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS r_lex
+      FROM lex QUALIFY r_lex <= {_HY_K}),
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_HY_PROBE}),
+    norms AS ({SQL_EMB_NORMS}),
+    dots AS (
+      SELECT e.vec_id, {sql_emb_dot('e.embedding', 'q.q_emb')} AS dot
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {_HY_PROBE}),
+    cosv AS (
+      SELECT d.vec_id AS doc_id,
+             d.dot / NULLIF(sqrt(n.n2) * sqrt(qn.n2), 0.0) AS cosine
+      FROM dots d
+      JOIN norms n ON d.vec_id = n.vec_id
+      CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_HY_PROBE}) qn),
+    vec_rank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+                  AS BIGINT) AS r_vec
+      FROM cosv QUALIFY r_vec <= {_HY_K}),
+    fused AS (
+      SELECT doc_id, r_lex, r_vec,
+             COALESCE(CAST(1.0 AS DOUBLE)
+                      / CAST({_RRF_K} + r_lex AS DOUBLE), 0.0)
+           + COALESCE(CAST(1.0 AS DOUBLE)
+                      / CAST({_RRF_K} + r_vec AS DOUBLE), 0.0) AS rrf_score
+      FROM lex_rank FULL OUTER JOIN vec_rank USING (doc_id))
+    SELECT doc_id, r_lex, r_vec, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {_HY_TOP}
+    """,
+    tags=("RET7",),
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RET7: reciprocal-rank fusion of doc-as-query BM25 and embedding
+    cosine for probe doc {probe} (block comment above) — per fused doc its
+    lexical rank, vector rank (NULL if outside that pool's top-{k}), and
+    rrf score; top-{top}."""
+    from .dedup import emb_dot, emb_norm2
+
+    ensure_session_conf(spark)
+    toks = pos_tokens(spread(table(spark, sf_dir, "documents")))
+    # consumers: dl (and via it stats), tf, the probe's term set
+    toks = toks.localCheckpoint(eager=False)
+    dterm = toks.select("doc_id", "w").distinct()
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        F.sum("dl").cast("long").alias("T"),
+    )
+    dfreq = dterm.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    qterms = dterm.filter(F.col("doc_id") == _HY_PROBE).select("w")
+    idf = (2 * F.col("N") - 2 * F.col("df") + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    tfn = (22 * F.col("tf") * F.col("T")).cast("double") / (
+        10 * F.col("tf") * F.col("T")
+        + 3 * F.col("T")
+        + 9 * F.col("dl") * F.col("N")
+    ).cast("double")
+    lex = (
+        F.broadcast(qterms)
+        .join(tf, "w")
+        .filter(F.col("doc_id") != _HY_PROBE)
+        .join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tfn).alias("s"))
+        .groupBy("doc_id")
+        .agg(dsum("s", "score", scale=18))
+    )
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_rank = (
+        lex.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_HY_K)  # TakeOrderedAndProject; the window below sees K rows
+        .select(
+            "doc_id", F.row_number().over(w_lex).cast("long").alias("r_lex")
+        )
+    )
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == _HY_PROBE).select(
+        F.col("embedding").alias("q_emb"),
+        emb_norm2(F.col("embedding")).alias("q_n2"),
+    )
+    cosine = emb_dot(F.col("embedding"), F.col("q_emb")) / F.nullif(
+        F.sqrt(emb_norm2(F.col("embedding"))) * F.sqrt(F.col("q_n2")),
+        F.lit(0.0),
+    )
+    w_vec = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    vec_rank = (
+        emb.filter(F.col("vec_id") != _HY_PROBE)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(_HY_K)
+        .select(
+            "doc_id", F.row_number().over(w_vec).cast("long").alias("r_vec")
+        )
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")).cast("double"),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec")).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        lex_rank.join(vec_rank, "doc_id", "full_outer")
+        .select("doc_id", "r_lex", "r_vec", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_HY_TOP)
+    )
+
+
+retrieval_hybrid_rrf.__doc__ = (retrieval_hybrid_rrf.__doc__ or "").format(
+    probe=_HY_PROBE, k=_HY_K, top=_HY_TOP
 )

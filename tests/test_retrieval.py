@@ -312,3 +312,35 @@ def test_hard_negatives_excludes_neardups_keeps_scrambled(spark, tmp_path):
     assert 3 in negs
     shared = {r["neg_id"]: r["n_shared_terms"] for r in by_probe[0]}
     assert shared[2] == 10 and shared[3] == 2
+
+
+def test_hybrid_rrf_fuses_ranks_consistently(spark):
+    """RET7 invariants at smoke SF: ranks stay within the per-pool depth,
+    each row's rrf_score equals the recomputed fusion formula from its own
+    ranks bit-exactly, and a doc present in BOTH pools at rank r outscores
+    any doc whose only rank is r (two reciprocal terms beat one)."""
+    import hhs_and_cms_data_pipeline_spark.operators.retrieval as R
+
+    rows = all_specs()["retrieval_hybrid_rrf"].builder(spark, SF_SMOKE).collect()
+    assert rows and len(rows) <= R._HY_TOP
+    for r in rows:
+        assert r.r_lex is not None or r.r_vec is not None
+        want = 0.0
+        if r.r_lex is not None:
+            assert 1 <= r.r_lex <= R._HY_K
+            want += 1.0 / (R._RRF_K + r.r_lex)
+        if r.r_vec is not None:
+            assert 1 <= r.r_vec <= R._HY_K
+            want += 1.0 / (R._RRF_K + r.r_vec)
+        assert r.rrf_score == want, "fusion formula mismatch"
+    # sorted by fused score desc, doc_id tie-break
+    key = [(-r.rrf_score, r.doc_id) for r in rows]
+    assert key == sorted(key)
+    both = [r for r in rows if r.r_lex is not None and r.r_vec is not None]
+    single = [r for r in rows if (r.r_lex is None) != (r.r_vec is None)]
+    for b in both:
+        worst = max(b.r_lex, b.r_vec)
+        for s in single:
+            only = s.r_lex if s.r_lex is not None else s.r_vec
+            if only >= worst:
+                assert b.rrf_score > s.rrf_score
