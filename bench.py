@@ -108,6 +108,9 @@ def main() -> None:
         "u5_rate_limit_per_key",
         "sim_mips_ivf_topk",
         "k12_scd2_user_state",
+        # round-12 additions
+        "graph_wcc_sizes",
+        "retrieval_hybrid_rrf",
     ]
     missing = [n for n in extended_names if n not in all_]
     if missing:
