@@ -276,6 +276,44 @@ def test_star_components_random_graph_matches_model(spark):
     assert got == want
 
 
+def test_star_components_hub_graph_round_budget(spark):
+    """Skew stress for the contraction loop GRAPH9 reuses: a 2000-leaf hub
+    star (the hot-key shape for groupBy over edges) plus disjoint
+    singleton-component pairs. Large-star resolves the entire hub
+    component in O(1) rounds (every leaf connects straight to the hub's
+    min), so the budget here is a strict constant — and the labels must
+    be exact."""
+    import math
+
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        alternating_star_components,
+    )
+
+    n_leaves = 2000
+    hub = 0
+    edges = [(hub, i) for i in range(1, n_leaves + 1)]
+    # disjoint pairs beyond the star: (2001,2002), (2003,2004), ...
+    edges += [(i, i + 1) for i in range(n_leaves + 1, n_leaves + 21, 2)]
+    n = n_leaves + 21
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id: long")
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    rounds: list[int] = []
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in alternating_star_components(
+            nodes, pairs, rounds_out=rounds
+        ).collect()
+    }
+    want = {i: 0 for i in range(n_leaves + 1)}
+    for i in range(n_leaves + 1, n_leaves + 21, 2):
+        want[i] = i
+        want[i + 1] = i
+    assert got == want
+    assert rounds[0] <= 2 * math.ceil(math.log2(n)), (
+        f"hub star took {rounds[0]} rounds"
+    )
+
+
 def test_wcc_sizes_distribution_invariants(spark):
     """GRAPH9's histogram must be a partition of the node universe: every
     lineitem part appears in exactly one component, each histogram row's
