@@ -1016,29 +1016,71 @@ def graph_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EDGE relation only), then two tiny keyed aggregations: component sizes
 # (component-count rows) and the size histogram (distinct-size rows). At
 # 100 TB the contraction loop touches only the edge artifact and the node
-# frame once each; the readout is microscopic. The oracle states the same
-# fixpoint declaratively (DuckDB recursive min-reachable-id CTE).
+# frame once each; the readout is microscopic.
+#
+# Oracle: NOT the naive recursive min-reachable-id CTE — on this DENSE
+# graph (one giant component of ~all parts) the `reach` relation is
+# |V| x |component| rows (400M at sf0.1; the first draft wedged DuckDB
+# single-core at 35 GB for >1h). Instead: min-label propagation with
+# POINTER JUMPING — each materialized level folds (own label, one-hop
+# neighbor labels, label-of-label) and takes the min, so convergence is
+# O(log diameter) levels at |E|+|V| rows per level; _WCC_LEVELS levels
+# cover any diameter <= 2^_WCC_LEVELS. The guard makes the cap LOUD, not
+# silent: if any edge still straddles two labels after the last level,
+# the oracle raises via error() and the differential gate reports it —
+# exact-or-fail, never exact-looking. At the fixpoint the label is
+# constant per component and can only be the component minimum (labels
+# are node ids of the same component and the min node's label is itself).
 # --------------------------------------------------------------------------
+
+_WCC_LEVELS = 12  # covers diameter <= 4096; loud error() beyond
+
+
+def _sql_wcc_levels(n: int) -> str:
+    """l1..ln: one materialized pointer-jump+one-hop min-label fold each."""
+    out = []
+    for k in range(1, n + 1):
+        p = k - 1
+        out.append(
+            f"""l{k} AS MATERIALIZED (
+      SELECT n, MIN(lbl) AS lbl FROM (
+        SELECT n, lbl FROM l{p}
+        UNION ALL
+        SELECT e.dst AS n, l.lbl FROM edges e JOIN l{p} l ON l.n = e.src
+        UNION ALL
+        SELECT a.n, b.lbl FROM l{p} a JOIN l{p} b ON a.lbl = b.n
+      ) GROUP BY 1)"""
+        )
+    return ",\n    ".join(out)
 
 
 @register(
     "graph_wcc_sizes",
-    oracle="""
-    WITH RECURSIVE
+    oracle=f"""
+    WITH
     li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
     e0 AS (
       SELECT DISTINCT a.p AS u, b.p AS v
       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT u AS src, v AS dst FROM e0
       UNION ALL
       SELECT v AS src, u AS dst FROM e0),
-    nodes AS (SELECT DISTINCT p AS n FROM li),
-    reach(n, r) AS (
-      SELECT n, n FROM nodes
-      UNION
-      SELECT reach.n, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-    comp AS (SELECT n, MIN(r) AS root FROM reach GROUP BY 1),
+    l0 AS MATERIALIZED (SELECT DISTINCT p AS n, p AS lbl FROM li),
+    {_sql_wcc_levels(_WCC_LEVELS)},
+    bad AS (
+      SELECT COUNT(*) AS c FROM edges e
+      JOIN l{_WCC_LEVELS} x ON x.n = e.src
+      JOIN l{_WCC_LEVELS} y ON y.n = e.dst
+      WHERE x.lbl <> y.lbl),
+    comp AS (
+      SELECT n,
+             CASE WHEN (SELECT c FROM bad) > 0
+                  THEN CAST(error('graph_wcc_sizes oracle: min-label not '
+                                  'converged in {_WCC_LEVELS} pointer-jump '
+                                  'levels') AS BIGINT)
+                  ELSE lbl END AS root
+      FROM l{_WCC_LEVELS}),
     sizes AS (
       SELECT root, CAST(COUNT(*) AS BIGINT) AS component_size
       FROM comp GROUP BY 1)
