@@ -1539,14 +1539,28 @@ def curation_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     docs = spread(table(spark, sf_dir, "documents"))
-    uni = (
-        docs.select("doc_id", F.explode(F.array_distinct(tokens())).alias("feat"))
-        .filter(F.col("feat") != "")
+    # ONE tokenize + ONE explode (r12, guide §2.3): unigrams never contain
+    # a space, bigrams always do, so the two per-doc distinct feature sets
+    # are disjoint and concat-ing the arrays before a single explode emits
+    # exactly the rows the old uni/bigram unionAll produced — with one
+    # corpus scan and one split() evaluation instead of two of each.
+    # (Empty tokens are dropped from the unigram side pre-concat, matching
+    # the old post-explode feat <> '' filter; the bigram side is the
+    # unfiltered bigram_multiset, exactly word_bigram_arrays' convention.)
+    toked = docs.select("doc_id", tokens().alias("toks"))
+    feats = toked.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.filter(
+                    F.array_distinct(F.col("toks")),
+                    lambda t: t != F.lit(""),
+                ),
+                F.array_distinct(bigram_multiset(F.col("toks"))),
+            )
+        ).alias("feat"),
     )
-    big = word_bigrams(docs).select("doc_id", F.col("bg").alias("feat"))
-    # unigrams never contain a space, bigrams always do: the two feature
-    # sets are disjoint by construction, so unionAll introduces no dups
-    fb = uni.unionAll(big).select("doc_id", _lq_bucket(F.col("feat")).alias("bucket"))
+    fb = feats.select("doc_id", _lq_bucket(F.col("feat")).alias("bucket"))
     scored = (
         fb.join(F.broadcast(lq_weight_table(spark)), "bucket")
         .groupBy("doc_id")

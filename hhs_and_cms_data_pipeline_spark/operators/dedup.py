@@ -513,34 +513,53 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star step (Kiveris et al. 2014): for every node u, connect
     each strictly-larger neighbor v to m = min(Γ(u) ∪ {u}). Input/output are
     directed edge frames (src, dst) with src > dst; output preserves
-    connectivity and strictly reduces large-neighbor potential. Two
-    exchanges: the groupBy computing m per node and the join fanning it
-    back out — both over the EDGE relation, never the corpus."""
+    connectivity and strictly reduces large-neighbor potential.
+
+    Exchange discipline (r12, guide §2.4 — one exchange per step, not
+    three): the symmetric relation is repartitioned on ``src`` ONCE;
+    HashPartitioning(src) satisfies the groupBy-min's
+    ClusteredDistribution([src]) AND the src-keyed join, so neither adds
+    an exchange, and only the closing ``_dedup_on_src`` of the RENAMED
+    output (partitioning lost with the rename) moves rows again. The min
+    table is the join's build side (shuffle_hash: node-sized — always the
+    smaller side but never broadcastable at corpus scale; sort-merge
+    would add two full sorts of the edge relation per step)."""
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).repartition("src")
     mins = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.col("src")).alias("m")
     )
-    return (
-        sym.join(mins, "src")
+    return _dedup_on_src(
+        sym.join(mins.hint("shuffle_hash"), "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
+
+
+def _dedup_on_src(edges: DataFrame) -> DataFrame:
+    """DISTINCT an (src, dst) edge frame via one src-keyed exchange:
+    HashPartitioning(src) satisfies the (src, dst) dedup's clustering
+    requirement, so dropDuplicates runs partition-local AND the output
+    arrives pre-partitioned on src for the next star step's groupBy/join.
+    A bare .distinct() hashes on (src, dst) — same row movement, but the
+    consumer then re-exchanges everything on src."""
+    return edges.repartition("src").dropDuplicates()
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star step (Kiveris et al. 2014): for every node u over its
     smaller neighbors S (all dst < src here), connect each v ∈ S ∪ {u},
-    v ≠ m, to m = min(S). Same two-exchange shape as _large_star."""
+    v ≠ m, to m = min(S). Fed by _large_star's src-partitioned output, the
+    groupBy-min and the src-keyed hash join plan NO exchange here; the one
+    exchange is the closing _dedup_on_src of the renamed output."""
     mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
-    joined = edges.join(mins, "src")
+    joined = edges.join(mins.hint("shuffle_hash"), "src")
     rewired = joined.filter(F.col("dst") != F.col("m")).select(
         F.col("dst").alias("src"), F.col("m").alias("dst")
     )
     own = mins.select("src", F.col("m").alias("dst"))
-    return rewired.union(own).distinct()
+    return _dedup_on_src(rewired.union(own))
 
 
 def alternating_star_components(
@@ -1936,15 +1955,14 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     subset-detection property test can push synthetic corpora through the
     exact production plan."""
     arrays = word_bigram_arrays(docs)
-    # six consumers reference the exploded shingle relation (sizes, the df
-    # index, both candidate sides, both verify sides): materialize it once
-    # instead of re-running the corpus scan + explode per plan branch —
-    # this relation IS the operator's working set at any scale, and the
-    # branches are all aggregations/joins over it (2.2s -> ~1.1s at sf0.1)
+    # three consumers reference the exploded shingle relation (the df
+    # index and both candidate sides): materialize it once instead of
+    # re-running the corpus scan + explode per plan branch (2.2s -> ~1.1s
+    # at sf0.1). Verification below never touches it — it runs per-pair
+    # over the in-row arrays (r12).
     big = arrays.select("doc_id", F.explode("bgs").alias("bg")).localCheckpoint(
         eager=False
     )
-    sizes = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (
         big.groupBy("bg")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1966,22 +1984,28 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shared = (
-        cand.join(big.alias("ba"), F.col("doc_a") == F.col("ba.doc_id"))
-        .join(
-            big.alias("bb"),
-            (F.col("doc_b") == F.col("bb.doc_id"))
-            & (F.col("ba.bg") == F.col("bb.bg")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # Verification is candidate-DRIVEN via per-pair array_intersect over
+    # the in-row shingle sets (r12, guide §2.3) — the same shape
+    # exact_jaccard_of_pairs already uses for D2/D3: two doc-keyed joins
+    # of the candidate frame against the ARRAY table replace the
+    # shingle-index wedge join (cand ⋈ big ⋈ big + a pair-keyed
+    # aggregation), so the verify stage moves |cand| + |docs| rows
+    # instead of re-exchanging the exploded shingle relation twice; the
+    # per-doc sizes ride along as F.size of the same arrays, dropping
+    # the two size-lookup joins too. n_shared is identical because bgs
+    # is the DISTINCT shingle set (word_bigram_arrays):
+    # |array_intersect| == the count of shared distinct shingles.
+    aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("bgs").alias("bgs_a"))
+    ab = arrays.select(F.col("doc_id").alias("doc_b"), F.col("bgs").alias("bgs_b"))
+    shared = cand.join(aa, "doc_a").join(ab, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("bgs_a", "bgs_b")).alias("n_shared"),
+        F.size("bgs_a").alias("n_a"),
+        F.size("bgs_b").alias("n_b"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
+        shared.filter(
             10 * F.col("n_shared")
             >= _CONTAIN_TAU10 * F.least(F.col("n_a"), F.col("n_b"))
         )

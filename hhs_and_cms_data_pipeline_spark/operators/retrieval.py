@@ -411,17 +411,28 @@ def text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     toks = pos_tokens(spread(table(spark, sf_dir, "documents")))
     is_delta = F.col("doc_id") % _DELTA_MOD == 0
+    # ONE corpus-sized aggregation (r12, guide §2.3/§2.4): the per-(term,
+    # doc) count table subsumes base, delta AND the full rebuild — each
+    # idx() is then a vocabulary-keyed rollup of this checkpoint (df =
+    # row count per w, cf = SUM of the per-doc counts), so the corpus is
+    # tokenized once instead of three times and the three countDistinct
+    # double-aggregations collapse into plain counts over unique keys.
+    wd = (
+        toks.groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
 
     def idx(rel: DataFrame) -> DataFrame:
         return rel.groupBy("w").agg(
-            F.countDistinct("doc_id").alias("df"),
-            F.count(F.lit(1)).alias("cf"),
+            F.count(F.lit(1)).alias("df"),
+            F.sum("n").alias("cf"),
         )
 
-    base = idx(toks.filter(~is_delta)).select(
+    base = idx(wd.filter(~is_delta)).select(
         "w", F.col("df").alias("b_df"), F.col("cf").alias("b_cf")
     )
-    delta = idx(toks.filter(is_delta))
+    delta = idx(wd.filter(is_delta))
     merged = (
         delta.join(base, "w", "left")
         .select(
@@ -430,7 +441,7 @@ def text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("b_cf"), F.lit(0)) + F.col("cf")).alias("m_cf"),
         )
     )
-    full_idx = idx(toks).select(
+    full_idx = idx(wd).select(
         "w", F.col("df").alias("f_df"), F.col("cf").alias("f_cf")
     )
     return (
@@ -599,19 +610,23 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     docs = spread(table(spark, sf_dir, "documents"))
     toks = pos_tokens(docs)
-    # three consumers of the token stream (dl, df, tf): pin it once
-    toks = toks.localCheckpoint(eager=False)
-    dterm = toks.select("doc_id", "w").distinct()
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # ONE corpus-sized aggregation (r12, guide §2.3): tf is the only
+    # consumer of the raw token stream — dl (= SUM of tf per doc), stats,
+    # dfreq (tf's key set counted per w), and the probe slice are all
+    # rollups of it. One tokenize+exchange pass instead of three, and the
+    # checkpoint pins the (doc, term)-grain frame, not the token stream.
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("N"),
         F.sum("dl").cast("long").alias("T"),
     )
-    dfreq = dterm.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    tf = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    probes = dterm.filter(F.col("doc_id") % _HN_PROBE_MOD == 0).select(
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    probes = tf.filter(F.col("doc_id") % _HN_PROBE_MOD == 0).select(
         F.col("doc_id").alias("probe_id"), "w"
     )
     idf = (2 * F.col("N") - 2 * F.col("df") + 1).cast("double") / (
@@ -786,19 +801,25 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_conf(spark)
     toks = pos_tokens(spread(table(spark, sf_dir, "documents")))
-    # consumers: dl (and via it stats), tf, the probe's term set
-    toks = toks.localCheckpoint(eager=False)
-    dterm = toks.select("doc_id", "w").distinct()
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # ONE corpus-sized aggregation (r12, guide §2.3): tf is the only
+    # consumer of the raw token stream — dl (token count per doc = SUM of
+    # tf), stats, dfreq (distinct (doc, w) pairs per w = tf's key set),
+    # and the probe's term set are all rollups of it, so the corpus is
+    # tokenized and exchanged exactly once and the multi-consumer
+    # checkpoint pins the (doc, term)-grain frame instead of the
+    # token-grain stream (~5x smaller on ordinary prose).
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("N"),
         F.sum("dl").cast("long").alias("T"),
     )
-    dfreq = dterm.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    tf = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    qterms = dterm.filter(F.col("doc_id") == _HY_PROBE).select("w")
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = tf.filter(F.col("doc_id") == _HY_PROBE).select("w")
     idf = (2 * F.col("N") - 2 * F.col("df") + 1).cast("double") / (
         2 * F.col("df") + 1
     ).cast("double")

@@ -1096,11 +1096,17 @@ def sk_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("n_sketches"))
     )
-    t_ex = ev.groupBy("event_type").agg(
-        F.countDistinct("s").cast("long").alias("exact_distinct")
+    # The exact audit shares ONE corpus-sized distinct (r12, guide §2.4):
+    # both countDistinct levels expand to a (keys, user) de-dup first, so
+    # de-dup once and roll both scopes off it — the per-type count is a
+    # row count of the de-dup, and the overall level re-distincts the
+    # already-reduced (type, user) pairs, never the raw events.
+    du = ev.select("event_type", "s").distinct().localCheckpoint(eager=False)
+    t_ex = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
     )
-    o_ex = ev.agg(
-        F.countDistinct("s").cast("long").alias("exact_distinct")
+    o_ex = du.select("s").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
     )
     typed = (
         t_est.join(t_days, "event_type")
