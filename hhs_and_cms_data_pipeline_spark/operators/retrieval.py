@@ -615,11 +615,15 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dfreq (tf's key set counted per w), and the probe slice are all
     # rollups of it. One tokenize+exchange pass instead of three, and the
     # checkpoint pins the (doc, term)-grain frame, not the token stream.
-    tf = (
+    # spread() before the checkpoint: AQE coalesces this few-MB exchange
+    # to ONE partition and the checkpoint would freeze that, serializing
+    # the probes x tf posting join below onto one core (measured 7.9s ->
+    # 10.4s at sf0.1); the round-robin rebalance of the (doc, term) frame
+    # is noise next to that join.
+    tf = spread(
         toks.groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("N"),
@@ -807,7 +811,11 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the probe's term set are all rollups of it, so the corpus is
     # tokenized and exchanged exactly once and the multi-consumer
     # checkpoint pins the (doc, term)-grain frame instead of the
-    # token-grain stream (~5x smaller on ordinary prose).
+    # token-grain stream (~5x smaller on ordinary prose). Unlike RET6
+    # (probe SLICE x corpus fan-out), everything downstream of tf here is
+    # one probe's worth of postings — small enough that AQE's coalesced
+    # partitioning of this exchange is the right local shape and a
+    # re-spread only adds scheduling overhead (measured).
     tf = (
         toks.groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
