@@ -621,8 +621,11 @@ def alternating_star_components(
     # straight to its component minimum; the groupBy.min is belt-and-braces
     # (it is a no-op on a star forest) and keeps the join 1:1 by contract.
     roots = edges.groupBy("src").agg(F.min("dst").alias("root"))
+    # shuffle_hash (r12): the stats-less post-loop frames otherwise plan
+    # sort-merge, sorting the corpus-sized node frame for a lookup whose
+    # build side (roots) is bounded by the non-root node count
     return nodes.join(
-        roots, nodes["doc_id"] == roots["src"], "left"
+        roots.hint("shuffle_hash"), nodes["doc_id"] == roots["src"], "left"
     ).select(
         "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
     )
@@ -879,9 +882,13 @@ def cosine_of_pairs(cand: DataFrame, emb: DataFrame) -> DataFrame:
         F.col("n2").alias("nb"),
     )
     cosine = emb_dot(F.col("ea"), F.col("eb")) / F.nullif((F.sqrt("na") * F.sqrt("nb")), F.lit(0.0))
-    return cand.join(ea, "vec_a").join(eb, "vec_b").select(
-        "vec_a", "vec_b", cosine.alias("cosine")
-    )
+    # shuffle_hash (r12): the candidate relation is the big side (pairs
+    # >> vectors on any clustered corpus) and both inputs are stats-less,
+    # so sort-merge would SORT the pair relation twice; hashing the
+    # vector side is the bounded build at any scale
+    return cand.join(ea.hint("shuffle_hash"), "vec_a").join(
+        eb.hint("shuffle_hash"), "vec_b"
+    ).select("vec_a", "vec_b", cosine.alias("cosine"))
 
 _D5_MAX_ROWS = 20_000  # all-pairs ceiling: ~2e8 candidate pairs
 
@@ -1868,6 +1875,10 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = ck.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
     dup = F.col("cnt") > 1
     per = (
+        # sort-merge deliberately (r12): a shuffle_hash hint on ct was
+        # measured 2.99s -> 22.5s at sf0.1 — the build side is the
+        # near-full chunk keyspace (dup rate is low, |ct| ~ |ck|), so the
+        # per-partition hash build dwarfs the sorts it saves
         ck.join(ct, "key")
         .groupBy("doc_id")
         .agg(

@@ -393,12 +393,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dir_edges = directed_edges_cached(spark, sf_dir)
     deg = dir_edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # (u, v, deg): out-edges annotated with the source's out-degree; a
-    # cheap map-side join over the checkpointed edge set.
-    src = dir_edges.join(deg, "u")
+    # cheap map-side join over the checkpointed edge set. shuffle_hash
+    # hints on both u-keyed joins (r12): the stats-less checkpointed edge
+    # relation otherwise plans SORT-merge, and with the src annotation
+    # inlined into all three unrolled iterations that is six full sorts
+    # of the edge list per run — the same miss GRAPH4 fixed in r9
+    # ("measured 8.9s -> 6.0s from this hint alone"); the build sides
+    # (deg, rank) are O(|V|), always the smaller side but too big to
+    # broadcast at corpus scale.
+    src = dir_edges.join(deg.hint("shuffle_hash"), "u")
     rank = deg.select(F.col("u"), F.lit(_PR_SCALE).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
         rank = (
-            src.join(rank, "u")
+            src.join(rank.hint("shuffle_hash"), "u")
             .select(F.col("v"), F.expr("r div deg").alias("c"))
             .groupBy("v")
             .agg(

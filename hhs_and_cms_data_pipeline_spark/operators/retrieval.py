@@ -687,7 +687,10 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _HN_POS_TAU)
         .select(F.col("doc_a").alias("probe_id"), F.col("doc_b").alias("neg_id"))
     )
-    negs = agg.join(positives, ["probe_id", "neg_id"], "anti")
+    # shuffle_hash (r12): the BM25 candidate relation (probes x corpus)
+    # dwarfs the near-dup positives; sort-merge would sort it for an
+    # exclusion whose build side is a handful of pairs per probe
+    negs = agg.join(positives.hint("shuffle_hash"), ["probe_id", "neg_id"], "anti")
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neg_id"))
     return (
         negs.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -1731,7 +1731,9 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dup", F.lit(True))
     )
     return (
-        assign.join(dups, "vec_id", "left")
+        # shuffle_hash (r12): dups (the pruned subset) is the smaller
+        # side; without the hint the stats-less frames plan sort-merge
+        assign.join(dups.hint("shuffle_hash"), "vec_id", "left")
         .select(
             "vec_id",
             F.col("cl").alias("cluster"),
