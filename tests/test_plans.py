@@ -12,6 +12,7 @@ from hhs_and_cms_data_pipeline_spark.plans.audit import (
     count_broadcast_joins,
     count_exchanges,
     formatted_plan,
+    has_sort_merge_join,
     pushed_filters,
     scan_columns,
 )
@@ -1223,3 +1224,78 @@ def test_hard_negatives_plan_no_cartesian_anti_exclusion(spark, specs):
     for m in re.finditer(r"BroadcastNestedLoopJoin", tree):
         above = tree[: m.start()]
         assert "HashAggregate" in above, plan
+
+
+def test_star_round_exchange_discipline(spark):
+    """r12: one alternating-star round (large + small) must plan every
+    shuffle as a DELIBERATE src-keyed repartition — zero planner-inserted
+    (ENSURE_REQUIREMENTS) exchanges, zero sort-merge joins (each step's
+    groupBy-min and src-keyed join reuse the repartition's partitioning;
+    the min table is a shuffled-hash build side)."""
+    import re
+
+    from hhs_and_cms_data_pipeline_spark.operators.dedup import (
+        _large_star,
+        _small_star,
+    )
+
+    edges = spark.range(0, 200).selectExpr("id + 100 as src", "id % 7 as dst")
+    plan = formatted_plan(_small_star(_large_star(edges)))
+    assert not has_sort_merge_join(plan), plan
+    assert "ENSURE_REQUIREMENTS" not in plan, (
+        "a star step stopped reusing the src repartition:\n" + plan
+    )
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_pagerank_iterations_sort_free(spark, specs):
+    """r12: the unrolled PageRank iterations must not sort the edge
+    relation — the deg/rank joins are shuffled-hash (GRAPH4's hint,
+    extended to GRAPH3; sort-merge planned six full edge sorts)."""
+    plan = formatted_plan(specs["graph_pagerank"].builder(spark, SF_SMOKE))
+    assert not has_sort_merge_join(plan), plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_cosine_verify_tail_never_sorts_pairs(spark, specs):
+    """r12: cosine_of_pairs (D5/D6/SIM15's shared verify tail) must hash
+    the vector side, never sort the candidate-pair relation (sort-merge
+    measured 22.7s vs 2.8s on D5's all-pairs frame at sf0.1 — the sort
+    carries 64-float embedding arrays as payload)."""
+    plan = formatted_plan(specs["dedup_embedding_cosine"].builder(spark, SF_SMOKE))
+    assert not has_sort_merge_join(plan), plan
+    # SIM15 keeps ONE sort-merge join deliberately — the cell self-join's
+    # sides are the same corpus-sized assignment (no smaller build side);
+    # its verify tail and output join must still be hash
+    plan = formatted_plan(specs["dedup_semantic_prune"].builder(spark, SF_SMOKE))
+    assert plan.count("SortMergeJoin") <= 2, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_index_incremental_single_corpus_aggregation(spark, specs):
+    """r12: RET4 aggregates the token stream ONCE into the (w, doc_id)
+    checkpoint; base/delta/full are rollups of that checkpoint (3 scans),
+    and no countDistinct Expand survives anywhere in the plan."""
+    import re
+
+    plan = formatted_plan(
+        specs["text_index_incremental"].builder(spark, SF_SMOKE)
+    )
+    assert "Expand" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan ExistingRDD") == 3, plan
+
+
+def test_containment_verify_is_candidate_driven(spark, specs):
+    """r12: D16's verification joins the candidate frame against the
+    per-doc shingle ARRAYS (array_intersect) — no pair-keyed aggregation
+    and no second pass over the exploded shingle index on the verify
+    side. The only aggregations left are the df index, the candidate
+    dedup, and partial/final pairs thereof."""
+    plan = formatted_plan(specs["dedup_containment"].builder(spark, SF_SMOKE))
+    assert "array_intersect" in plan, plan
+    tree = plan.split("\n\n")[0]
+    # candidate dedup (partial+final) + the df-cap aggregate (partial+
+    # final, duplicated under both broadcast semi sides) — and nothing
+    # else: a 7th aggregate means a pair-keyed verify agg crept back
+    assert tree.count("HashAggregate") <= 6, plan
