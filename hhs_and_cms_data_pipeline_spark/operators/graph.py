@@ -738,7 +738,13 @@ def _lp_fast_plan(und: DataFrame, deg: DataFrame, capped: DataFrame) -> DataFram
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
     return (
-        counts.join(und, ["u", "v"], "anti")  # non-adjacent pairs only
+        # non-adjacent pairs only — NO join hint here (r12): counts is
+        # cn-filtered to a small survivor set, and AQE's runtime stats
+        # broadcast the edge side at bench scale (a forced shuffle_hash
+        # measured 14.8s -> 17.9s); the unfiltered-wedge plans (the
+        # fallback below, GRAPH8) hint shuffle_hash instead because their
+        # left side is the full pair relation and must never be sorted
+        counts.join(und, ["u", "v"], "anti")
         .join(F.broadcast(du), "u")
         .join(F.broadcast(dv), "v")
         .select(
@@ -778,7 +784,8 @@ def _lp_full_topk(und: DataFrame, deg: DataFrame, capped: DataFrame) -> DataFram
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
-    cand = wedge.join(und, ["u", "v"], "anti")
+    # shuffle_hash: never sort the full wedge aggregate (see fast plan)
+    cand = wedge.join(und.hint("shuffle_hash"), ["u", "v"], "anti")
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
     return (
@@ -995,7 +1002,12 @@ def graph_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        wedge.join(und, ["u", "v"], "anti")
+        # shuffle_hash (r12): the unfiltered wedge aggregate here is the
+        # FULL ~|pairs| relation (no cn filter is sound for RA ordering) —
+        # sort-merge was sorting all of it against the m-sized edge set
+        # (measured 38.2s -> see OPTIMIZATION_r12.md); hash-build the
+        # edge side instead
+        wedge.join(und.hint("shuffle_hash"), ["u", "v"], "anti")
         .select(
             "u", "v", "cn", "ra_scaled",
             (F.col("ra_scaled").cast("double") / F.lit(float(_RA_SCALE)))

@@ -781,8 +781,18 @@ def grouped_map_user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("user_id").isNotNull()
         )
     )
+    # Explicit partition count on the Python-boundary exchange (r12,
+    # guide §4): AQE's size-based coalescing is calibrated for JVM
+    # columnar work and folds this ~MB-scale shuffle into ONE partition —
+    # which then runs every per-user group serially through a single
+    # Python worker (measured 7.9-13.6s; 32-way it is sub-second). An
+    # explicit numPartitions pins the exchange against coalescing;
+    # HashPartitioning(user_id) satisfies the grouped-map's clustering so
+    # no second exchange appears.
+    n_part = spark.sparkContext.defaultParallelism
     return (
-        ev.groupBy("user_id")
+        ev.repartition(n_part, "user_id")
+        .groupBy("user_id")
         .applyInPandas(_user_anomaly_profile, USER_ANOMALY_SCHEMA)
         .orderBy("user_id")
     )
@@ -1036,9 +1046,17 @@ def cogroup_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Explicit partition count on BOTH cogroup inputs (r12, guide §4):
+    # same AQE-coalesce hazard as GX1 — without it the two ~MB shuffles
+    # fold to one partition and every user's merge runs serially in one
+    # Python worker (measured 13.2s in the r12 sweep; 32-way it is
+    # ~1s). Equal explicit counts keep the cogroup zipper exchange-free
+    # above the two pinned repartitions.
+    n_part = spark.sparkContext.defaultParallelism
     out = (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.repartition(n_part, "user_id")
+        .groupBy("user_id")
+        .cogroup(purchases.repartition(n_part, "user_id").groupBy("user_id"))
         .applyInPandas(merge, "user_id long, purchase_id long, n_clicks_before long")
     )
     return out.orderBy("user_id", "purchase_id")
