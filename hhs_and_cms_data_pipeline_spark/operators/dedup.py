@@ -785,6 +785,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", "sig", F.col("c.cid").alias("cid"), F.col("c.ch").alias("ch"))
+    # NOT pinned (r12): unlike ER1/GX1/GX2, an explicit repartition on the
+    # bucket key here measured 8.0s -> 25.3s — the planner-owned exchanges
+    # keep the expensive map-side signature fold fully parallel and let
+    # AQE plan the bucket join from runtime sizes; leave them alone.
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -807,6 +811,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("sig_a"), j, 1) != F.substring(F.col("sig_b"), j, 1)
         ).cast("int")
         hamming = term if hamming is None else hamming + term
+    # r12 measured-to-rest note: this corpus's 16-bit signatures are so
+    # concentrated that ~40% of all candidate pairs pass hamming <= 2, so
+    # neither filtering before the dedup (9.8s — hamming recomputed per
+    # chunk duplicate), nor pinning the bucket exchange (25.3s — loses
+    # AQE's runtime sizing under the quadratic hot buckets), nor
+    # checkpointing the signature stage (flat; the md5 fold is only
+    # ~0.4s) beats the original shape (~5.9s at sf0.1). The cost is the
+    # hot-bucket pair enumeration itself — intrinsic to 16-bit SimHash on
+    # a homogeneous corpus; production uses 64-bit signatures where
+    # buckets actually discriminate.
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _HAMMING_MAX)

@@ -798,7 +798,11 @@ def mm_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the bucket-count window keyed on the 16-char hash — exactly
     the dedup_exact shape with a perceptual key instead of md5."""
     ensure_session_conf(spark)
-    docs = (
+    # spread() (r12): the per-row dhash is 128 conv(substr(hex)) grid
+    # samples over a KB-scale hex dump — heavy interpreted map work that
+    # ran on the fixture's single input partition (measured 5.8s -> 1.5s
+    # at sf0.1 spread across cores; a no-op on multi-file 100 TB inputs)
+    docs = spread(
         table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)  # zero-byte = malformed, quarantined
         .select("doc_id", "text")

@@ -339,20 +339,48 @@ def percentile_disc_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles sort within each group; at dashboard scale prefer
     approx_percentile's mergeable t-digest sketch."""
     ensure_session_conf(spark)
-    return (
+    # ONE shared sort per group instead of three percentile_disc states
+    # (r12, guide §1.2 "per-task work"): each percentile_disc aggregate
+    # maintains its own value->count map and re-sorts it at finalization —
+    # three maps over the same column measured 4.9s at sf0.1. The
+    # inverted-CDF element IS the row at rank ceil(p*n) in the sorted
+    # group (duplicates share a value, so any rank inside a duplicate run
+    # picks the same element), so one rank window + three conditional-min
+    # picks compute all of p25/p50/p90 from a single sort (~1s). The
+    # per-group sort is the same 3-reducer ceiling the aggregate form had;
+    # exact per-group percentiles cannot beat it (the docstring's
+    # approx_percentile note is the scale valve either way).
+    ranked = (
         table(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_extendedprice")
-        .groupBy("l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.row_number()
+            .over(
+                Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+            )
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("l_returnflag"))
+            .alias("n"),
+        )
+    )
+
+    def pick(num: int, den: int, alias: str):
+        # rank of the inverted-CDF element for p = num/den: ceil(p * n),
+        # all-integer so no float rounding at any group size
+        target = F.expr(f"(n * {num} + {den - 1}) div {den}")
+        return F.min(
+            F.when(F.col("rn") == target, F.col("l_extendedprice"))
+        ).alias(alias)
+
+    return (
+        ranked.groupBy("l_returnflag")
         .agg(
-            F.expr(
-                "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
-            ).alias("p25"),
-            F.expr(
-                "percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)"
-            ).alias("p50"),
-            F.expr(
-                "percentile_disc(0.90) WITHIN GROUP (ORDER BY l_extendedprice)"
-            ).alias("p90"),
+            pick(1, 4, "p25"),
+            pick(1, 2, "p50"),
+            pick(9, 10, "p90"),
             F.min("l_extendedprice").alias("lo"),
             F.max("l_extendedprice").alias("hi"),
         )
@@ -597,15 +625,31 @@ def er_customer_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     size bounded; the structure here is that plan.
     """
     ensure_session_conf(spark)
+    # Pinned block exchange (r12, guide §2.5): the block join's shuffle is
+    # KB-sized, so AQE coalesced it to one partition — but the work is
+    # QUADRATIC per block (pair enumeration x levenshtein), so the whole
+    # scoring stage ran on one core (measured 5.6s; ~1s pinned 32-way).
+    # The per-partition byte size is the wrong signal for join stages
+    # whose output fans out; an explicit numPartitions opts this exchange
+    # out of coalescing. Same-key same-count repartitions on both sides
+    # feed the self-join exchange-free.
+    n_part = spark.sparkContext.defaultParallelism
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
         "c_nationkey",
         F.substring("c_name", 1, _ER_BLOCK_LEN).alias("blk"),
-    )
+    ).repartition(n_part, "blk")
     a = cust.alias("a")
     b = cust.alias("b")
     lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    # join predicate uses the THRESHOLDED levenshtein (r12, guide §1.2):
+    # with a threshold the kernel early-exits at O(len x k) instead of
+    # O(len^2) per pair and returns -1 above it — the full distance is
+    # recomputed only for the few surviving pairs in the projection
+    lev_t = F.levenshtein(
+        F.col("a.c_name"), F.col("b.c_name"), _ER_MAX_EDIT
+    )
     longest = F.greatest(
         F.length(F.col("a.c_name")), F.length(F.col("b.c_name"))
     )
@@ -614,7 +658,7 @@ def er_customer_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            & (lev <= _ER_MAX_EDIT),
+            & (lev_t >= 0) & (lev_t <= _ER_MAX_EDIT),
         )
         .select(
             F.col("a.c_custkey").alias("custkey_a"),
