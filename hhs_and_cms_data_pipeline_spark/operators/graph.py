@@ -784,8 +784,7 @@ def _lp_full_topk(und: DataFrame, deg: DataFrame, capped: DataFrame) -> DataFram
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
-    # shuffle_hash: never sort the full wedge aggregate (see fast plan)
-    cand = wedge.join(und.hint("shuffle_hash"), ["u", "v"], "anti")
+    cand = wedge.join(und, ["u", "v"], "anti")  # see GRAPH8's hint note
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
     return (
@@ -1002,12 +1001,14 @@ def graph_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        # shuffle_hash (r12): the unfiltered wedge aggregate here is the
-        # FULL ~|pairs| relation (no cn filter is sound for RA ordering) —
-        # sort-merge was sorting all of it against the m-sized edge set
-        # (measured 38.2s -> see OPTIMIZATION_r12.md); hash-build the
-        # edge side instead
-        wedge.join(und.hint("shuffle_hash"), ["u", "v"], "anti")
+        # NO join hint (r12, measured to rest): a shuffle_hash on the
+        # edge side read 24.3s -> 18.1s in one back-to-back pair, but the
+        # interleaved re-measure showed old 25.2/25.4s vs hinted
+        # 42.7/29.3s — streaming the ~|pairs| wedge aggregate through a
+        # per-partition hash probe loses to the sort on balance here, and
+        # AQE keeps the runtime choice (including broadcast of the edge
+        # side when it fits). Reverted; numbers in OPTIMIZATION_r12.md.
+        wedge.join(und, ["u", "v"], "anti")
         .select(
             "u", "v", "cn", "ra_scaled",
             (F.col("ra_scaled").cast("double") / F.lit(float(_RA_SCALE)))
