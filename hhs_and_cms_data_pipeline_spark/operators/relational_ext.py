@@ -350,6 +350,11 @@ def percentile_disc_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-group sort is the same 3-reducer ceiling the aggregate form had;
     # exact per-group percentiles cannot beat it (the docstring's
     # approx_percentile note is the scale valve either way).
+    # NULL discipline (adversarial-gate finding): percentile_disc SKIPS
+    # nulls, so the rank universe must too — NULLS LAST puts every null
+    # row at rank > n where n counts only NON-null values; a pick can
+    # therefore never land on a null, and an all-null group emits NULL
+    # percentiles exactly like the aggregate form.
     ranked = (
         table(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_extendedprice")
@@ -358,10 +363,12 @@ def percentile_disc_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice",
             F.row_number()
             .over(
-                Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+                Window.partitionBy("l_returnflag").orderBy(
+                    F.col("l_extendedprice").asc_nulls_last()
+                )
             )
             .alias("rn"),
-            F.count(F.lit(1))
+            F.count("l_extendedprice")
             .over(Window.partitionBy("l_returnflag"))
             .alias("n"),
         )
