@@ -543,7 +543,14 @@ def _dedup_on_src(edges: DataFrame) -> DataFrame:
     requirement, so dropDuplicates runs partition-local AND the output
     arrives pre-partitioned on src for the next star step's groupBy/join.
     A bare .distinct() hashes on (src, dst) — same row movement, but the
-    consumer then re-exchanges everything on src."""
+    consumer then re-exchanges everything on src.
+
+    Deliberately NO explicit partition count (ADVICE r12): unlike the
+    Python-boundary sites (ST20/ST24) where AQE's 1-partition coalesce
+    serializes per-group pandas work, every consumer here is JVM-side and
+    byte-proportional (hash agg, hash join, distinct), so letting AQE
+    coalesce the KB-scale late-round edge frames is strictly cheaper than
+    pinning defaultParallelism partitions for 60 potential rounds."""
     return edges.repartition("src").dropDuplicates()
 
 

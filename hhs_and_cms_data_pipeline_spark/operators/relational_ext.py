@@ -665,7 +665,10 @@ def er_customer_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            & (lev_t >= 0) & (lev_t <= _ER_MAX_EDIT),
+            # thresholded levenshtein returns -1 above the cap, so >= 0
+            # alone is the whole predicate (ADVICE r12: the former
+            # `<= _ER_MAX_EDIT` conjunct was definitionally redundant)
+            & (lev_t >= 0),
         )
         .select(
             F.col("a.c_custkey").alias("custkey_a"),

@@ -196,16 +196,24 @@ def all_specs() -> dict[str, QuerySpec]:
     # longer) registry names must not influence ordering.
     seen_names = _driver_sampled_names() & set(_REGISTRY)
     modified = _modified_since_sampled(seen_names)
+    resample = [
+        n
+        for n in _PINNED_RESAMPLE
+        if n in _REGISTRY and n not in _sampled_at_or_after(_PINNED_RESAMPLE_ROUND)
+    ]
     pinned = [n for n in _PINNED_FRESH if n in _REGISTRY and n not in seen_names]
     fresh = [
         n for n in _REGISTRY
         if n not in seen_names and n not in pinned
     ]
-    order = (
-        pinned
-        + sorted(modified)
-        + fresh
-        + [n for n in _REGISTRY if n in seen_names and n not in modified]
+    order = list(
+        dict.fromkeys(
+            resample
+            + pinned
+            + sorted(modified)
+            + fresh
+            + [n for n in _REGISTRY if n in seen_names and n not in modified]
+        )
     )
     return {n: _REGISTRY[n] for n in order}
 
@@ -223,21 +231,153 @@ _PINNED_FRESH = (
     "k2_atomic_publish",
 )
 
+# Round-12 modified these query paths but the driver never re-verified the
+# new plans (VERDICT r12 item 1): five were edited via SHARED helpers
+# (_large_star/_small_star, cosine_of_pairs, containment_pairs), which the
+# per-builder fingerprint of that round could not see, and six had never
+# been sampled at all and sat in a ~121-name fresh pool. Force them to the
+# very head of the rotation until a CORRECTNESS artifact from round >=
+# _PINNED_RESAMPLE_ROUND records a driver-side row for them, then they
+# fall out of the pin automatically (same lifecycle as _PINNED_FRESH).
+_PINNED_RESAMPLE_ROUND = 13
+_PINNED_RESAMPLE = (
+    "dedup_clusters",
+    "dedup_canonical_corpus",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_containment",
+    "graph_pagerank",
+    "graph_wcc_sizes",
+    "grouped_map_user_anomaly",
+    "cogroup_click_context",
+    "curation_hashed_linear_score",
+    "sk_hll_rollup",
+)
+
+
+@functools.lru_cache(maxsize=8)
+def _sampled_at_or_after(min_round: int, root: str | None = None) -> frozenset[str]:
+    """Names recorded by a CORRECTNESS_r<N>.json artifact with N >= min_round.
+    Drives _PINNED_RESAMPLE expiry: a pin is only useful until the driver has
+    actually re-verified the query, which is observable solely through these
+    artifacts. Unreadable artifacts degrade to 'not yet sampled' (pin stays)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    repo_root = root or _os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__))
+    )
+    sampled: set[str] = set()
+    for path in _glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)", _os.path.basename(path))
+        if not m or int(m.group(1)) < min_round:
+            continue
+        try:
+            with open(path) as fh:
+                doc = _json.load(fh)
+            if isinstance(doc, dict):
+                sampled.update(k for k in doc if isinstance(k, str))
+        except (OSError, ValueError):
+            continue
+    return frozenset(sampled)
+
+
+def _stable_repr(val: object) -> str | None:
+    """repr(val) iff it is process-stable (no memory addresses): scalar
+    constants and flat tuples/frozensets of them. Anything else -> None."""
+    if val is None or isinstance(val, (bool, int, float, str, bytes)):
+        return repr(val)
+    if isinstance(val, (tuple, frozenset)):
+        parts = [_stable_repr(v) for v in (sorted(val, key=repr) if isinstance(val, frozenset) else val)]
+        if all(p is not None for p in parts):
+            return f"{type(val).__name__}({', '.join(parts)})"  # type: ignore[arg-type]
+    return None
+
+
+def _source_closure(fn: object) -> str:
+    """Source of ``fn`` plus the sources of every module-local function/class
+    it transitively references (and stable reprs of module-local scalar
+    constants it reads). VERDICT r12 item 1: the old per-builder-source
+    fingerprint missed edits made through shared helpers (_large_star,
+    cosine_of_pairs, containment_pairs), so the consumers of those helpers
+    were never promoted into the driver's re-verification prefix."""
+    import inspect
+    import sys
+    import types
+
+    mod = sys.modules.get(getattr(fn, "__module__", "") or "")
+    mod_name = getattr(mod, "__name__", None)
+
+    def walk_codes(code: types.CodeType):
+        yield code
+        for c in code.co_consts:
+            if isinstance(c, types.CodeType):
+                yield from walk_codes(c)
+
+    pieces: dict[str, str] = {}
+    visited: set[int] = set()
+    stack: list[object] = [fn]
+    while stack:
+        obj = stack.pop()
+        if id(obj) in visited:
+            continue
+        visited.add(id(obj))
+        try:
+            src = inspect.getsource(obj)  # type: ignore[arg-type]
+        except (OSError, TypeError):
+            src = getattr(obj, "__qualname__", None) or repr(obj)
+        key = f"{getattr(obj, '__module__', '')}.{getattr(obj, '__qualname__', type(obj).__name__)}"
+        pieces.setdefault(key, src)
+
+        # Recurse: functions expose referenced globals via co_names; classes
+        # via their function-valued attributes.
+        codes: list[types.CodeType] = []
+        if isinstance(obj, types.FunctionType):
+            codes = list(walk_codes(obj.__code__))
+            # closure cells can also carry module-local helpers
+            for cell in obj.__closure__ or ():
+                try:
+                    cv = cell.cell_contents
+                except ValueError:
+                    continue
+                if isinstance(cv, types.FunctionType) and cv.__module__ == mod_name:
+                    stack.append(cv)
+        elif isinstance(obj, type):
+            for attr in vars(obj).values():
+                if isinstance(attr, types.FunctionType) and attr.__module__ == mod_name:
+                    stack.append(attr)
+        if mod is None or not codes:
+            continue
+        names: set[str] = set()
+        for c in codes:
+            names.update(c.co_names)
+        for name in sorted(names):
+            if name not in mod.__dict__:
+                continue
+            val = mod.__dict__[name]
+            if isinstance(val, types.FunctionType) and val.__module__ == mod_name:
+                stack.append(val)
+            elif isinstance(val, type) and val.__module__ == mod_name:
+                stack.append(val)
+            elif not isinstance(val, types.ModuleType) and not callable(val):
+                rep = _stable_repr(val)
+                if rep is not None:
+                    pieces.setdefault(f"{mod_name}::{name}", rep)
+    return "\x00".join(f"{k}\x01{pieces[k]}" for k in sorted(pieces))
+
 
 def spec_fingerprint(spec: QuerySpec) -> str:
-    """md5 over the builder's source text + the oracle SQL — the identity
-    the modified-query promotion compares. Captures edits to the query
-    itself; edits to shared helpers are covered by the local oracle-diff
-    suite, which reruns everything on every change."""
+    """md5 over the builder's transitive module-local source closure + the
+    oracle SQL — the identity the modified-query promotion compares. Edits
+    to the builder OR to any module-local helper/constant it references
+    change the fingerprint, so shared-helper rewrites promote every
+    consumer into the driver's re-verification prefix (VERDICT r12 item 1)."""
     import hashlib
-    import inspect
 
-    try:
-        src = inspect.getsource(spec.builder)
-    except (OSError, TypeError):  # builtins / dynamically-defined builders
-        src = repr(spec.builder)
     return hashlib.md5(
-        (src + "\x00" + (spec.oracle or "")).encode()
+        (_source_closure(spec.builder) + "\x00" + (spec.oracle or "")).encode()
     ).hexdigest()
 
 

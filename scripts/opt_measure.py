@@ -36,15 +36,35 @@ EAGER_PREFIXES = ("stream_", "k10_", "k11_", "k12_")
 
 
 def bench_names(all_) -> list[str]:
+    """Headline pack + bench.py's extended list. The extended list lives
+    inside bench.main() (bench.py is frozen — the driver diffs it byte-wise),
+    so extract the list literal from the AST rather than string-splitting
+    source text (ADVICE r12: the split-based version broke on reformats and
+    over-matched names in comments)."""
+    import ast
     import bench
 
     headline = sorted(n for n, s in all_.items() if s.bench)
-    # bench.py's extended list is module-level data; reuse it verbatim.
     src = open(os.path.join(os.path.dirname(bench.__file__), "bench.py")).read()
-    names = headline + [
-        n for n in all_ if f'"{n}"' in src.split("extended_names")[1].split("]")[0]
-    ]
-    return list(dict.fromkeys(names))
+    extended: list[str] = []
+    for node in ast.walk(ast.parse(src)):
+        if (
+            isinstance(node, ast.Assign)
+            and any(
+                isinstance(t, ast.Name) and t.id == "extended_names"
+                for t in node.targets
+            )
+            and isinstance(node.value, ast.List)
+        ):
+            extended = [
+                e.value
+                for e in node.value.elts
+                if isinstance(e, ast.Constant) and isinstance(e.value, str)
+            ]
+            break
+    if not extended:
+        raise RuntimeError("extended_names list not found in bench.py")
+    return list(dict.fromkeys(headline + extended))
 
 
 def main() -> int:
@@ -52,6 +72,8 @@ def main() -> int:
     ap.add_argument("mode", choices=["plans", "time"])
     ap.add_argument("names", nargs="*")
     ap.add_argument("--suffix", default="before")
+    ap.add_argument("--round", dest="round_dir", default="r13",
+                    help="plans/<round>/ output subdir for plans mode")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument(
         "--eager", action="store_true",
@@ -73,7 +95,7 @@ def main() -> int:
     if args.mode == "plans":
         out_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "plans", "r12",
+            "plans", args.round_dir,
         )
         os.makedirs(out_dir, exist_ok=True)
         for n in names:

@@ -1232,8 +1232,6 @@ def test_star_round_exchange_discipline(spark):
     (ENSURE_REQUIREMENTS) exchanges, zero sort-merge joins (each step's
     groupBy-min and src-keyed join reuse the repartition's partitioning;
     the min table is a shuffled-hash build side)."""
-    import re
-
     from hhs_and_cms_data_pipeline_spark.operators.dedup import (
         _large_star,
         _small_star,
@@ -1276,8 +1274,6 @@ def test_index_incremental_single_corpus_aggregation(spark, specs):
     """r12: RET4 aggregates the token stream ONCE into the (w, doc_id)
     checkpoint; base/delta/full are rollups of that checkpoint (3 scans),
     and no countDistinct Expand survives anywhere in the plan."""
-    import re
-
     plan = formatted_plan(
         specs["text_index_incremental"].builder(spark, SF_SMOKE)
     )
