@@ -1101,6 +1101,13 @@ def sk_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # de-dup once and roll both scopes off it — the per-type count is a
     # row count of the de-dup, and the overall level re-distincts the
     # already-reduced (type, user) pairs, never the raw events.
+    # r13 re-measure (VERDICT r12 item 4): interleaved 6v6 both orders at
+    # sf0.1, audit arm isolated — shared best 0.52s/median 0.88s vs
+    # double-countDistinct best 0.40s/median 0.79s: EQUAL within noise
+    # (the arm is sub-second either way at this SF). Kept because the
+    # byte math is one-directional at scale: the old form shuffles the
+    # corpus-wide partial-distinct pairs TWICE (once per scope), the new
+    # form once plus a re-shuffle of the already-reduced pair set.
     du = ev.select("event_type", "s").distinct().localCheckpoint(eager=False)
     t_ex = du.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("exact_distinct")

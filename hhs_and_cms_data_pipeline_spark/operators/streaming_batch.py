@@ -16,6 +16,35 @@ from ..registry import register
 from ..session import ensure_session_conf
 from ..sources import table
 
+def _run_drain(spark: SparkSession, start):
+    """Start and fully drain a bounded availableNow stream under the
+    streaming-specific partition count (streaming.stateful
+    .stream_state_partitions — rationale and the ST4 state-store A/B
+    there). For these foreachBatch drains the lever is the per-micro-batch
+    JOB width: every batch schedules scan/agg/merge stages at the session's
+    shuffle.partitions even though each batch carries KB-MB of data, so
+    the fixed per-task cost dominates (guide §2.5). Interleaved A/B at
+    sf0.1, whole builder timed, 5v5 both orders: drift median 4.19s →
+    3.89s, cms 4.28s → 4.02s (consistent medians, overlapping spreads —
+    a fixed-overhead trim, not an algorithmic change). Env-scaled via
+    $SPARK_GRAFT_STREAM_STATE_PARTITIONS on a real cluster; the conf is
+    set/restored around start()..awaitTermination only, so the readout
+    (which may scan the corpus, e.g. ST18's truth audit) keeps the
+    session's full parallelism."""
+    from ..streaming.stateful import stream_state_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(spark))
+    )
+    try:
+        q = start()
+        q.awaitTermination()
+        return q
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 # --------------------------------------------------------------------------
 # Tumbling 1-hour window (SURVEY §2.10: F.window on event time).
 # --------------------------------------------------------------------------
@@ -862,13 +891,12 @@ def stream_snapshot_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(stage)
     )
-    q = stream_snapshot_sink(
+    _run_drain(spark, lambda: stream_snapshot_sink(
         tumbling_counts(normalize_events_ts(raw)),
         target,
         ckpt,
         query_name=f"snapshot_publish_{tag}",
-    )
-    q.awaitTermination()
+    ))
     # The checkpoint is single-use (availableNow drain over a fixed stage):
     # leaving it would leak one /tmp dir per invocation.
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -1255,14 +1283,13 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _merge = make_rollup_merger(target, run_id=ckpt)  # ST14 merge body (factory above)
 
-    q = (
+    q = _run_drain(spark, lambda: (
         raw.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .queryName(f"incr_rollup_{tag}")
         .start()
-    )
-    q.awaitTermination()
+    ))
     # single-use checkpoint (availableNow drain over a fixed stage)
     shutil.rmtree(ckpt, ignore_errors=True)
     return (
@@ -1711,14 +1738,13 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(stage)
     )
-    q = (
+    q = _run_drain(spark, lambda: (
         raw.writeStream.foreachBatch(make_hll_merger(target))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .queryName(f"hll_registers_{tag}")
         .start()
-    )
-    q.awaitTermination()
+    ))
     # single-use checkpoint (availableNow drain over a fixed stage)
     shutil.rmtree(ckpt, ignore_errors=True)
     stored = read_published(spark, target)
@@ -1882,15 +1908,14 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(stage)
     )
-    q = (
+    q = _run_drain(spark, lambda: (
         normalize_events_ts(raw)
         .writeStream.foreachBatch(make_drift_merger(target, run_id=ckpt))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .queryName(f"drift_monitor_{tag}")
         .start()
-    )
-    q.awaitTermination()
+    ))
     # single-use checkpoint (availableNow drain over a fixed stage)
     shutil.rmtree(ckpt, ignore_errors=True)
     return drift_from_counts(
@@ -1998,14 +2023,13 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(stage)
     )
-    q = (
+    q = _run_drain(spark, lambda: (
         raw.writeStream.foreachBatch(make_cms_merger(target, run_id=ckpt))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .queryName(f"cms_cells_{tag}")
         .start()
-    )
-    q.awaitTermination()
+    ))
     # single-use checkpoint (availableNow drain over a fixed stage)
     shutil.rmtree(ckpt, ignore_errors=True)
     cells = read_published(spark, target).select("r", "bucket", "c")
@@ -2307,15 +2331,14 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isNotNull())
         .select("event_id", "user_id", "event_type", "value")
     )
-    q = (
+    q = _run_drain(spark, lambda: (
         manifest_stream_writer(
             raw, target, audit_column="value", checkpointLocation=ckpt
         )
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
-    )
-    q.awaitTermination()
+    ))
     # single-use checkpoint (availableNow drain over a fixed stage)
     shutil.rmtree(ckpt, ignore_errors=True)
     schema = T.StructType(
@@ -2447,14 +2470,13 @@ def stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(stage)
     )
-    q = (
+    q = _run_drain(spark, lambda: (
         raw.writeStream.foreachBatch(make_daily_count_merger(target, run_id=ckpt))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .queryName(f"cusum_daily_{tag}")
         .start()
-    )
-    q.awaitTermination()
+    ))
     # single-use checkpoint (availableNow drain over a fixed stage)
     shutil.rmtree(ckpt, ignore_errors=True)
     daily = read_published(spark, target).select("event_type", "d", "n")

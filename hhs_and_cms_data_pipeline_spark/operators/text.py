@@ -1090,6 +1090,16 @@ def bigram_lm_surprisal_table(docs: DataFrame) -> DataFrame:
     # are rollups of bgd, so deriving them from the checkpoint means the
     # corpus is tokenized twice total (bgd + the vocab scalar) instead of
     # four times (c2, c1, bgd, vocab each re-scanning).
+    # r13 negative result (VERDICT item 5, measured): pre-partitioning the
+    # bigram stream by bg (repartition(P, "bg") before this agg, so the c2
+    # rollup and the model join reuse one exchange) LOST — interleaved 6v6
+    # at sf0.1: median 1.70s -> 2.09s, every B run slower. The exchange it
+    # tries to remove does not exist here: c2 fits the 64MB broadcast
+    # threshold, so the model join is already a broadcast hash join and
+    # the raw-bigram repartition is pure added cost. (At a corpus scale
+    # where c2 outgrows broadcast, the bg-partitioned checkpoint becomes
+    # the right layout — revisit alongside the documented hot-bigram skew
+    # escape below.)
     bgd = (
         bgm.groupBy("doc_id", "w1", "bg")
         .agg(F.count(F.lit(1)).alias("m"))

@@ -30,6 +30,30 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..sources.tables import normalize_events_ts
 from .events import events_raw_schema
 
+def stream_state_partitions(spark: SparkSession) -> int:
+    """State-store partition count for the stateful streaming drains
+    (VERDICT r12 item 3, guide §2.5/§5). Structured Streaming pins the
+    state-store partition count to ``spark.sql.shuffle.partitions`` at
+    FIRST batch for the checkpoint's lifetime, and every micro-batch then
+    pays one state-store commit (delta file + fsync) and one Python
+    worker round-trip PER PARTITION — overhead proportional to the
+    partition count, independent of data volume. Size it by state volume
+    per partition, not by core count: locally the per-user session state
+    is KB-scale, so cores/4 (floor 8) keeps every core busy on the
+    byte-proportional fold while quartering the per-batch commit fan-out.
+    Interleaved A/B at sf0.1 (3 reps each, warm): 32 partitions drained
+    in 6.1-6.9s, 8 partitions 5.8-6.4s, 4 partitions 6.7-8.7s (too few —
+    the pandas fold serializes); rows bit-identical across all three. On
+    a production cluster, override with $SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    sized so each partition holds ~100MB-1GB of state."""
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    return max(8, spark.sparkContext.defaultParallelism // 4)
+
+
 _GAP_US = 30 * 60 * 1_000_000  # 30 min in us; ts travels as int64 MICROS
 # in-flight (unix_micros of the normalized TIMESTAMP), matching both the
 # batch sessionizer's unix_micros comparison and the DuckDB oracle's
@@ -132,7 +156,15 @@ def run_stateful_sessionize(
     spark: SparkSession, stage_dir: str, checkpoint_dir: str, query_name: str
 ) -> tuple[DataFrame, int]:
     """Run the stateful sessionizer over the staged files; returns the
-    deduplicated final sessions and the number of micro-batches executed."""
+    deduplicated final sessions and the number of micro-batches executed.
+
+    The drain runs under the streaming-specific state-partition count
+    (stream_state_partitions — rationale and A/B numbers there). The conf
+    is set/restored around the bounded availableNow drain: the state
+    store binds spark.sql.shuffle.partitions at first batch and pins it
+    in the checkpoint, so the window must cover start()..awaitTermination;
+    the single-use checkpoint means no later run can see a mismatched
+    pinned count."""
     raw = (
         spark.readStream.schema(events_raw_schema(spark, stage_dir))
         .option("maxFilesPerTrigger", 1)
@@ -161,15 +193,22 @@ def run_stateful_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(spark))
     )
-    q.awaitTermination()
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     # update-mode log: the last emission per (user, session) is the biggest —
     # sessions only grow — so max() collapses snapshots into finals.

@@ -106,11 +106,19 @@ def run_timer_sessions(spark, stage_dir: str, checkpoint_dir: str, query_name: s
     from ..sources.tables import normalize_events_ts
     from .events import events_raw_schema
 
+    from .stateful import stream_state_partitions
+
     _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
     prior_provider = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(
         _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    # streaming-specific state-partition count (stream_state_partitions
+    # docstring: per-batch commit fan-out is per-partition; A/B'd on ST4)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(spark))
     )
     raw = (
         spark.readStream.schema(events_raw_schema(spark, stage_dir))
@@ -144,6 +152,7 @@ def run_timer_sessions(spark, stage_dir: str, checkpoint_dir: str, query_name: s
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prior_provider is None:
             spark.conf.unset(_PROVIDER_KEY)
         else:

@@ -1295,3 +1295,25 @@ def test_containment_verify_is_candidate_driven(spark, specs):
     # final, duplicated under both broadcast semi sides) — and nothing
     # else: a 7th aggregate means a pair-keyed verify agg crept back
     assert tree.count("HashAggregate") <= 6, plan
+
+
+def test_lpa_round_single_n_exchange(spark, specs):
+    """r13: each LPA round moves rows ONCE — an explicit n-keyed
+    repartition that both the (n, lbl) count and the per-n argmax reuse
+    (HashPartitioning(n) satisfies both clusterings), and the round's
+    label join consumes the previous round's hash(n) output with no
+    planner-inserted exchange. Tree shape: 3 REPARTITION_BY_NUM (one per
+    round) + exactly 1 ENSURE_REQUIREMENTS (the final community count),
+    all label joins shuffled-hash (r12's hint), zero sort-merge."""
+    plan = formatted_plan(
+        specs["graph_label_propagation"].builder(spark, SF_SMOKE)
+    )
+    tree = plan.split("\n\n")[0]
+    assert not has_sort_merge_join(plan), plan
+    assert tree.count("ShuffledHashJoin") == 3, plan
+    # partitioning tags appear once per exchange (detail section only)
+    assert plan.count("REPARTITION_BY_NUM") == 3, plan
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, (
+        "a planner-inserted exchange crept back between the per-round "
+        "aggregations:\n" + plan
+    )
