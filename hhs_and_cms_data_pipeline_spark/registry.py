@@ -252,6 +252,19 @@ _PINNED_RESAMPLE = (
     "cogroup_click_context",
     "curation_hashed_linear_score",
     "sk_hll_rollup",
+    # r13's own modified-but-never-sampled queries (the fingerprint
+    # promotion covers only SAMPLED names — never-sampled ones sit in a
+    # ~78-name fresh pool with no position guarantee, the exact r12 hole):
+    # the LPA exchange rewrite and the drain-conf streaming family.
+    "graph_label_propagation",
+    "stream_stateful_sessionize",
+    "stream_hll_registers",
+    "stream_drift_monitor",
+    "stream_cms_heavy_hitters",
+    "stream_manifest_sink",
+    "stream_cusum_changepoint",
+    "stream_incremental_rollup",
+    "stream_snapshot_publish",
 )
 
 

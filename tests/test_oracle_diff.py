@@ -23,14 +23,37 @@ def con():
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(SPECS))
-def test_query_matches_oracle(name, spark, con):
+# The fast tier keeps a fixed smoke slice of the matrix: the 11-query
+# headline bench pack — the queries whose timings gate the round — plus
+# the operators this round's optimizations touched. The FULL matrix is
+# the slow tier (pytest.ini: the driver's own oracle gate re-checks the
+# same thing differently every round; locally run `-m slow` after any
+# shared-helper change).
+_SMOKE_NAMES = sorted(n for n, s in SPECS.items() if s.bench) + [
+    "graph_label_propagation",
+    "stream_drift_monitor",
+    "stream_stateful_sessionize",
+]
+
+
+def _check_one(name, spark, con):
     spec = SPECS[name]
     df = spec.builder(spark, SF_ORACLE)
     if spec.oracle is None:
         assert df.count() >= 0  # rows-only smoke: plan executes
     else:
         compare_spark_duckdb(df, con, spec.oracle)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(name, spark, con):
+    _check_one(name, spark, con)
+
+
+@pytest.mark.parametrize("name", _SMOKE_NAMES)
+def test_query_matches_oracle_smoke(name, spark, con):
+    _check_one(name, spark, con)
 
 
 def test_entry_smoke(spark):

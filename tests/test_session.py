@@ -100,6 +100,7 @@ _ZERO_ROW_ALLOWLIST: dict[str, str] = {}
 _VACUITY_SF = os.environ.get("SPARK_GRAFT_VACUITY_SF", "/root/testdata/sf0.01")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "name", sorted(__import__("hhs_and_cms_data_pipeline_spark.registry",
                               fromlist=["all_specs"]).all_specs())
@@ -154,6 +155,24 @@ _PARTITION_VARIANT_ALLOWLIST: dict[str, str] = {
 }
 
 
+_BENCH_SMOKE = sorted(
+    n
+    for n, s in __import__(
+        "hhs_and_cms_data_pipeline_spark.registry", fromlist=["all_specs"]
+    ).all_specs().items()
+    if s.bench
+)
+
+
+@pytest.mark.parametrize("name", _BENCH_SMOKE)
+def test_partition_count_invariant_headline_smoke(name, spark):
+    """Fast-tier smoke slice of the 7-way partition-invariance matrix:
+    the headline bench pack (pytest.ini — the full 280-query matrix is
+    the slow tier)."""
+    _partition_invariance_check(name, spark)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "name", sorted(__import__("hhs_and_cms_data_pipeline_spark.registry",
                               fromlist=["all_specs"]).all_specs())
@@ -166,6 +185,10 @@ def test_partition_count_invariant_registry_wide(name, spark):
     positional sampling (GX3) are exactly the shapes where such bugs hide.
     Registry-wide by construction (round-5 VERDICT ask #5): a new query is
     covered the moment it registers, like the non-vacuity gate above."""
+    _partition_invariance_check(name, spark)
+
+
+def _partition_invariance_check(name, spark):
     from hhs_and_cms_data_pipeline_spark.registry import all_specs
     from tests.conftest import SF_SMOKE
 
