@@ -207,6 +207,17 @@ class ManifestJsonlWriter(DataSourceWriter):
         self._grace = float(options.get("gc_grace_seconds", 60.0))
 
     def write(self, iterator: Iterator) -> PartCommit:
+        # r13 negative result (guide §4, measured and reverted): switching
+        # this writer to DataSourceArrowWriter/DataSourceStreamArrowWriter
+        # (RecordBatch iterator + to_pylist instead of pickled Rows) was
+        # value-identical but NOT faster — interleaved worktree A/B at
+        # sf0.1: stream_manifest_sink 4.01/5.11s row vs 4.29/5.47s arrow,
+        # k10 roundtrip a wash. The per-row cost here is json.dumps plus
+        # the Decimal audit fold, which to_pylist() merely restates as
+        # dict materialization; the boundary serialization it removes is
+        # second-order at this row width. Revisit only if the sink ever
+        # carries wide binary payloads, where Arrow's buffer transfer
+        # actually wins.
         os.makedirs(self._path, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.jsonl"
         n = 0
